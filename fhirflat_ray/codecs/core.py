@@ -1,0 +1,251 @@
+"""Top-level column encode/decode: type dispatch, null split, passthrough.
+
+``encode_column(arr) -> (header, blob)`` where the header is JSON-safe and the
+blob is a single bytes payload; ``decode_column`` reconstructs the Arrow array
+bit-identically (type, values, and null/empty distinction all preserved — the
+failure class the reference normalizes by hand at
+/root/reference/fhirflat/util.py:150-208).
+
+Nested / unknown types go through an Arrow-IPC passthrough, the analogue of
+the reference's ``_dense`` keep-it-opaque fallback
+(/root/reference/fhirflat/fhir2flat.py:56-61).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+from fhirflat_ray.codecs.strings import decode_strings, encode_strings
+
+_TS_RE = re.compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
+_SIMPLE_TYPES = {
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "date32[day]": pa.date32(),
+    "date64[ms]": pa.date64(),
+    "time32[s]": pa.time32("s"),
+    "time32[ms]": pa.time32("ms"),
+    "time64[us]": pa.time64("us"),
+    "time64[ns]": pa.time64("ns"),
+}
+_NP_BY_TYPE = {
+    "int8": np.int8,
+    "int16": np.int16,
+    "int32": np.int32,
+    "int64": np.int64,
+    "uint8": np.uint8,
+    "uint16": np.uint16,
+    "uint32": np.uint32,
+    "uint64": np.uint64,
+}
+
+
+def type_to_str(t: pa.DataType) -> str:
+    return str(t)
+
+
+def str_to_type(s: str) -> pa.DataType:
+    if s in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[s]
+    m = _TS_RE.match(s)
+    if m:
+        return pa.timestamp(m.group(1), tz=m.group(2))
+    raise ValueError(f"unsupported type string {s!r}")
+
+
+def _is_intlike(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+    )
+
+
+def _int64_view(arr: pa.Array) -> np.ndarray:
+    """Lossless int64 view of any int-like array (uint64 reinterpreted)."""
+    t = arr.type
+    if pa.types.is_timestamp(t) or pa.types.is_time64(t) or pa.types.is_date64(t):
+        arr = arr.cast(pa.int64())
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        arr = arr.cast(pa.int32())
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    if np_arr.dtype == np.uint64:
+        return np_arr.view(np.int64)
+    return np_arr.astype(np.int64)
+
+
+def _restore_intlike(values: np.ndarray, t: pa.DataType, validity: bytes | None, n: int) -> pa.Array:
+    if pa.types.is_timestamp(t) or pa.types.is_date64(t) or pa.types.is_time64(t):
+        buf = values.tobytes()
+    elif pa.types.is_date32(t) or pa.types.is_time32(t):
+        buf = values.astype(np.int32).tobytes()
+    else:
+        npt = _NP_BY_TYPE[str(t)]
+        if npt == np.uint64:
+            buf = values.view(np.uint64).tobytes()
+        else:
+            buf = values.astype(npt).tobytes()
+    vbuf = pa.py_buffer(validity) if validity is not None else None
+    return pa.Array.from_buffers(t, n, [vbuf, pa.py_buffer(buf)])
+
+
+def _with_validity(arr: pa.Array, validity: bytes | None, n: int) -> pa.Array:
+    """Re-apply a validity bitmap to a null-free decoded array."""
+    if validity is None:
+        return arr
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = np.unpackbits(
+        np.frombuffer(validity, dtype=np.uint8), count=n, bitorder="little"
+    ).astype(bool)
+    return pc.if_else(pa.array(valid), arr, pa.scalar(None, arr.type))
+
+
+def encode_column(
+    arr: pa.Array | pa.ChunkedArray,
+    shared_vocab: pa.Array | None = None,
+    shared_hash: str | None = None,
+) -> tuple[dict[str, Any], bytes]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    t = arr.type
+    hdr: dict[str, Any] = {"t": type_to_str(t) if _is_codecable(t) else "ipc", "n": n}
+
+    if not _is_codecable(t):
+        blob = _ipc_serialize(arr)
+        hdr["c"] = "ipc"
+        return hdr, blob
+
+    validity_blob: bytes | None = None
+    if arr.null_count > 0:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        validity_blob = np.packbits(valid, bitorder="little").tobytes()
+        fill: Any
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            fill = ""
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            fill = b""
+        elif pa.types.is_boolean(t):
+            fill = False
+        else:
+            fill = 0
+        arr = pc.fill_null(arr, pa.scalar(fill, t))
+        hdr["valid_len"] = len(validity_blob)
+
+    if pa.types.is_boolean(t):
+        vals = arr.to_numpy(zero_copy_only=False)
+        body = np.packbits(vals.astype(np.uint8), bitorder="little").tobytes()
+        hdr["c"] = "bools"
+    elif _is_intlike(t):
+        ih, body = encode_ints(_int64_view(arr))
+        hdr["c"] = "ints"
+        hdr["h"] = ih
+    elif pa.types.is_floating(t):
+        body = arr.to_numpy(zero_copy_only=False).tobytes()
+        hdr["c"] = "plain_float"
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        sh, body = encode_strings(arr, shared_vocab, shared_hash)
+        hdr["c"] = "str"
+        hdr["h"] = sh
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # reuse string codecs on a string view (payload is byte-identical;
+        # view() reinterprets without UTF-8 validation)
+        view = arr.view(pa.large_string() if pa.types.is_large_binary(t) else pa.string())
+        sh, body = encode_strings(view, try_fsst=True)
+        hdr["c"] = "bin"
+        hdr["h"] = sh
+    else:  # pragma: no cover - guarded by _is_codecable
+        raise AssertionError
+
+    if validity_blob is not None:
+        return hdr, validity_blob + body
+    return hdr, body
+
+
+def _is_codecable(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_boolean(t)
+        or _is_intlike(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _ipc_serialize(arr: pa.Array) -> bytes:
+    table = pa.table({"v": arr})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as writer:
+        writer.write_table(table)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_deserialize(blob: bytes) -> pa.Array:
+    with pa.ipc.open_stream(blob) as reader:
+        table = reader.read_all()
+    return table.column("v").combine_chunks()
+
+
+def decode_column(
+    hdr: dict[str, Any],
+    blob: bytes,
+    dict_store: dict[str, pa.Array] | None = None,
+) -> pa.Array:
+    if hdr.get("c") == "ipc":
+        return _ipc_deserialize(blob)
+    n = hdr["n"]
+    t = str_to_type(hdr["t"])
+    validity: bytes | None = None
+    if "valid_len" in hdr:
+        validity = blob[: hdr["valid_len"]]
+        blob = blob[hdr["valid_len"] :]
+
+    c = hdr["c"]
+    if c == "bools":
+        bits = np.unpackbits(np.frombuffer(blob, np.uint8), count=n, bitorder="little")
+        out = pa.array(bits.astype(bool), pa.bool_())
+        return _with_validity(out, validity, n)
+    if c == "ints":
+        vals = decode_ints(hdr["h"], blob, n)
+        return _restore_intlike(vals, t, validity, n)
+    if c == "plain_float":
+        dtype = np.float32 if pa.types.is_float32(t) else np.float64
+        vals = np.frombuffer(blob, dtype=dtype, count=n)
+        vbuf = pa.py_buffer(validity) if validity is not None else None
+        return pa.Array.from_buffers(t, n, [vbuf, pa.py_buffer(vals.tobytes())])
+    if c == "str":
+        out = decode_strings(hdr["h"], blob, n, dict_store)
+        if str(out.type) != str(t):
+            out = out.cast(t)
+        return _with_validity(out, validity, n)
+    if c == "bin":
+        out = decode_strings(hdr["h"], blob, n, dict_store)
+        target_str = pa.large_string() if pa.types.is_large_binary(t) else pa.string()
+        if str(out.type) != str(target_str):
+            out = out.cast(target_str)
+        out = out.view(t)
+        return _with_validity(out, validity, n)
+    raise ValueError(f"unknown column codec {c!r}")

@@ -1,0 +1,204 @@
+"""Codec unit tests: encode→decode identity per Arrow array, incl. nulls,
+empty arrays, unicode, and degenerate distributions — mirroring the
+reference's per-operator unit tests
+(/root/reference/tests/test_fhir2flat_units.py) translated to codec land."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fhirflat_ray.codecs import decode_column, encode_column
+from fhirflat_ray.codecs.bitpack import pack_bits, unpack_bits
+from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+from fhirflat_ray.codecs.strings import (
+    decode_fsst,
+    decode_worddict,
+    encode_fsst,
+    encode_worddict,
+)
+from fhirflat_ray.fixtures import make_edgecase_transcripts, make_transcripts
+
+
+def roundtrip(arr: pa.Array) -> pa.Array:
+    hdr, blob = encode_column(arr)
+    return decode_column(hdr, blob)
+
+
+def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
+    """Structural equality that treats NaN bitwise (Arrow equals() uses
+    value semantics, so any NaN makes an array unequal to its own copy)."""
+    if a.type != b.type or len(a) != len(b):
+        return False
+    if pa.types.is_floating(a.type):
+        import pyarrow.compute as pc
+
+        if not pc.is_valid(a).equals(pc.is_valid(b)):
+            return False
+        width = np.float32 if pa.types.is_float32(a.type) else np.float64
+        av = np.nan_to_num(a.to_numpy(zero_copy_only=False).astype(width), nan=np.inf)
+        bv = np.nan_to_num(b.to_numpy(zero_copy_only=False).astype(width), nan=np.inf)
+        valid = pc.is_valid(a).to_numpy(zero_copy_only=False)
+        return bool(
+            np.array_equal(av[valid], bv[valid])
+            and np.array_equal(np.signbit(av[valid]), np.signbit(bv[valid]))
+        )
+    return a.equals(b)
+
+
+# ------------------------------------------------------------------ bitpack
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 7, 8, 9, 13, 16, 23, 31, 33, 48, 63])
+def test_bitpack_roundtrip(width):
+    rng = np.random.default_rng(width)
+    vals = rng.integers(0, 2 ** min(width, 62), size=1000).astype(np.int64)
+    vals[0] = 2**width - 1 if width < 63 else 2**62
+    blob = pack_bits(vals, width)
+    back = unpack_bits(blob, width, len(vals))
+    assert (back == vals).all()
+
+
+def test_bitpack_zero_width_and_empty():
+    assert pack_bits(np.array([], dtype=np.int64), 5) == b""
+    assert unpack_bits(b"", 0, 3).tolist() == [0, 0, 0]
+
+
+# ------------------------------------------------------------------ ints
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [0, 1, 2, 3, 4, 5],
+        [7, 7, 7, 7],
+        [-5, -4, 100, 2**62, -(2**62)],
+        [2**63 - 1, -(2**63), 0],  # full int64 range → plain fallback
+        [1_700_000_000_000_000 + i * 1000 for i in range(100)],
+        [1],
+        [],
+        [0] * 50 + [1] * 50 + [0] * 50,  # RLE shape
+    ],
+)
+def test_int_codec_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    hdr, blob = encode_ints(v)
+    back = decode_ints(hdr, blob, len(v))
+    assert back.tolist() == v.tolist()
+
+
+def test_int_codec_picks_delta_for_monotone():
+    v = np.cumsum(np.random.default_rng(0).integers(1, 1000, 10_000)).astype(np.int64)
+    hdr, blob = encode_ints(v)
+    assert hdr["c"] == "delta"
+    assert len(blob) < 10_000 * 8 // 4
+
+
+def test_int_codec_picks_rle_for_runs():
+    v = np.repeat(np.arange(50, dtype=np.int64), 200)
+    hdr, blob = encode_ints(v)
+    assert hdr["c"] == "rle"
+    assert len(blob) < 1000
+
+
+# ------------------------------------------------------------------ strings
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        ["a", "b", "a", "a", "b"],
+        ["", "", ""],
+        ["héllo 👋", "世界", "á", "x|y\nz\t"],
+        ["  padded  ", "", " ", "a  b"],
+        ["solo"],
+        [],
+        ["same"] * 100,
+        [f"uniq-{i}" for i in range(100)],
+    ],
+)
+def test_string_column_roundtrip(vals):
+    arr = pa.array(vals, pa.string())
+    assert roundtrip(arr).equals(arr)
+
+
+def test_worddict_lossless_arbitrary_spacing():
+    vals = ["", " ", "  ", "a b", "a  b", " a", "a ", "x " * 500]
+    arr = pa.array(vals, pa.string())
+    hdr, blob = encode_worddict(arr)
+    assert decode_worddict(hdr, blob, len(arr)).equals(arr)
+
+
+def test_fsst_roundtrip():
+    vals = [f"the quick brown fox {i} jumps over the lazy dog" for i in range(500)]
+    arr = pa.array(vals, pa.string())
+    enc = encode_fsst(arr)
+    assert enc is not None
+    hdr, blob = enc
+    assert decode_fsst(hdr, blob, len(arr)).equals(arr)
+    raw = sum(len(v) for v in vals)
+    assert len(blob) < raw  # actually compresses repetitive text
+
+
+def test_fsst_unicode_and_binaryish():
+    vals = ["héllo 👋 世界"] * 50 + ["abc\x01\x02"] * 50
+    arr = pa.array(vals, pa.string())
+    enc = encode_fsst(arr)
+    if enc is not None:
+        hdr, blob = enc
+        assert decode_fsst(hdr, blob, len(arr)).equals(arr)
+
+
+# ------------------------------------------------------------------ columns
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        pa.array([1, 2, None, 4], pa.int32()),
+        pa.array([None, None], pa.int64()),
+        pa.array(["a", None, "", "b"], pa.string()),
+        pa.array([True, False, None], pa.bool_()),
+        pa.array([1.5, float("nan"), None, -0.0], pa.float64()),
+        pa.array([1.5, 2.5], pa.float32()),
+        pa.array([b"\x00\xff", None, b""], pa.binary()),
+        pa.array([1, None, 3], pa.timestamp("us")),
+        pa.array([[1, 2], None, [3]], pa.list_(pa.int64())),  # ipc passthrough
+        pa.array([{"a": 1}, {"a": None}], pa.struct([("a", pa.int64())])),
+    ],
+)
+def test_column_roundtrip_with_nulls(arr):
+    back = roundtrip(arr)
+    assert arrays_equal(back, arr), f"{arr.type}: {back.to_pylist()} != {arr.to_pylist()}"
+
+
+def test_null_vs_empty_string_distinct():
+    arr = pa.array([None, "", "x"], pa.string())
+    back = roundtrip(arr)
+    assert back.to_pylist() == [None, "", "x"]
+    assert back.null_count == 1
+
+
+def test_transcript_columns_roundtrip_and_compress():
+    t = make_transcripts(5_000, seed=7)
+    total = 0
+    for name in t.column_names:
+        arr = t.column(name)
+        hdr, blob = encode_column(arr)
+        total += len(blob)
+        assert decode_column(hdr, blob).equals(arr.combine_chunks()), name
+    assert total < t.nbytes / 3  # beats raw by a wide margin
+
+
+def test_edgecase_table_roundtrip():
+    t = make_edgecase_transcripts()
+    for name in t.column_names:
+        arr = t.column(name)
+        hdr, blob = encode_column(arr)
+        assert decode_column(hdr, blob).equals(arr.combine_chunks()), name
+
+
+def test_timestamp_with_tz_roundtrip():
+    arr = pa.array([1, 2, 3], pa.timestamp("us", tz="UTC"))
+    assert roundtrip(arr).equals(arr)
