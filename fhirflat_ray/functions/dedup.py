@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All are Ray-Data-first:
+
+- exact dedup = vectorized content hash per batch → ``groupby(hash)`` →
+  keep min-id per group (one shuffle on the hash key);
+- MinHash+LSH = per-batch shingling+minhash (numpy matrix ops) → explode to
+  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` → candidate
+  pairs → vectorized Jaccard verification (no driver-side loops);
+- SimHash = per-batch 64-bit simhash; near-dup candidates via identical
+  simhash bucket (Hamming-0 buckets; Hamming-k would re-bucket k rotations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------- exact
+
+
+def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Stable 64-bit content hash (first 16 hex chars of sha1)."""
+    texts = batch[column].to_pylist()
+    hs = [
+        int.from_bytes(hashlib.sha1((t or "").encode()).digest()[:8], "big") >> 1
+        for t in texts
+    ]
+    return batch.append_column("content_hash", pa.array(hs, pa.int64()))
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Keep the min-id representative of every distinct ``column`` value.
+
+    Hash-partition + per-group-first (SURVEY.md §2.7): the shuffle key is the
+    64-bit content hash, never the full text, so the exchange is narrow."""
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    )
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[id_column].idxmin()]]
+
+    return (
+        hashed.groupby("content_hash")
+        .map_groups(first_per_group, batch_format="pandas")
+        .drop_columns(["content_hash"])
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of word k-shingles (int64, sorted unique)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") & (_MERSENNE - 1)
+            for s in shingles
+        ),
+        dtype=np.int64,
+        count=len(shingles),
+    )
+    return np.unique(out)
+
+
+class MinHasher:
+    """Per-batch MinHash signatures (stateful: permutation params built once).
+
+    ``n_hashes`` universal-hash permutations ``(a*x + b) mod p`` evaluated as
+    a numpy matrix per document."""
+
+    def __init__(self, n_hashes: int = 64, k: int = 5, seed: int = 42, column: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+        self.k = k
+        self.column = column
+        self.n_hashes = n_hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k).astype(object)  # object → exact bigint mod
+        if len(sh) == 0:
+            return np.zeros(self.n_hashes, dtype=np.int64)
+        # exact (a*x+b) % p without overflow: python ints via object dtype
+        mins = np.empty(self.n_hashes, dtype=np.int64)
+        for i in range(self.n_hashes):
+            vals = (int(self.a[i]) * sh + int(self.b[i])) % _MERSENNE
+            mins[i] = int(vals.min())
+        return mins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t or "") for t in batch[self.column].to_pylist()]
+        return batch.append_column(
+            "minhash", pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))
+        )
+
+
+def explode_bands(batch: pa.Table, n_bands: int = 16, id_column: str = "doc_id") -> pa.Table:
+    """(band_id, band_hash, doc_id) rows from minhash signatures."""
+    ids = batch[id_column].to_numpy(zero_copy_only=False)
+    sig_list = batch["minhash"].to_pylist()
+    rows_band, rows_hash, rows_id = [], [], []
+    for doc_id, sig in zip(ids, sig_list):
+        sig = np.asarray(sig, dtype=np.int64)
+        r = len(sig) // n_bands
+        for band in range(n_bands):
+            chunk = sig[band * r : (band + 1) * r]
+            h = hashlib.sha1(chunk.tobytes()).digest()[:8]
+            rows_band.append(band)
+            rows_hash.append(int.from_bytes(h, "big") >> 1)
+            rows_id.append(int(doc_id))
+    return pa.table(
+        {
+            "band_id": pa.array(rows_band, pa.int32()),
+            "band_hash": pa.array(rows_hash, pa.int64()),
+            id_column: pa.array(rows_id, pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_candidates(ds, id_column: str = "doc_id", n_hashes: int = 64, n_bands: int = 16, column: str = "text"):
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    shingle→minhash→band→bucket-groupby (one shuffle on (band_id, band_hash));
+    emits one (left, right) row per co-bucketed pair, deduplicated."""
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"n_hashes": n_hashes, "column": column},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    bands = sigs.select_columns([id_column, "minhash"]).map_batches(
+        lambda b: explode_bands(b, n_bands, id_column), batch_format="pyarrow"
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_column].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"left_id": [], "right_id": []}).astype(np.int64)
+        left, right = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"left_id": ids[left], "right_id": ids[right]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+
+    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return cand.groupby(["left_id", "right_id"]).map_groups(dedupe_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------- jaccard
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = set(_shingle_hashes(a, k).tolist()), set(_shingle_hashes(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+class JaccardVerifier:
+    """Verify candidate pairs against true n-gram Jaccard (actor-pool stage).
+
+    Expects rows (left_id, right_id, left_text, right_text)."""
+
+    def __init__(self, k: int = 5, threshold: float = 0.7):
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sims = [
+            ngram_jaccard(l or "", r or "", self.k)
+            for l, r in zip(batch["left_text"].to_pylist(), batch["right_text"].to_pylist())
+        ]
+        out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
+        return out.filter(pc.greater_equal(out["jaccard"], self.threshold))
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash per document (stateful: token hash cache per actor)."""
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+        self.cache: dict[str, int] = {}
+
+    def _token_hash(self, tok: str) -> int:
+        h = self.cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
+            if len(self.cache) < 1_000_000:
+                self.cache[tok] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = self._token_hash(tok)
+            bits = np.frombuffer(
+                np.uint64(h).tobytes(), dtype=np.uint8
+            )
+            bitarr = np.unpackbits(bits, bitorder="little").astype(np.int64)
+            acc += 2 * bitarr - 1
+        out = int(np.packbits((acc > 0).astype(np.uint8), bitorder="little").view("<u8")[0])
+        return out >> 1  # keep in int64 range
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash(t or "") for t in batch[self.column].to_pylist()]
+        return batch.append_column("simhash", pa.array(hs, pa.int64()))
+
+
+def simhash_dedup(ds, id_column: str = "doc_id", column: str = "text"):
+    """Exact-bucket SimHash dedup: keep min id per identical simhash."""
+    hashed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.loc[[g[id_column].idxmin()]]
+
+    return hashed.groupby("simhash").map_groups(first, batch_format="pandas")

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- ``knn_bruteforce``: exact cosine top-k — the query matrix is broadcast once
+  (``ray.put``), each batch does one numpy matmul against it, and per-batch
+  local top-k rows are reduced to global top-k with a single small sort on
+  the driver side of a tiny dataset (k × queries × #batches rows).
+- ``build_ivf`` / ``knn_ivf``: IVF-style scale path — k-means-ish centroids
+  from a sample; each batch probes only the closest ``nprobe`` partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix(batch_col) -> np.ndarray:
+    """(n, d) float32 matrix from a list<float> column, zero-ish copy."""
+    arr = batch_col.combine_chunks() if isinstance(batch_col, pa.ChunkedArray) else batch_col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceScorer:
+    """Actor-pool stage: cosine scores of every row against broadcast queries."""
+
+    def __init__(self, queries_ref: Any, id_column: str = "vec_id", vec_column: str = "embedding", k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.qmat = _normalize(np.asarray(q["vectors"], dtype=np.float32))
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(batch[self.vec_column]))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        sims = mat @ self.qmat.T  # (n, q)
+        k = min(self.k, len(ids))
+        out: dict[str, list] = {"query_id": [], "vec_id": [], "cosine": []}
+        # local top-k per query within this batch (global reduce happens later)
+        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # (k, q)
+        for qi, qid in enumerate(self.query_ids):
+            rows = top[:, qi]
+            out["query_id"].extend([int(qid)] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["cosine"].extend(sims[rows, qi].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+
+def knn_bruteforce(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
+                   id_column: str = "vec_id", vec_column: str = "embedding"):
+    """Exact top-k cosine neighbours for each query; returns a small Dataset
+    of (query_id, vec_id, cosine, rank) with rank 1..k (ties broken by id)."""
+    import ray
+
+    ref = ray.put({"ids": query_ids, "vectors": np.asarray(query_vectors)})
+    scored = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={
+            "queries_ref": ref,
+            "id_column": id_column,
+            "vec_column": vec_column,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def build_ivf_centroids(ds, vec_column: str = "embedding", n_centroids: int = 16,
+                        sample_limit: int = 10_000, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Lloyd iterations on a driver-side sample (the index build is the
+    small side; assignment stays distributed)."""
+    sample = ds.limit(sample_limit).to_pandas()
+    mat = _normalize(np.stack(sample[vec_column].to_numpy()).astype(np.float32))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssigner:
+    """Adds the IVF partition id to every row (broadcast centroids)."""
+
+    def __init__(self, centroids_ref: Any, vec_column: str = "embedding"):
+        import ray
+
+        self.centroids = (
+            ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        )
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_matrix(batch[self.vec_column]))
+        assign = (mat @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(assign, pa.int32()))
+
+
+def knn_ivf(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4,
+            id_column: str = "vec_id", vec_column: str = "embedding"):
+    """IVF-bucketed ANN: probe only the ``nprobe`` closest cells per query.
+
+    Scale path: the filter prunes (1 - nprobe/n_centroids) of the data before
+    the brute-force scorer runs."""
+    import ray
+
+    cent = build_ivf_centroids(ds, vec_column, n_centroids)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_column": vec_column},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    qmat = _normalize(np.asarray(query_vectors, dtype=np.float32))
+    probe_cells = set(
+        int(c) for c in np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe].ravel()
+    )
+    pruned = assigned.filter(
+        expr=f"ivf_cell in {sorted(probe_cells)}"
+    )
+    return knn_bruteforce(pruned, query_ids, query_vectors, k, id_column, vec_column)

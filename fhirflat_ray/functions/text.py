@@ -1,0 +1,132 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+Every function is a vectorized per-batch transform meant for
+``ds.map_batches(..., batch_format="pyarrow")``; the stateful variants
+(compiled regexes, stopword tables) are callable classes for actor pools.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------- token count
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Whitespace token count per document (vectorized split + list length)."""
+    toks = pc.count_substring_regex(batch[column], r"\S+")
+    return batch.append_column("n_tokens", pc.cast(toks, pa.int64()))
+
+
+class BpeishTokenCounter:
+    """Token counting with a BPE-ish word/punct regex, compiled once per actor."""
+
+    PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[self.column], self.PATTERN)
+        return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+# ------------------------------------------------------------- quality
+
+
+def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Length / punctuation / alpha-ratio quality features, all Arrow kernels."""
+    text = batch[column]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.int64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    out = batch.append_column("n_chars_text", n_chars)
+    out = out.append_column("n_tokens", n_tokens)
+    out = out.append_column(
+        "punct_ratio", pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(safe_chars, pa.float64()))
+    )
+    out = out.append_column(
+        "alpha_ratio", pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(safe_chars, pa.float64()))
+    )
+    return out
+
+
+# ------------------------------------------------------------- language id
+
+
+class LangId:
+    """Stopword/character n-gram heuristic language ID (actor-pool stage).
+
+    Tables are built once per actor. Deterministic and dependency-free; a
+    production deployment would swap in fasttext behind the same interface.
+    """
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"},
+        "fr": {"le", "la", "et", "les", "des", "un", "une", "est", "dans", "que"},
+        "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "no"},
+    }
+
+    def __init__(self, column: str = "text"):
+        self.column = column
+        self.langs = sorted(self.STOPWORDS)
+        self.tables = [self.STOPWORDS[lang] for lang in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scores = []
+        lowered = pc.utf8_lower(batch[self.column])
+        for table in self.tables:
+            pattern = r"\b(?:" + "|".join(sorted(table)) + r")\b"
+            scores.append(
+                pc.count_substring_regex(lowered, pattern).to_numpy(zero_copy_only=False)
+            )
+        mat = np.stack(scores, axis=1)  # (n, n_langs)
+        best = mat.argmax(axis=1)
+        hit = mat.max(axis=1) > 0
+        langs = np.array(self.langs, dtype=object)[best]
+        langs[~hit] = "und"
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+# ------------------------------------------------------------- fingerprint
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Deterministic document fingerprint (md5 hex of utf-8 text).
+
+    md5 is chosen so the oracle is SQL-expressible (DuckDB ``md5()``)."""
+    texts = batch[column].combine_chunks()
+    fps = [hashlib.md5(t.encode()).hexdigest() if t is not None else None for t in texts.to_pylist()]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def rolling_hash_batch(batch: pa.Table, column: str = "text", window: int = 16) -> pa.Table:
+    """Winnowing-style rolling-hash fingerprint: min of window hashes per doc.
+
+    Vectorized per batch via numpy over byte views."""
+    out = []
+    for t in batch[column].to_pylist():
+        if t is None:
+            out.append(None)
+            continue
+        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+        if len(b) < window:
+            out.append(int(b.sum()) if len(b) else 0)
+            continue
+        # polynomial rolling hash over sliding windows, vectorized
+        weights = np.power(31, np.arange(window, dtype=np.int64), dtype=np.int64)
+        n_win = len(b) - window + 1
+        idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
+        with np.errstate(over="ignore"):
+            hashes = (b[idx] * weights[None, :]).sum(axis=1)
+        out.append(int(hashes.min()))
+    return batch.append_column("rolling_fp", pa.array(out, pa.int64()))

@@ -1,0 +1,267 @@
+"""The encode pipeline: parquet fragments → encoded segments + lineage.
+
+Ray-Data-first design:
+
+- the *unit of parallelism* is an input fragment chunk (file × row-group
+  range), planned deterministically up front so partition ids are stable
+  across runs — that is what makes resume and idempotent retries possible
+  (content lands at ``part-<id>.seg`` via write-temp-then-rename);
+- the fragment work-list is itself a ``ray.data.Dataset``; encoding runs as
+  an actor-pool ``map_batches`` stage (``EncodePartition``) whose actors hold
+  the codec registry and broadcast shared dictionaries once per worker
+  (the reference's per-process mapping-table/class-cache state,
+  /root/reference/fhirflat/ingest.py:358-366 and
+  /root/reference/fhirflat/resources/extension_validators.py:81-87, done the
+  Ray way: ``ray.put`` once, ``ray.get`` in ``__init__``);
+- rows are sorted per partition by ``(conv_id, turn_idx)`` before encoding to
+  maximize run lengths (SURVEY.md §2.6) — no global sort is needed because
+  the round-trip invariant only requires stable order under that key;
+- at 100 TB the work-list is millions of small rows streaming through the
+  actor pool with backpressure; no stage materializes the data itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fhirflat_ray.schema import ORDER_KEY
+from fhirflat_ray.state import lineage as lin
+from fhirflat_ray.state import segments as seg
+from fhirflat_ray.codecs.strings import vocab_hash
+
+DEFAULT_TARGET_ROWS = 512 * 1024
+SHARED_DICT_MAX_CARD = 4096
+
+
+def plan_partitions(
+    input_paths: list[str], target_rows: int = DEFAULT_TARGET_ROWS
+) -> list[dict[str, Any]]:
+    """Deterministic fragment plan: one item per (file, row-group span).
+
+    Row groups are grouped greedily up to ``target_rows`` rows per partition;
+    a conversation larger than a partition simply spans partitions (symbol
+    tables and dictionaries are partition-scoped, so skewed conversations
+    cannot pin state — SURVEY.md §7 "Hard parts").
+    """
+    items: list[dict[str, Any]] = []
+    part_id = 0
+    for path in sorted(input_paths):
+        md = pq.ParquetFile(path).metadata
+        groups: list[int] = []
+        rows = 0
+        row_start = 0
+        row_cursor = 0
+        for rg in range(md.num_row_groups):
+            nr = md.row_group(rg).num_rows
+            if groups and rows + nr > target_rows:
+                items.append(
+                    {
+                        "part_id": part_id,
+                        "path": path,
+                        "row_groups": groups,
+                        "row_start": row_start,
+                        "row_end": row_cursor,
+                    }
+                )
+                part_id += 1
+                groups, rows, row_start = [], 0, row_cursor
+            groups.append(rg)
+            rows += nr
+            row_cursor += nr
+        if groups:
+            items.append(
+                {
+                    "part_id": part_id,
+                    "path": path,
+                    "row_groups": groups,
+                    "row_start": row_start,
+                    "row_end": row_cursor,
+                }
+            )
+            part_id += 1
+    return items
+
+
+def build_shared_dicts(
+    input_paths: list[str],
+    columns: list[str],
+    out_dir: str,
+    max_card: int = SHARED_DICT_MAX_CARD,
+) -> dict[str, tuple[str, pa.Array]]:
+    """Union per-fragment vocabularies of low-cardinality columns.
+
+    Partial-aggregate pattern (SURVEY.md §2.5 A5): each batch emits its tiny
+    distinct set; the driver merges (the reduce side is bounded by
+    ``max_card`` per column, so no shuffle is needed). Columns that overflow
+    the cap keep per-partition dictionaries instead.
+    """
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    if not columns:
+        return {}
+
+    def distinct_batch(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name in batch.column_names:
+            uniq = pc.unique(batch.column(name).combine_chunks())
+            # cap overflow marker: emit max_card+1 values so driver sees it
+            uniq = uniq.slice(0, max_card + 1)
+            cols.extend([name] * len(uniq))
+            vals.extend(uniq.to_pylist())
+        return pa.table({"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())})
+
+    ds = rd.read_parquet(input_paths, columns=columns)
+    partials = ds.map_batches(distinct_batch, batch_format="pyarrow").take_all()
+
+    merged: dict[str, set] = {c: set() for c in columns}
+    for row in partials:
+        merged[row["col"]].add(row["val"])
+
+    out: dict[str, tuple[str, pa.Array]] = {}
+    for name, values in merged.items():
+        if not values or len(values) > max_card:
+            continue
+        vocab = pa.array(sorted(v for v in values if v is not None), pa.string())
+        h = vocab_hash(vocab)
+        lin.write_shared_dict(out_dir, h, vocab)
+        out[name] = (h, vocab)
+    return out
+
+
+class EncodePartition:
+    """Actor-pool stage: reads one fragment chunk, sorts, encodes, writes.
+
+    Stateful setup (shared dictionaries fetched from the object store, sort
+    key resolution) happens once per actor in ``__init__``; each ``__call__``
+    handles a batch of work items and returns their lineage records.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        sort_keys: tuple[str, ...] | None = ORDER_KEY,
+        shared_ref: Any = None,
+        columns: list[str] | None = None,
+    ):
+        import ray
+
+        self.out_dir = out_dir
+        self.sort_keys = sort_keys
+        self.columns = columns
+        self.shared: dict[str, tuple[str, pa.Array]] = (
+            ray.get(shared_ref) if shared_ref is not None else {}
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        records = []
+        for item in batch.to_pylist():
+            records.append(self._encode_one(item))
+        return pa.Table.from_pylist(records)
+
+    def _encode_one(self, item: dict[str, Any]) -> dict[str, Any]:
+        pf = pq.ParquetFile(item["path"])
+        table = pf.read_row_groups(item["row_groups"], columns=self.columns)
+        if self.sort_keys:
+            keys = [k for k in self.sort_keys if k in table.column_names]
+            if keys:
+                table = table.sort_by([(k, "ascending") for k in keys])
+        header, payload = seg.encode_table(table, self.shared)
+        record = lin.lineage_record(
+            part_id=item["part_id"],
+            input_fragment=f"{item['path']}#rg{item['row_groups'][0]}-{item['row_groups'][-1]}",
+            row_range=(item["row_start"], item["row_end"]),
+            n_rows=table.num_rows,
+            raw_bytes=table.nbytes,
+            encoded_bytes=len(payload),
+            columns=header["columns"],
+            payload_sha256=seg.sha256_hex(payload),
+        )
+        seg.write_segment(lin.segment_path(self.out_dir, item["part_id"]), header, payload, record)
+        return {
+            "part_id": record["part_id"],
+            "n_rows": record["n_rows"],
+            "raw_bytes": record["raw_bytes"],
+            "encoded_bytes": record["encoded_bytes"],
+        }
+
+
+def encode_files(
+    input_paths: list[str] | str,
+    out_dir: str,
+    *,
+    resume: bool = False,
+    sort_keys: tuple[str, ...] | None = ORDER_KEY,
+    shared_dict_columns: list[str] | None = None,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    concurrency: int | tuple[int, int] | None = None,
+    columns: list[str] | None = None,
+) -> dict[str, Any]:
+    """Run the encode job; returns the manifest.
+
+    ``resume=True`` consults existing durable segments and skips their
+    partitions (FIXTURES.md F5 semantics).
+    """
+    import ray
+    import ray.data as rd
+
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            input_paths = sorted(
+                os.path.join(input_paths, f)
+                for f in os.listdir(input_paths)
+                if f.endswith(".parquet")
+            )
+        else:
+            input_paths = [input_paths]
+
+    os.makedirs(out_dir, exist_ok=True)
+    items = plan_partitions(input_paths, target_rows)
+
+    done = lin.completed_part_ids(out_dir) if resume else set()
+    todo = [it for it in items if it["part_id"] not in done]
+
+    shared = (
+        build_shared_dicts(input_paths, shared_dict_columns, out_dir)
+        if shared_dict_columns
+        else {}
+    )
+    shared_ref = ray.put(shared) if shared else None
+
+    if todo:
+        work = rd.from_items(todo)
+        if concurrency is None:
+            concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
+        result = work.map_batches(
+            EncodePartition,
+            fn_constructor_kwargs={
+                "out_dir": out_dir,
+                "sort_keys": sort_keys,
+                "shared_ref": shared_ref,
+                "columns": columns,
+            },
+            batch_size=1,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        # the reduce side is one tiny row per partition — safe to collect
+        result.take_all()
+
+    records = lin.collect_lineage(out_dir)
+    manifest = lin.write_manifest(
+        out_dir,
+        records,
+        extra={
+            "input_paths": list(input_paths),
+            "sort_keys": list(sort_keys) if sort_keys else None,
+            "shared_dicts": {k: v[0] for k, v in shared.items()},
+            "resumed": bool(resume and done),
+            "skipped_partitions": sorted(done),
+        },
+    )
+    return manifest

@@ -1,0 +1,108 @@
+"""Round-trip verification + valid/error row routing.
+
+``verify_roundtrip`` proves decoded == source without materializing either
+side: each batch contributes an order-insensitive multiset fingerprint (sum of
+per-row hashes mod 2**64 + row count + per-column null counts); the driver
+compares two O(1) summaries. This is the scalable form of the reference's
+flat-parquet round-trip assertions
+(/root/reference/tests/test_encounter_resource.py:359-379) — per-turn ``text``
+equality under stable ``(conv_id, turn_idx)`` ordering is implied because the
+hash covers the ordering key and text together per row.
+
+``validate_transcripts`` is the valid/error split
+(/root/reference/fhirflat/resources/base.py:89-149): rows that violate the
+transcript contract (null key fields, negative turn_idx, duplicate
+``(conv_id, turn_idx)``) are routed to an errors dataset instead of failing
+the job.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MASK64 = (1 << 64) - 1
+
+
+def _batch_fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
+    return pd.DataFrame(
+        {
+            "hash_sum": [int(h.astype(np.uint64).sum(dtype=np.uint64))],
+            "n": [len(batch)],
+        }
+    )
+
+
+def dataset_fingerprint(ds, columns: list[str] | None = None) -> dict[str, int]:
+    """Order-insensitive multiset fingerprint of a Dataset (O(1) result)."""
+    if columns:
+        ds = ds.select_columns(columns)
+    parts = ds.map_batches(_batch_fingerprint, batch_format="pandas").take_all()
+    total_h = 0
+    total_n = 0
+    for p in parts:
+        total_h = (total_h + int(p["hash_sum"])) & MASK64
+        total_n += int(p["n"])
+    return {"hash_sum": total_h, "n": total_n}
+
+
+def verify_roundtrip(source_ds, decoded_ds, columns: list[str] | None = None) -> dict[str, Any]:
+    """Compare two datasets as multisets of rows; returns a verdict dict."""
+    a = dataset_fingerprint(source_ds, columns)
+    b = dataset_fingerprint(decoded_ds, columns)
+    return {
+        "equal": a == b,
+        "source": a,
+        "decoded": b,
+    }
+
+
+# ------------------------------------------------------------ error routing
+
+
+def _mark_errors(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-conversation validation (runs inside groupby(conv_id))."""
+    err = np.full(len(group), "", dtype=object)
+    if "turn_idx" in group:
+        tidx = group["turn_idx"]
+        err[tidx.isna().to_numpy()] = "null turn_idx"
+        err[(tidx.fillna(0) < 0).to_numpy()] = "negative turn_idx"
+        dup = group.duplicated(subset=["turn_idx"], keep="first").to_numpy()
+        err[dup & (err == "")] = "duplicate (conv_id, turn_idx)"
+    group = group.copy()
+    group["_error"] = err
+    return group
+
+
+def validate_transcripts(ds):
+    """Mark invalid rows; returns a Dataset with an ``_error`` column.
+
+    Shuffles by ``conv_id`` only (duplicate detection is conversation-local).
+    Rows with a null conv_id can't be grouped — they are marked in a
+    stateless pre-pass.
+    """
+    import pyarrow.compute as pc
+
+    def null_conv(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["conv_id"])
+        err = pc.if_else(mask, pa.scalar("null conv_id"), pa.scalar(""))
+        if "_error" in batch.column_names:
+            batch = batch.drop_columns(["_error"])
+        return batch.append_column("_error", err)
+
+    marked = ds.map_batches(null_conv, batch_format="pyarrow")
+    good = marked.filter(expr="_error == ''")
+    bad = marked.filter(expr="_error != ''")
+    validated = good.groupby("conv_id").map_groups(_mark_errors, batch_format="pandas")
+    return validated.union(bad)
+
+
+def split_valid(marked_ds):
+    """(valid_ds, errors_ds) from a dataset with an ``_error`` column."""
+    valid = marked_ds.filter(expr="_error == ''").drop_columns(["_error"])
+    errors = marked_ds.filter(expr="_error != ''")
+    return valid, errors

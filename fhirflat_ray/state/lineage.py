@@ -1,0 +1,179 @@
+"""Per-partition lineage records, manifest, and resume logic.
+
+Each encoded partition writes one lineage record *atomically with its
+segment* (embedded in the segment header) and the driver folds all records
+into ``manifest.json`` — the engine analogue of the reference's
+``generate_metadata``/``write_metadata`` checksum folder
+(/root/reference/fhirflat/ingest.py:381-432), except written per-partition so
+an interrupted job resumes by skipping fragments already present.
+
+Shared dictionaries are stored in ``dicts/<hash>.arrow`` next to the
+segments; the manifest lists their hashes so decode can load them once per
+worker.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+from typing import Any
+
+import pyarrow as pa
+
+MANIFEST_NAME = "manifest.json"
+DICT_DIR = "dicts"
+
+
+def lineage_record(
+    part_id: int,
+    input_fragment: str,
+    row_range: tuple[int, int],
+    n_rows: int,
+    raw_bytes: int,
+    encoded_bytes: int,
+    columns: list[dict[str, Any]],
+    payload_sha256: str,
+) -> dict[str, Any]:
+    """One record per encoded partition (codec choice, sizes, checksums)."""
+    return {
+        "part_id": part_id,
+        "input_fragment": input_fragment,
+        "row_range": list(row_range),
+        "n_rows": n_rows,
+        "raw_bytes": raw_bytes,
+        "encoded_bytes": encoded_bytes,
+        "codecs": {
+            c["name"]: _codec_label(c["hdr"]) for c in columns
+        },
+        "column_sha256": {c["name"]: c["sha256"] for c in columns},
+        "payload_sha256": payload_sha256,
+    }
+
+
+def _codec_label(hdr: dict[str, Any]) -> str:
+    inner = hdr.get("h")
+    if isinstance(inner, dict) and "c" in inner:
+        return str(inner["c"])
+    return str(hdr.get("c"))
+
+
+def segment_path(out_dir: str, part_id: int) -> str:
+    return os.path.join(out_dir, f"part-{part_id:06d}.seg")
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def write_manifest(out_dir: str, records: list[dict[str, Any]], extra: dict[str, Any] | None = None) -> dict[str, Any]:
+    """Deterministic reduce of per-partition records → manifest.json.
+
+    The manifest checksum-of-checksums mirrors the reference's
+    ``checksum of checksums`` (/root/reference/fhirflat/ingest.py:407-419):
+    records sorted by part_id, concatenated payload digests re-hashed.
+    """
+    import hashlib
+
+    records = sorted(records, key=lambda r: r["part_id"])
+    combined = hashlib.sha256(
+        "".join(r["payload_sha256"] for r in records).encode()
+    ).hexdigest()
+    manifest = {
+        "version": 1,
+        "n_partitions": len(records),
+        "n_rows": sum(r["n_rows"] for r in records),
+        "raw_bytes": sum(r["raw_bytes"] for r in records),
+        "encoded_bytes": sum(r["encoded_bytes"] for r in records),
+        "checksum_of_checksums": combined,
+        "partitions": records,
+    }
+    if extra:
+        manifest.update(extra)
+    _atomic_write_json(os.path.join(out_dir, MANIFEST_NAME), manifest)
+    return manifest
+
+
+def read_manifest(out_dir: str) -> dict[str, Any] | None:
+    path = os.path.join(out_dir, MANIFEST_NAME)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def completed_part_ids(out_dir: str) -> set[int]:
+    """Partitions whose segments are already durably on disk.
+
+    Trusts only fully-written segments (atomic rename guarantees integrity);
+    the manifest is advisory — segments written after the last manifest fold
+    still count, so a crash between segment write and manifest write never
+    re-encodes work.
+    """
+    from fhirflat_ray.state.segments import read_segment_header
+
+    done: set[int] = set()
+    for path in glob.glob(os.path.join(out_dir, "part-*.seg")):
+        try:
+            hdr, _ = read_segment_header(path)
+        except (ValueError, json.JSONDecodeError, OSError):
+            continue
+        lin = hdr.get("lineage")
+        if lin is not None:
+            done.add(int(lin["part_id"]))
+    return done
+
+
+def collect_lineage(out_dir: str) -> list[dict[str, Any]]:
+    """Re-fold lineage records from the segment files themselves."""
+    from fhirflat_ray.state.segments import read_segment_header
+
+    records = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "part-*.seg"))):
+        hdr, _ = read_segment_header(path)
+        if "lineage" in hdr:
+            records.append(hdr["lineage"])
+    return records
+
+
+# ----------------------------------------------------------- shared dicts
+
+
+def write_shared_dict(out_dir: str, vocab_hash: str, vocab: pa.Array) -> str:
+    d = os.path.join(out_dir, DICT_DIR)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{vocab_hash}.arrow")
+    if os.path.exists(path):
+        return path
+    table = pa.table({"v": vocab})
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    os.close(fd)
+    try:
+        with pa.OSFile(tmp, "wb") as sink, pa.ipc.new_file(sink, table.schema) as w:
+            w.write_table(table)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+def load_dict_store(out_dir: str) -> dict[str, pa.Array]:
+    store: dict[str, pa.Array] = {}
+    for path in glob.glob(os.path.join(out_dir, DICT_DIR, "*.arrow")):
+        h = os.path.splitext(os.path.basename(path))[0]
+        with pa.OSFile(path, "rb") as f, pa.ipc.open_file(f) as r:
+            store[h] = r.read_all().column("v").combine_chunks()
+    return store

@@ -1,0 +1,154 @@
+"""Encoded segment file format + atomic writes.
+
+One segment = one encoded partition of the input table:
+
+    MAGIC(8) | header_len:uint32 LE | header JSON (utf-8) | column blobs
+
+The header carries per-column codec trees, byte offsets, SHA-256 checksums and
+the partition's lineage record — the engine analogue of the reference's
+per-file checksum + TOML metadata (/root/reference/fhirflat/ingest.py:381-432).
+Writes are write-to-temp + ``os.replace`` so a retried Ray task is idempotent
+and a partially-written file is never observed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Any
+
+import pyarrow as pa
+
+from fhirflat_ray.codecs import decode_column, encode_column
+
+MAGIC = b"FFRAYSEG"
+VERSION = 1
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def encode_table(
+    table: pa.Table,
+    shared_dicts: dict[str, tuple[str, pa.Array]] | None = None,
+) -> tuple[dict[str, Any], bytes]:
+    """Encode every column; returns (header dict, payload bytes).
+
+    ``shared_dicts`` maps column name → (vocab_hash, vocab array) for columns
+    whose dictionary is stored once in the manifest instead of per segment.
+    """
+    columns = []
+    blobs = []
+    off = 0
+    for name in table.column_names:
+        arr = table.column(name)
+        sv = shared_dicts.get(name) if shared_dicts else None
+        hdr, blob = encode_column(
+            arr, shared_vocab=sv[1] if sv else None, shared_hash=sv[0] if sv else None
+        )
+        columns.append(
+            {
+                "name": name,
+                "hdr": hdr,
+                "off": off,
+                "len": len(blob),
+                "sha256": sha256_hex(blob),
+                "nullable": table.schema.field(name).nullable,
+            }
+        )
+        blobs.append(blob)
+        off += len(blob)
+    header = {
+        "version": VERSION,
+        "n_rows": table.num_rows,
+        "columns": columns,
+    }
+    return header, b"".join(blobs)
+
+
+def decode_payload(
+    header: dict[str, Any],
+    payload: bytes,
+    dict_store: dict[str, pa.Array] | None = None,
+    columns: list[str] | None = None,
+    verify_checksums: bool = False,
+) -> pa.Table:
+    """Rebuild the Arrow table from a segment header + payload.
+
+    ``columns`` prunes decode to the named columns (column-store projection:
+    untouched column blobs are never even sliced).
+    """
+    arrays: list[pa.Array] = []
+    fields: list[pa.Field] = []
+    for col in header["columns"]:
+        if columns is not None and col["name"] not in columns:
+            continue
+        blob = payload[col["off"] : col["off"] + col["len"]]
+        if verify_checksums and sha256_hex(blob) != col["sha256"]:
+            raise ValueError(f"checksum mismatch for column {col['name']!r}")
+        arr = decode_column(col["hdr"], blob, dict_store)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arrays.append(arr)
+        fields.append(pa.field(col["name"], arr.type, nullable=col.get("nullable", True)))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def write_segment(
+    path: str, header: dict[str, Any], payload: bytes, lineage: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """Atomically write a segment; returns the final header (incl. lineage)."""
+    if lineage is not None:
+        header = {**header, "lineage": lineage}
+    hdr_bytes = json.dumps(header, separators=(",", ":")).encode()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(MAGIC)
+            f.write(len(hdr_bytes).to_bytes(4, "little"))
+            f.write(hdr_bytes)
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return header
+
+
+def read_segment_header(blob_or_path: bytes | str) -> tuple[dict[str, Any], int]:
+    """Parse header; returns (header, payload offset)."""
+    if isinstance(blob_or_path, str):
+        with open(blob_or_path, "rb") as f:
+            head = f.read(12)
+            if head[:8] != MAGIC:
+                raise ValueError(f"not a segment file: {blob_or_path!r}")
+            hlen = int.from_bytes(head[8:12], "little")
+            hdr = json.loads(f.read(hlen))
+        return hdr, 12 + hlen
+    blob = blob_or_path
+    if blob[:8] != MAGIC:
+        raise ValueError("not a segment blob")
+    hlen = int.from_bytes(blob[8:12], "little")
+    return json.loads(blob[12 : 12 + hlen]), 12 + hlen
+
+
+def read_segment(
+    blob_or_path: bytes | str,
+    dict_store: dict[str, pa.Array] | None = None,
+    columns: list[str] | None = None,
+    verify_checksums: bool = False,
+) -> pa.Table:
+    if isinstance(blob_or_path, str):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = blob_or_path
+    hdr, off = read_segment_header(blob)
+    return decode_payload(hdr, blob[off:], dict_store, columns, verify_checksums)

@@ -1,0 +1,155 @@
+"""End-to-end encode→decode→verify pipeline tests + resume semantics.
+
+Mirrors the reference's end-to-end ingestion tests against golden outputs and
+pinned metadata checksums (/root/reference/tests/test_ingest.py:1001-1060)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fhirflat_ray import fixtures
+from fhirflat_ray.pipelines import decode as dec
+from fhirflat_ray.pipelines import encode as enc
+from fhirflat_ray.pipelines import verify as ver
+from fhirflat_ray.state import lineage as lin
+from fhirflat_ray.state import segments as seg
+
+
+@pytest.fixture(scope="module")
+def frag_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("frags"))
+    fixtures.write_transcript_fragments(d, rows=20_000, n_fragments=8, seed=42)
+    return d
+
+
+def sorted_table(t: pa.Table) -> pa.Table:
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+# ----------------------------------------------------------- segment layer
+
+
+def test_segment_roundtrip_and_checksums(tmp_path):
+    t = fixtures.make_transcripts(2_000, seed=1)
+    header, payload = seg.encode_table(t)
+    path = str(tmp_path / "part-000000.seg")
+    seg.write_segment(path, header, payload, {"part_id": 0})
+    back = seg.read_segment(path, verify_checksums=True)
+    assert back.equals(t)
+
+
+def test_segment_column_pruning(tmp_path):
+    t = fixtures.make_transcripts(500, seed=2)
+    header, payload = seg.encode_table(t)
+    path = str(tmp_path / "part-000000.seg")
+    seg.write_segment(path, header, payload, {"part_id": 0})
+    pruned = seg.read_segment(path, columns=["conv_id", "text"])
+    assert pruned.column_names == ["conv_id", "text"]
+    assert pruned.column("text").combine_chunks().equals(t.column("text").combine_chunks())
+
+
+def test_segment_corruption_detected(tmp_path):
+    t = fixtures.make_transcripts(100, seed=3)
+    header, payload = seg.encode_table(t)
+    path = str(tmp_path / "part-000000.seg")
+    seg.write_segment(path, header, payload, {"part_id": 0})
+    blob = bytearray(open(path, "rb").read())
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum"):
+        seg.read_segment(bytes(blob), verify_checksums=True)
+
+
+# ----------------------------------------------------------- full pipeline
+
+
+def test_encode_decode_roundtrip(ray_session, frag_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    manifest = enc.encode_files(
+        frag_dir, out, target_rows=4_000, shared_dict_columns=["role", "tool"]
+    )
+    assert manifest["n_rows"] == 20_000
+    assert manifest["n_partitions"] >= 5
+    assert manifest["encoded_bytes"] < manifest["raw_bytes"] / 3
+    assert set(manifest["shared_dicts"]) == {"role", "tool"}
+
+    batches = list(
+        dec.decode_dataset(out).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    src = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(os.path.join(frag_dir, "*.parquet")))
+    )
+    got = sorted_table(pa.concat_tables(batches).select(src.column_names))
+    assert got.combine_chunks().equals(sorted_table(src).combine_chunks())
+
+
+def test_distributed_verify(ray_session, frag_dir, tmp_path):
+    import ray.data as rd
+
+    out = str(tmp_path / "enc")
+    enc.encode_files(frag_dir, out, target_rows=8_000)
+    src_ds = rd.read_parquet(frag_dir)
+    verdict = ver.verify_roundtrip(src_ds, dec.decode_dataset(out))
+    assert verdict["equal"], verdict
+    # negative control: drop a row → fingerprints must differ
+    trunc = dec.decode_dataset(out).limit(19_999)
+    verdict2 = ver.verify_roundtrip(src_ds, trunc)
+    assert not verdict2["equal"]
+
+
+def test_resume_skips_completed_and_is_deterministic(ray_session, frag_dir, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    full = enc.encode_files(frag_dir, out_a, target_rows=4_000)
+
+    # simulate a crash: encode only some partitions, delete the rest
+    enc.encode_files(frag_dir, out_b, target_rows=4_000)
+    for p in dec.segment_paths(out_b)[2:]:
+        os.unlink(p)
+    os.unlink(os.path.join(out_b, "manifest.json"))
+    kept = lin.completed_part_ids(out_b)
+    assert len(kept) == 2
+
+    resumed = enc.encode_files(frag_dir, out_b, target_rows=4_000, resume=True)
+    assert resumed["resumed"] is True
+    assert sorted(resumed["skipped_partitions"]) == sorted(kept)
+    # byte-identical outcome vs the uninterrupted run (pinned-checksum analogue)
+    assert resumed["checksum_of_checksums"] == full["checksum_of_checksums"]
+    assert resumed["n_rows"] == full["n_rows"]
+
+
+def test_manifest_lineage_fields(ray_session, frag_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    manifest = enc.encode_files(frag_dir, out, target_rows=8_000)
+    rec = manifest["partitions"][0]
+    for key in ("part_id", "input_fragment", "codecs", "payload_sha256", "row_range"):
+        assert key in rec
+    assert rec["codecs"]["ts"] in {"delta", "for", "rle", "plain"}
+    with open(os.path.join(out, "manifest.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["checksum_of_checksums"] == manifest["checksum_of_checksums"]
+
+
+# ----------------------------------------------------------- error routing
+
+
+def test_validate_transcripts_routes_errors(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "a", None, "b"],
+            "turn_idx": pa.array([0, 1, 1, 2, -1], pa.int32()),
+            "text": ["w", "x", "y", "z", "q"],
+        }
+    )
+    marked = ver.validate_transcripts(rd.from_arrow(t))
+    valid, errors = ver.split_valid(marked)
+    verrs = sorted(r["_error"] for r in errors.take_all())
+    assert verrs == ["duplicate (conv_id, turn_idx)", "negative turn_idx", "null conv_id"]
+    assert valid.count() == 2
