@@ -1,0 +1,170 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: the flagship transcript encode→decode round trip (the north-rule
+workload) on a deterministic synthetic transcript table cached under /tmp.
+Also times a set of representative queries over ``$GRAFT_SF_DIR`` tables.
+
+    python bench.py              # ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)
+    python bench.py --scaling    # fresh processes at 8 and 32 CPUs → efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("RAY_GRAFT_BENCH_ROWS", "1000000"))
+SEED = 42
+
+BENCH_QUERIES = [
+    "q1_lineitem",
+    "events_condense",
+    "token_count",
+    "dedup_exact",
+    "knn_bruteforce",
+    "transcript_build",
+]
+
+
+def _transcript_fragments(rows: int) -> str:
+    """Deterministic cached fragment dir (8 fragments) for the bench table."""
+    import pyarrow.parquet as pq
+
+    cache = f"/tmp/fhirflat_ray_bench/transcripts_r{rows}_s{SEED}"
+    marker = os.path.join(cache, "_complete")
+    if not os.path.exists(marker):
+        from fhirflat_ray.fixtures import write_transcript_fragments
+
+        shutil.rmtree(cache, ignore_errors=True)
+        write_transcript_fragments(cache, rows=rows, n_fragments=8, seed=SEED)
+        open(marker, "w").close()
+    return cache
+
+
+def _parquet_snappy_bytes(frag_dir: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines import queries as q
+
+    frag_dir = _transcript_fragments(BENCH_ROWS)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(frag_dir):
+        if f.endswith(".parquet"):
+            with open(os.path.join(frag_dir, f), "rb") as fh:
+                fh.read()
+
+    seg_dir = f"/tmp/fhirflat_ray_bench/enc_r{BENCH_ROWS}_c{NUM_CPUS}"
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
+    t0 = time.time()
+    manifest = enc.encode_files(
+        frag_dir, seg_dir, shared_dict_columns=["role", "tool"], target_rows=128 * 1024
+    )
+    t_encode = time.time() - t0
+
+    t0 = time.time()
+    n_decoded = dec.decode_dataset(seg_dir).count()
+    t_decode = time.time() - t0
+    assert n_decoded == manifest["n_rows"], (n_decoded, manifest["n_rows"])
+
+    raw = manifest["raw_bytes"]
+    encoded = manifest["encoded_bytes"]
+    snappy = _parquet_snappy_bytes(frag_dir)
+
+    query_secs: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = q.QUERIES[name]
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        query_secs[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "transcript_encode_decode_sec",
+        "value": round(t_encode + t_decode, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "encode_sec": round(t_encode, 3),
+        "decode_sec": round(t_decode, 3),
+        "encode_rows_per_sec": round(BENCH_ROWS / t_encode),
+        "encode_mb_per_sec": round(raw / t_encode / 1e6, 1),
+        "raw_bytes": raw,
+        "encoded_bytes": encoded,
+        "parquet_snappy_bytes": snappy,
+        "compression_vs_raw": round(raw / encoded, 2),
+        "encoded_vs_snappy": round(encoded / snappy, 3),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["encode_sec"], r_hi["encode_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "encode_sec_lo": t_lo,
+        "encode_sec_hi": t_hi,
+        "rows_per_sec_lo": r_lo["encode_rows_per_sec"],
+        "rows_per_sec_hi": r_hi["encode_rows_per_sec"],
+        "mb_per_sec_lo": r_lo["encode_mb_per_sec"],
+        "mb_per_sec_hi": r_hi["encode_mb_per_sec"],
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,659 @@
+"""Named pipelines for the driver's correctness gate (``__ray_entry__``).
+
+Every function takes ``sf_dir`` (a directory of the driver's parquet tables)
+and returns a Dataset / DataFrame / Arrow table. Each has a matching ANSI-SQL
+oracle in ``ORACLE_SQL`` (same column names!) unless the operation is not
+SQL-expressible, in which case the driver records a rows-only check.
+
+The set covers SURVEY.md §2 line by line: sources (S2/S5), per-batch maps and
+normalizers (M4/M6/M17/M18/M21/M23/M24), lookups (J1/J4), aggregations
+(A1-A5), sort/limit (§2.6), dedup (§2.7), scalar functions (§2.8), plus the
+training-data operators (dedup family, similarity search, text analysis) and
+the flagship transcript encode→decode round trip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# =====================================================================
+# Transcript engine (flagship)
+# =====================================================================
+
+
+def transcript_build(sf_dir: str):
+    """Derive a transcript-shaped table from ``events``.
+
+    conv_id = 'conv-' || user_id; turn_idx = dense order of (ts, event_id)
+    within the conversation (row_number analogue via groupby + per-group
+    sort — the implode/stable-index pattern, SURVEY.md §2.5 A1).
+    """
+    ds = _read(sf_dir, "events")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "conv_id": "conv-" + g["user_id"].astype(str),
+                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "role": np.where(
+                    g["event_type"].isin(["click", "view"]), "user", "assistant"
+                ),
+                "text": g["props"].astype(str),
+                "tool": g["event_type"].astype(str),
+                "ts": g["ts"],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+TRANSCRIPT_BUILD_SQL = """
+SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       CASE WHEN event_type IN ('click','view') THEN 'user' ELSE 'assistant' END AS role,
+       CAST(props AS VARCHAR) AS text,
+       CAST(event_type AS VARCHAR) AS tool,
+       ts
+FROM events
+"""
+
+
+def transcript_roundtrip(sf_dir: str):
+    """Flagship: build transcripts → encode to segments → decode → return.
+
+    Decode must be bit-identical to the built table, so the SQL oracle for
+    the *round trip* is the build SQL itself — the engine's whole encode/
+    decode stack sits between the two and must be invisible."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_rt", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    built = transcript_build(sf_dir)
+    tbl = pa.concat_tables(
+        built.iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    pq.write_table(tbl, os.path.join(src_dir, "transcripts-00000.parquet"))
+
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, shared_dict_columns=["role", "tool"])
+    return dec.decode_dataset(seg_dir)
+
+
+# =====================================================================
+# Aggregations (partial pre-aggregation before the shuffle)
+# =====================================================================
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch partial combine."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("rev", rev)
+        df = batch.select(["l_returnflag", "l_linestatus", "l_quantity", "rev"]).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"), sum_rev=("rev", "sum"), n=("rev", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_rev", alias_name="sum_rev"),
+        Sum("n", alias_name="n"),
+    )
+
+    # float sums are summation-order-dependent; the query semantics round to
+    # cents so the result is independent of partial-aggregation order
+    def round_rev(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_rev"),
+            "sum_rev",
+            pc.round(batch["sum_rev"], ndigits=2),
+        )
+
+    return out.map_batches(round_rev, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_condense(sf_dir: str):
+    """A2 one-row-per-subject condense (groupby(subject).agg)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("ts", alias_name="first_ts"),
+        Max("ts", alias_name="last_ts"),
+        Sum("value", alias_name="total_value"),
+    )
+
+    def round_total(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("total_value"),
+            "total_value",
+            pc.round(batch["total_value"], ndigits=2),
+        )
+
+    return out.map_batches(round_total, batch_format="pyarrow")
+
+
+EVENTS_CONDENSE_SQL = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+       max(ts) AS last_ts, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def distinct_users(sf_dir: str):
+    """A3 distinct-count for manifest metadata (Count(distinct) analogue)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    n = ds.unique("user_id")
+    return pa.table({"n_users": pa.array([len(n)], pa.int64())})
+
+
+DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+
+def stats_profile(sf_dir: str):
+    """A5 codec-selection statistics: rows + cardinality per column."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col in ("event_type", "user_id"):
+            rows.append(
+                {
+                    "col": col,
+                    "n": batch.num_rows,
+                    "vals": pc.unique(batch[col]).cast(pa.string()).to_pylist(),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged: dict[str, tuple[int, set]] = {}
+    for r in parts:
+        n, vals = merged.get(r["col"], (0, set()))
+        merged[r["col"]] = (n + r["n"], vals | set(r["vals"]))
+    return pa.table(
+        {
+            "col": pa.array(sorted(merged), pa.string()),
+            "n": pa.array([merged[c][0] for c in sorted(merged)], pa.int64()),
+            "ncard": pa.array([len(merged[c][1]) for c in sorted(merged)], pa.int64()),
+        }
+    )
+
+
+STATS_PROFILE_SQL = """
+SELECT 'event_type' AS col, count(*) AS n, count(DISTINCT event_type) AS ncard FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(DISTINCT user_id) FROM events
+"""
+
+
+def rle_runs(sf_dir: str):
+    """Run-length statistics: total runs of event_type under per-user
+    (ts, event_id) order — the sort-before-RLE win metric (SURVEY.md §2.6)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        n_runs = 1 + int((et[1:] != et[:-1]).sum()) if len(et) else 0
+        return pd.DataFrame({"runs": [n_runs]})
+
+    per_user = ds.groupby("user_id").map_groups(runs, batch_format="pandas")
+    total = sum(r["runs"] for r in per_user.take_all())
+    return pa.table({"n_runs": pa.array([total], pa.int64())})
+
+
+RLE_RUNS_SQL = """
+SELECT CAST(sum(c) AS BIGINT) AS n_runs FROM (
+  SELECT CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+  FROM events
+)
+"""
+
+
+# =====================================================================
+# Maps / projections / normalizers
+# =====================================================================
+
+
+def condense_codes(sf_dir: str):
+    """M4/M6/M24 ``system|code`` condensing as a vectorized join."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def condense(batch: pa.Table) -> pa.Table:
+        code = pc.binary_join_element_wise(batch["lang"], batch["source"], "|")
+        return pa.table({"doc_id": batch["doc_id"], "code": code})
+
+    return ds.map_batches(condense, batch_format="pyarrow")
+
+
+CONDENSE_CODES_SQL = "SELECT doc_id, lang || '|' || source AS code FROM documents"
+
+
+def melt_events(sf_dir: str):
+    """M21 wide→long unpivot, built per batch with no shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value", "user_id"])
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        eid = batch["event_id"]
+        return pa.table(
+            {
+                "event_id": pa.concat_arrays(
+                    [eid.combine_chunks(), eid.combine_chunks()]
+                ),
+                "key": pa.array(["value"] * n + ["user_id"] * n, pa.string()),
+                "val": pa.concat_arrays(
+                    [
+                        batch["value"].combine_chunks(),
+                        batch["user_id"].cast(pa.float64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+MELT_EVENTS_SQL = """
+SELECT event_id, 'value' AS key, value AS val FROM events
+UNION ALL
+SELECT event_id, 'user_id', CAST(user_id AS DOUBLE) FROM events
+"""
+
+
+def date_format(sf_dir: str):
+    """M18 date normalization: ISO day strings + per-day counts."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch["ts"], format="%Y-%m-%d")
+        t = pa.table({"day": day})
+        df = t.to_pandas().groupby("day", as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+DATE_FORMAT_SQL = "SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1"
+
+
+#: The mapping table (J1/T2): a small side input, broadcast — the reference's
+#: mapping-rule lookup (/root/reference/fhirflat/ingest.py:150-153).
+EVENT_CATEGORY_MAP = {
+    "click": "engagement",
+    "view": "engagement",
+    "purchase": "conversion",
+    "signup": "conversion",
+}
+
+
+def mapping_apply(sf_dir: str):
+    """M17/M19 mapping-DSL application via broadcast small-side lookup."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    map_ref = ray.put(EVENT_CATEGORY_MAP)
+
+    class Apply:
+        def __init__(self, ref):
+            self.mapping = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            et = batch["event_type"].combine_chunks().dictionary_encode()
+            vocab = et.dictionary.to_pylist()
+            mapped = pa.array(
+                [self.mapping.get(v, "other") for v in vocab], pa.string()
+            )
+            cat = mapped.take(et.indices)
+            return pa.table({"event_id": batch["event_id"], "category": cat})
+
+    return ds.map_batches(
+        Apply, fn_constructor_kwargs={"ref": map_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+
+MAPPING_APPLY_SQL = """
+SELECT event_id,
+       CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+            WHEN 'purchase' THEN 'conversion' WHEN 'signup' THEN 'conversion'
+            ELSE 'other' END AS category
+FROM events
+"""
+
+
+def dict_vocab(sf_dir: str):
+    """A5/T3 shared-dictionary vocabulary build (distinct (col, val) pairs)."""
+    import ray.data as rd
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    dc = _read(sf_dir, "documents", columns=["lang"])
+
+    def distinct(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch[col])
+            return pa.table(
+                {"col": pa.array([col] * len(u), pa.string()), "val": u.cast(pa.string())}
+            )
+
+        return f
+
+    both = ev.map_batches(distinct("event_type"), batch_format="pyarrow").union(
+        dc.map_batches(distinct("lang"), batch_format="pyarrow")
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return both.groupby(["col", "val"]).map_groups(first, batch_format="pandas")
+
+
+DICT_VOCAB_SQL = """
+SELECT 'event_type' AS col, event_type AS val FROM events GROUP BY 2
+UNION ALL
+SELECT 'lang', lang FROM documents GROUP BY 2
+"""
+
+
+# =====================================================================
+# Joins / sort / limit
+# =====================================================================
+
+
+def fk_anti_join(sf_dir: str):
+    """J4 referential-integrity anti join via broadcast key set.
+
+    Returns one count row (the TPC-H-ish data is referentially complete, so a
+    row-level result would be empty; the count proves the path ran)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    keys = set(cust.unique("c_custkey"))
+    keys_ref = ray.put(np.fromiter(keys, dtype=np.int64, count=len(keys)))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    class Anti:
+        def __init__(self, ref):
+            arr = ray.get(ref)
+            self.keys = np.sort(arr)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            missing = self.keys[pos] != ck
+            return pa.table({"n": pa.array([int(missing.sum())], pa.int64())})
+
+    parts = orders.map_batches(
+        Anti, fn_constructor_kwargs={"ref": keys_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).take_all()
+    return pa.table({"n_orphans": pa.array([sum(p["n"] for p in parts)], pa.int64())})
+
+
+FK_ANTI_JOIN_SQL = """
+SELECT count(*) AS n_orphans FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+"""
+
+
+def top_docs(sf_dir: str):
+    """Sort + limit (top-k by n_chars, deterministic tie-break)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+TOP_DOCS_SQL = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+def token_count(sf_dir: str):
+    from fhirflat_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str):
+    from fhirflat_ray.functions.text import quality_score_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars_text", "n_tokens", "punct_ratio", "alpha_ratio"]
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+
+def fingerprint(sf_dir: str):
+    from fhirflat_ray.functions.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def lang_id(sf_dir: str):
+    """Heuristic language ID (not SQL-expressible → rows-only check)."""
+    from fhirflat_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+# =====================================================================
+# Dedup
+# =====================================================================
+
+
+def dedup_exact(sf_dir: str):
+    from fhirflat_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, column="text", id_column="doc_id").select_columns(["doc_id"])
+
+
+DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash+LSH candidate pairs (rows-only check; LSH is probabilistic by
+    construction but fully deterministic under the fixed seed)."""
+    from fhirflat_ray.functions.dedup import minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, id_column="doc_id", column="text")
+
+
+def dedup_simhash(sf_dir: str):
+    from fhirflat_ray.functions.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, id_column="doc_id", column="text").select_columns(["doc_id"])
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+def _load_queries(sf_dir: str, n: int = 4):
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t["vec_id"], n)).sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    return ids, vecs
+
+
+def knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id<4 (ints only returned so
+    the value-hash is float-rounding-proof)."""
+    from fhirflat_ray.functions.similarity import knn_bruteforce as knn
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids, vecs = _load_queries(sf_dir)
+    out = knn(ds, ids, vecs, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+KNN_BRUTEFORCE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, vec_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10
+"""
+
+
+def knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate variant (rows-only check)."""
+    from fhirflat_ray.functions.similarity import knn_ivf as knn
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids, vecs = _load_queries(sf_dir)
+    out = knn(ds, ids, vecs, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES = {
+    "transcript_build": transcript_build,
+    "transcript_roundtrip": transcript_roundtrip,
+    "q1_lineitem": q1_lineitem,
+    "events_condense": events_condense,
+    "distinct_users": distinct_users,
+    "stats_profile": stats_profile,
+    "rle_runs": rle_runs,
+    "condense_codes": condense_codes,
+    "melt_events": melt_events,
+    "date_format": date_format,
+    "mapping_apply": mapping_apply,
+    "dict_vocab": dict_vocab,
+    "fk_anti_join": fk_anti_join,
+    "top_docs": top_docs,
+    "token_count": token_count,
+    "text_quality": text_quality,
+    "fingerprint": fingerprint,
+    "lang_id": lang_id,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_ivf": knn_ivf,
+}
+
+ORACLE_SQL = {
+    "transcript_build": TRANSCRIPT_BUILD_SQL,
+    "transcript_roundtrip": TRANSCRIPT_BUILD_SQL,
+    "q1_lineitem": Q1_SQL,
+    "events_condense": EVENTS_CONDENSE_SQL,
+    "distinct_users": DISTINCT_USERS_SQL,
+    "stats_profile": STATS_PROFILE_SQL,
+    "rle_runs": RLE_RUNS_SQL,
+    "condense_codes": CONDENSE_CODES_SQL,
+    "melt_events": MELT_EVENTS_SQL,
+    "date_format": DATE_FORMAT_SQL,
+    "mapping_apply": MAPPING_APPLY_SQL,
+    "dict_vocab": DICT_VOCAB_SQL,
+    "fk_anti_join": FK_ANTI_JOIN_SQL,
+    "top_docs": TOP_DOCS_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "fingerprint": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
+    # hash-construction ops with no faithful ANSI-SQL equivalent)
+}

@@ -1,0 +1,212 @@
+"""Tests for training-data operators: text analysis, dedup, similarity,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fhirflat_ray.functions import dedup as dd
+from fhirflat_ray.functions import multimodal as mm
+from fhirflat_ray.functions import similarity as sim
+from fhirflat_ray.functions import text as tx
+
+
+def docs_table() -> pa.Table:
+    base = "the quick brown fox jumps over the lazy dog while the sun sets slowly behind distant hills"
+    texts = [
+        base,
+        base,  # exact dup of 0
+        base + " tonight",  # near dup (high shingle overlap)
+        "completely different text about databases and compression",
+        "der schnelle braune fuchs und die faulen hunde sind ein test",
+        "",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_token_count_batch():
+    out = tx.token_count_batch(docs_table())
+    expected = [len(t.split()) for t in docs_table()["text"].to_pylist()]
+    assert out["n_tokens"].to_pylist() == expected
+
+
+def test_quality_score_batch():
+    out = tx.quality_score_batch(docs_table())
+    assert out.column_names[-4:] == ["n_chars_text", "n_tokens", "punct_ratio", "alpha_ratio"]
+    ratios = out["alpha_ratio"].to_pylist()
+    assert all(0 <= r <= 1 for r in ratios)
+
+
+def test_lang_id_heuristic():
+    out = tx.LangId()(docs_table())
+    langs = out["lang_pred"].to_pylist()
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "und"  # empty text → undetermined
+
+
+def test_fingerprint_matches_md5():
+    import hashlib
+
+    out = tx.fingerprint_batch(docs_table())
+    assert out["fingerprint"].to_pylist()[0] == hashlib.md5(
+        docs_table()["text"].to_pylist()[0].encode()
+    ).hexdigest()
+
+
+def test_rolling_hash_deterministic():
+    a = tx.rolling_hash_batch(docs_table())["rolling_fp"].to_pylist()
+    b = tx.rolling_hash_batch(docs_table())["rolling_fp"].to_pylist()
+    assert a == b
+    assert a[0] == a[1]  # identical docs → identical fingerprint
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    out = dd.exact_dedup(rd.from_arrow(docs_table())).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 removed (dup of 0)
+
+
+def test_minhash_signature_similarity():
+    mh = dd.MinHasher(n_hashes=64, k=3)
+    s1 = mh.signature("the quick brown fox jumps over the lazy dog")
+    s2 = mh.signature("the quick brown fox jumps over a lazy dog today")
+    s3 = mh.signature("completely different text about databases")
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > sim13
+    assert sim12 > 0.2
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    pairs = dd.minhash_lsh_candidates(
+        rd.from_arrow(docs_table()), n_hashes=64, n_bands=32
+    ).take_all()
+    found = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (0, 1) in found  # exact dups always co-bucket
+    assert (0, 2) in found or (1, 2) in found  # near dup caught by some band
+
+
+def test_ngram_jaccard():
+    assert dd.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert dd.ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_simhash_near_for_similar():
+    sh = dd.SimHasher()
+    h1 = sh.simhash("the quick brown fox jumps over the lazy dog")
+    h2 = sh.simhash("the quick brown fox jumps over the lazy cat")
+    h3 = sh.simhash("completely different text entirely unrelated")
+    d12 = bin(h1 ^ h2).count("1")
+    d13 = bin(h1 ^ h3).count("1")
+    assert d12 < d13
+
+
+def test_simhash_dedup(ray_session):
+    import ray.data as rd
+
+    out = dd.simhash_dedup(rd.from_arrow(docs_table())).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert 1 not in kept  # identical text → identical simhash → deduped
+
+
+# ----------------------------------------------------------------- knn
+
+
+def embeddings_table(n=50, d=8, seed=0) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+
+
+def test_knn_bruteforce_self_is_top1(ray_session):
+    import ray.data as rd
+
+    t = embeddings_table()
+    vecs = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:2]])
+    out = sim.knn_bruteforce(rd.from_arrow(t), [0, 1], vecs, k=5).take_all()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q in (0, 1):
+        ranks = sorted(by_q[q])
+        assert ranks[0] == (1, q)  # self is rank 1
+        assert len(ranks) == 5
+
+
+def test_knn_ivf_mostly_agrees_with_bruteforce(ray_session):
+    import ray.data as rd
+
+    t = embeddings_table(n=200)
+    vecs = np.stack([np.asarray(v) for v in t["embedding"].to_pylist()[:2]])
+    exact = sim.knn_bruteforce(rd.from_arrow(t), [0, 1], vecs, k=5).take_all()
+    approx = sim.knn_ivf(
+        rd.from_arrow(t), [0, 1], vecs, k=5, n_centroids=8, nprobe=4
+    ).take_all()
+    e = {(r["query_id"], r["vec_id"]) for r in exact}
+    a = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert len(e & a) >= 6  # high recall at nprobe=half the cells
+
+
+# ----------------------------------------------------------------- media
+
+
+def test_media_feature_extract_shapes():
+    t = mm.make_fake_media(8)
+    out = mm.ImageFeatureExtractor(dim=16)(t)
+    assert "payload" not in out.column_names
+    feats = out["features"].to_pylist()
+    assert len(feats) == 8 and len(feats[0]) == 16
+    again = mm.ImageFeatureExtractor(dim=16)(t)["features"].to_pylist()
+    assert feats == again  # deterministic stub
+
+
+def test_media_resize_updates_metadata():
+    t = mm.make_fake_media(8)
+    out = mm.ImageResizer(max_side=128)(t)
+    w = out["meta_width"].to_pylist()
+    h = out["meta_height"].to_pylist()
+    assert all(max(a, b) <= 128 for a, b in zip(w, h))
+
+
+def test_frame_sampler_explodes_rows():
+    t = mm.make_fake_media(4)
+    out = mm.FrameSampler(n_frames=3)(t)
+    assert out.num_rows == 12
+    assert sorted(set(out["frame_idx"].to_pylist())) == [0, 1, 2]
+
+
+def test_media_actor_pool_runs_on_ray(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(mm.make_fake_media(16))
+    out = ds.map_batches(
+        mm.ImageFeatureExtractor,
+        fn_constructor_kwargs={"dim": 8},
+        batch_size=4,
+        batch_format="pyarrow",
+        concurrency=2,
+    ).take_all()
+    assert len(out) == 16

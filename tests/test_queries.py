@@ -1,0 +1,51 @@
+"""Driver-contract tests: queries() vs DuckDB oracles on sf0.001.
+
+A fast subset runs in CI; the full sweep is ``scripts/check_oracle.py``."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+FAST = ["condense_codes", "melt_events", "token_count", "dedup_exact", "stats_profile"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "documents", "customer", "orders", "lineitem", "embeddings"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    return sorted(df.itertuples(index=False, name=None))
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(ray_session, con, name):
+    got = entrymod.queries()[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = con.sql(entrymod.oracle_sql()[name]).df()
+    assert canon(got) == canon(want)
+
+
+def test_every_query_has_callable_and_every_oracle_has_query():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for fn in qs.values():
+        assert callable(fn)
+
+
+def test_entry_runs(ray_session):
+    out = entrymod.entry()
+    assert out.count() == 1000
+    assert set(out.schema().names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
