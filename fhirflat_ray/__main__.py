@@ -1,0 +1,130 @@
+"""CLI: ``python -m fhirflat_ray {encode,decode,verify,bench} ...``
+
+The subcommand surface mirrors the reference's ``fhirflat transform`` /
+``fhirflat validate`` CLI (/root/reference/fhirflat/__main__.py:7-32)
+re-expressed for the encode engine; runnable under ``ray job submit``.
+The CLI owns its Ray session (library code never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+_OWNS_SESSION = False
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    global _OWNS_SESSION
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        _OWNS_SESSION = True
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.encode import encode_files
+
+    manifest = encode_files(
+        args.input,
+        args.output,
+        resume=args.resume,
+        shared_dict_columns=args.shared_dicts.split(",") if args.shared_dicts else None,
+        target_rows=args.target_rows,
+    )
+    print(
+        json.dumps(
+            {
+                "partitions": manifest["n_partitions"],
+                "rows": manifest["n_rows"],
+                "raw_bytes": manifest["raw_bytes"],
+                "encoded_bytes": manifest["encoded_bytes"],
+                "ratio": round(manifest["raw_bytes"] / max(1, manifest["encoded_bytes"]), 2),
+                "checksum": manifest["checksum_of_checksums"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_decode(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.decode import decode_to_parquet
+
+    decode_to_parquet(args.input, args.output, columns=args.columns.split(",") if args.columns else None)
+    print(json.dumps({"decoded_to": args.output}))
+    return 0
+
+
+def cmd_verify(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.decode import decode_dataset
+    from fhirflat_ray.pipelines.verify import verify_roundtrip
+
+    verdict = verify_roundtrip(rd.read_parquet(args.source), decode_dataset(args.segments))
+    print(json.dumps(verdict))
+    return 0 if verdict["equal"] else 1
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    # delegate to the repo-root bench harness (one JSON line contract)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo_root)
+    import bench
+
+    print(json.dumps(bench.run_scaling() if args.scaling else bench.run_bench()))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="fhirflat_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="parquet → encoded segments + manifest")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--resume", action="store_true")
+    pe.add_argument("--shared-dicts", default="role,tool")
+    pe.add_argument("--target-rows", type=int, default=512 * 1024)
+    pe.set_defaults(fn=cmd_encode)
+
+    pd_ = sub.add_parser("decode", help="encoded segments → parquet")
+    pd_.add_argument("input")
+    pd_.add_argument("output")
+    pd_.add_argument("--columns", default=None)
+    pd_.set_defaults(fn=cmd_decode)
+
+    pv = sub.add_parser("verify", help="decoded == source round-trip check")
+    pv.add_argument("source")
+    pv.add_argument("segments")
+    pv.set_defaults(fn=cmd_verify)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.add_argument("--scaling", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if _OWNS_SESSION and ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

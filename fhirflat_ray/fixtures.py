@@ -146,6 +146,7 @@ def write_transcript_fragments(
         if frag.num_rows == 0:
             break
         path = os.path.join(out_dir, f"transcripts-{i:05d}.parquet")
-        pq.write_table(frag, path)
+        # small row groups so plan_partitions can hit any target_rows
+        pq.write_table(frag, path, row_group_size=32 * 1024)
         paths.append(path)
     return paths

@@ -37,6 +37,21 @@ DEFAULT_TARGET_ROWS = 512 * 1024
 SHARED_DICT_MAX_CARD = 4096
 
 
+def _tune_worker_memory() -> None:
+    """Keep allocator arenas resident in long-lived workers.
+
+    This sandbox's VM provisions anonymous pages at ~15 MB/s per process on
+    first touch; any allocator that returns pages to the OS between batches
+    re-pays that tax every batch. Disabling jemalloc decay makes each actor
+    pay it once and reuse the arena for its whole lifetime."""
+    try:
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(-1)
+    except (ImportError, NotImplementedError, OSError):
+        pass
+
+
 def plan_partitions(
     input_paths: list[str], target_rows: int = DEFAULT_TARGET_ROWS
 ) -> list[dict[str, Any]]:
@@ -91,6 +106,7 @@ def build_shared_dicts(
     columns: list[str],
     out_dir: str,
     max_card: int = SHARED_DICT_MAX_CARD,
+    sample_fragments: int | None = 16,
 ) -> dict[str, tuple[str, pa.Array]]:
     """Union per-fragment vocabularies of low-cardinality columns.
 
@@ -98,29 +114,47 @@ def build_shared_dicts(
     distinct set; the driver merges (the reduce side is bounded by
     ``max_card`` per column, so no shuffle is needed). Columns that overflow
     the cap keep per-partition dictionaries instead.
+
+    The vocabulary is built from a SAMPLE (first row group of up to
+    ``sample_fragments`` evenly spaced fragments; ``None`` → full scan): a
+    value missing from the sampled vocab simply makes that partition fall
+    back to its local dictionary (``encode_dict`` returns None on
+    out-of-vocab), so sampling trades a little compression for skipping a
+    full input pass — the right trade at 100 TB.
     """
-    import ray.data as rd
     import pyarrow.compute as pc
 
     if not columns:
         return {}
 
-    def distinct_batch(batch: pa.Table) -> pa.Table:
-        cols, vals = [], []
-        for name in batch.column_names:
-            uniq = pc.unique(batch.column(name).combine_chunks())
-            # cap overflow marker: emit max_card+1 values so driver sees it
-            uniq = uniq.slice(0, max_card + 1)
-            cols.extend([name] * len(uniq))
-            vals.extend(uniq.to_pylist())
-        return pa.table({"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())})
-
-    ds = rd.read_parquet(input_paths, columns=columns)
-    partials = ds.map_batches(distinct_batch, batch_format="pyarrow").take_all()
-
     merged: dict[str, set] = {c: set() for c in columns}
-    for row in partials:
-        merged[row["col"]].add(row["val"])
+
+    if sample_fragments is not None and len(input_paths) >= 1:
+        step = max(1, len(input_paths) // sample_fragments)
+        paths = input_paths[::step][:sample_fragments]
+        for path in paths:
+            pf = pq.ParquetFile(path)
+            t = pf.read_row_group(0, columns=columns)
+            for name in columns:
+                uniq = pc.unique(t.column(name).combine_chunks()).slice(0, max_card + 1)
+                merged[name] |= set(uniq.to_pylist())
+    else:
+        import ray.data as rd
+
+        def distinct_batch(batch: pa.Table) -> pa.Table:
+            cols, vals = [], []
+            for name in batch.column_names:
+                uniq = pc.unique(batch.column(name).combine_chunks())
+                uniq = uniq.slice(0, max_card + 1)
+                cols.extend([name] * len(uniq))
+                vals.extend(uniq.to_pylist())
+            return pa.table(
+                {"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())}
+            )
+
+        ds = rd.read_parquet(input_paths, columns=columns)
+        for row in ds.map_batches(distinct_batch, batch_format="pyarrow").take_all():
+            merged[row["col"]].add(row["val"])
 
     out: dict[str, tuple[str, pa.Array]] = {}
     for name, values in merged.items():
@@ -131,6 +165,89 @@ def build_shared_dicts(
         lin.write_shared_dict(out_dir, h, vocab)
         out[name] = (h, vocab)
     return out
+
+
+def encode_partition_item(
+    item: dict[str, Any],
+    out_dir: str,
+    sort_keys: tuple[str, ...] | None,
+    shared: dict[str, tuple[str, pa.Array]],
+    columns: list[str] | None,
+) -> dict[str, Any]:
+    """Encode one fragment chunk to a durable segment; returns a summary row."""
+    import time
+
+    t0 = time.monotonic()
+    pf = pq.ParquetFile(item["path"])
+    table = pf.read_row_groups(item["row_groups"], columns=columns)
+    t1 = time.monotonic()
+    if sort_keys:
+        keys = [k for k in sort_keys if k in table.column_names]
+        if keys:
+            table = table.sort_by([(k, "ascending") for k in keys])
+    t2 = time.monotonic()
+    header, payload = seg.encode_table(table, shared)
+    t3 = time.monotonic()
+    metrics = {
+        "read_sec": round(t1 - t0, 3),
+        "sort_sec": round(t2 - t1, 3),
+        "encode_sec": round(t3 - t2, 3),
+    }
+    record = lin.lineage_record(
+        metrics=metrics,
+        part_id=item["part_id"],
+        input_fragment=f"{item['path']}#rg{item['row_groups'][0]}-{item['row_groups'][-1]}",
+        row_range=(item["row_start"], item["row_end"]),
+        n_rows=table.num_rows,
+        raw_bytes=table.nbytes,
+        encoded_bytes=len(payload),
+        columns=header["columns"],
+        payload_sha256=seg.sha256_hex(payload),
+    )
+    seg.write_segment(lin.segment_path(out_dir, item["part_id"]), header, payload, record)
+    return {
+        "part_id": record["part_id"],
+        "n_rows": record["n_rows"],
+        "raw_bytes": record["raw_bytes"],
+        "encoded_bytes": record["encoded_bytes"],
+    }
+
+
+#: worker-local broadcast cache for the stateless-task path: ``ray.get`` of
+#: the shared-dict ref happens once per (long-lived) worker process, the
+#: same amortization an actor gets from ``__init__`` — but task workers are
+#: REUSED across dataset executions, so repeated jobs skip this VM's
+#: per-process memory-provisioning cold tax entirely.
+_WORKER_CACHE: dict[str, Any] = {}
+
+
+def _resolve_shared(shared_ref: Any) -> dict[str, tuple[str, pa.Array]]:
+    if shared_ref is None:
+        return {}
+    import ray
+
+    key = shared_ref.hex() if hasattr(shared_ref, "hex") else str(id(shared_ref))
+    if key not in _WORKER_CACHE:
+        _tune_worker_memory()
+        _WORKER_CACHE.clear()  # at most one broadcast generation per worker
+        _WORKER_CACHE[key] = ray.get(shared_ref)
+    return _WORKER_CACHE[key]
+
+
+def _encode_task(
+    batch: pa.Table,
+    out_dir: str,
+    sort_keys: tuple[str, ...] | None,
+    shared_ref: Any,
+    columns: list[str] | None,
+) -> pa.Table:
+    _tune_worker_memory()
+    shared = _resolve_shared(shared_ref)
+    records = [
+        encode_partition_item(item, out_dir, sort_keys, shared, columns)
+        for item in batch.to_pylist()
+    ]
+    return pa.Table.from_pylist(records)
 
 
 class EncodePartition:
@@ -156,38 +273,14 @@ class EncodePartition:
         self.shared: dict[str, tuple[str, pa.Array]] = (
             ray.get(shared_ref) if shared_ref is not None else {}
         )
+        _tune_worker_memory()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        records = []
-        for item in batch.to_pylist():
-            records.append(self._encode_one(item))
+        records = [
+            encode_partition_item(item, self.out_dir, self.sort_keys, self.shared, self.columns)
+            for item in batch.to_pylist()
+        ]
         return pa.Table.from_pylist(records)
-
-    def _encode_one(self, item: dict[str, Any]) -> dict[str, Any]:
-        pf = pq.ParquetFile(item["path"])
-        table = pf.read_row_groups(item["row_groups"], columns=self.columns)
-        if self.sort_keys:
-            keys = [k for k in self.sort_keys if k in table.column_names]
-            if keys:
-                table = table.sort_by([(k, "ascending") for k in keys])
-        header, payload = seg.encode_table(table, self.shared)
-        record = lin.lineage_record(
-            part_id=item["part_id"],
-            input_fragment=f"{item['path']}#rg{item['row_groups'][0]}-{item['row_groups'][-1]}",
-            row_range=(item["row_start"], item["row_end"]),
-            n_rows=table.num_rows,
-            raw_bytes=table.nbytes,
-            encoded_bytes=len(payload),
-            columns=header["columns"],
-            payload_sha256=seg.sha256_hex(payload),
-        )
-        seg.write_segment(lin.segment_path(self.out_dir, item["part_id"]), header, payload, record)
-        return {
-            "part_id": record["part_id"],
-            "n_rows": record["n_rows"],
-            "raw_bytes": record["raw_bytes"],
-            "encoded_bytes": record["encoded_bytes"],
-        }
 
 
 def encode_files(
@@ -200,11 +293,19 @@ def encode_files(
     target_rows: int = DEFAULT_TARGET_ROWS,
     concurrency: int | tuple[int, int] | None = None,
     columns: list[str] | None = None,
+    compute: str = "tasks",
 ) -> dict[str, Any]:
     """Run the encode job; returns the manifest.
 
     ``resume=True`` consults existing durable segments and skips their
     partitions (FIXTURES.md F5 semantics).
+
+    ``compute``: "tasks" (default) runs the encode as stateless map tasks
+    with a worker-local broadcast cache — Ray reuses task worker processes
+    across dataset executions, so repeated jobs hit warm workers;
+    "actors" uses the ``EncodePartition`` actor pool (state in ``__init__``),
+    the right shape when per-worker state is heavy (giant symbol tables).
+    Both paths share ``encode_partition_item`` and are byte-identical.
     """
     import ray
     import ray.data as rd
@@ -234,21 +335,40 @@ def encode_files(
 
     if todo:
         work = rd.from_items(todo)
-        if concurrency is None:
-            concurrency = (1, max(2, int(ray.cluster_resources().get("CPU", 4))))
-        result = work.map_batches(
-            EncodePartition,
-            fn_constructor_kwargs={
-                "out_dir": out_dir,
-                "sort_keys": sort_keys,
-                "shared_ref": shared_ref,
-                "columns": columns,
-            },
-            batch_size=1,
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            num_cpus=1,
-        )
+        if compute == "tasks":
+            result = work.map_batches(
+                _encode_task,
+                fn_kwargs={
+                    "out_dir": out_dir,
+                    "sort_keys": sort_keys,
+                    "shared_ref": shared_ref,
+                    "columns": columns,
+                },
+                batch_size=1,
+                batch_format="pyarrow",
+                num_cpus=1,
+            )
+        else:
+            if concurrency is None:
+                # FIXED pool size (not autoscaling): with a short work-list
+                # the autoscaler never scales past 1-2 actors and serializes
+                # the per-worker cold start; a fixed pool spawns up front
+                concurrency = max(
+                    1, min(len(todo), int(ray.cluster_resources().get("CPU", 4)))
+                )
+            result = work.map_batches(
+                EncodePartition,
+                fn_constructor_kwargs={
+                    "out_dir": out_dir,
+                    "sort_keys": sort_keys,
+                    "shared_ref": shared_ref,
+                    "columns": columns,
+                },
+                batch_size=1,
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
         # the reduce side is one tiny row per partition — safe to collect
         result.take_all()
 

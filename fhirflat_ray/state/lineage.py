@@ -35,9 +35,12 @@ def lineage_record(
     encoded_bytes: int,
     columns: list[dict[str, Any]],
     payload_sha256: str,
+    metrics: dict[str, float] | None = None,
 ) -> dict[str, Any]:
-    """One record per encoded partition (codec choice, sizes, checksums)."""
+    """One record per encoded partition (codec choice, sizes, checksums,
+    per-stage timing metrics)."""
     return {
+        **({"metrics": metrics} if metrics else {}),
         "part_id": part_id,
         "input_fragment": input_fragment,
         "row_range": list(row_range),

@@ -1,0 +1,71 @@
+"""CLI subcommand + source reader tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fhirflat_ray import fixtures
+from fhirflat_ray.__main__ import main as cli_main
+from fhirflat_ray.sources import readers
+
+
+@pytest.fixture(scope="module")
+def frag_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clifrags"))
+    fixtures.write_transcript_fragments(d, rows=5_000, n_fragments=2, seed=9)
+    return d
+
+
+def test_cli_encode_verify_decode(ray_session, frag_dir, tmp_path, capsys):
+    seg = str(tmp_path / "seg")
+    out = str(tmp_path / "out")
+
+    assert cli_main(["encode", frag_dir, seg]) == 0
+    enc_stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert enc_stats["rows"] == 5_000 and enc_stats["ratio"] > 3
+
+    assert cli_main(["verify", frag_dir, seg]) == 0
+    verdict = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdict["equal"]
+
+    assert cli_main(["decode", seg, out]) == 0
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert files
+    total = sum(pq.read_metadata(f).num_rows for f in files)
+    assert total == 5_000
+
+
+def test_ndjson_reader_roundtrip(ray_session, tmp_path):
+    t = fixtures.make_transcripts(500, seed=3)
+    path = str(tmp_path / "t.ndjson")
+    df = t.to_pandas()
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    df.to_json(path, orient="records", lines=True)
+    ds = readers.read_ndjson_transcripts(path)
+    got = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    got = got.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.num_rows == 500
+    assert got.schema.names == list(t.schema.names)
+    assert got["ts"].to_pylist() == t["ts"].to_pylist()
+    assert got["text"].to_pylist() == t["text"].to_pylist()
+
+
+def test_csv_reader_and_error_writer(ray_session, tmp_path):
+    import pandas as pd
+
+    csv = str(tmp_path / "m.csv")
+    pd.DataFrame({"raw_variable": ["a", "b"], "raw_response": ["1", "2"]}).to_csv(
+        csv, index=False
+    )
+    ds = readers.read_csv_table(csv, columns=["raw_variable"])
+    assert sorted(r["raw_variable"] for r in ds.take_all()) == ["a", "b"]
+
+    errs = str(tmp_path / "errs")
+    readers.write_errors_csv(ds, errs)
+    assert glob.glob(os.path.join(errs, "*.csv"))
