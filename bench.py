@@ -17,9 +17,16 @@ import subprocess
 import sys
 import time
 
+# glibc retention for worker heaps — must precede ray.init (workers inherit)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("RAY_GRAFT_BENCH_ROWS", "1000000"))
+TARGET_ROWS = int(os.environ.get("RAY_GRAFT_TARGET_ROWS", str(16 * 1024)))
+SCALING_ROWS = int(os.environ.get("RAY_GRAFT_SCALING_ROWS", "16000000"))
+SCALING_MODE = os.environ.get("RAY_GRAFT_SCALING_MODE") == "1"
 SEED = 42
 
 BENCH_QUERIES = [
@@ -33,16 +40,24 @@ BENCH_QUERIES = [
 
 
 def _transcript_fragments(rows: int) -> str:
-    """Deterministic cached fragment dir (8 fragments) for the bench table."""
-    import pyarrow.parquet as pq
+    """Deterministic cached fragment dir for the bench table.
 
-    cache = f"/tmp/fhirflat_ray_bench/transcripts_v2_r{rows}_s{SEED}"
+    Normal mode: the canonical F1 fixture (8 fragments, one table sliced).
+    Scaling mode: Ray-parallel independent fragments (big tables generate at
+    ~90MB/s aggregate vs ~16MB/s single-process on this host)."""
+    tag = "scal" if SCALING_MODE else "v2"
+    cache = f"/tmp/fhirflat_ray_bench/transcripts_{tag}_r{rows}_s{SEED}"
     marker = os.path.join(cache, "_complete")
     if not os.path.exists(marker):
-        from fhirflat_ray.fixtures import write_transcript_fragments
-
         shutil.rmtree(cache, ignore_errors=True)
-        write_transcript_fragments(cache, rows=rows, n_fragments=8, seed=SEED)
+        if SCALING_MODE:
+            from fhirflat_ray.fixtures import write_scaling_fragments
+
+            write_scaling_fragments(cache, rows=rows, n_fragments=32, seed=SEED)
+        else:
+            from fhirflat_ray.fixtures import write_transcript_fragments
+
+            write_transcript_fragments(cache, rows=rows, n_fragments=8, seed=SEED)
         open(marker, "w").close()
     return cache
 
@@ -90,14 +105,14 @@ def run_bench() -> dict:
     # at ~15MB/s per process); the timed run below measures the steady-state
     # throughput a long-running job sees.
     enc.encode_files(
-        frag_dir, warm_dir, shared_dict_columns=["role", "tool"], target_rows=16 * 1024
+        frag_dir, warm_dir, shared_dict_columns=["role", "tool"], target_rows=TARGET_ROWS
     )
     dec.decode_dataset(warm_dir).count()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     t0 = time.time()
     manifest = enc.encode_files(
-        frag_dir, seg_dir, shared_dict_columns=["role", "tool"], target_rows=16 * 1024
+        frag_dir, seg_dir, shared_dict_columns=["role", "tool"], target_rows=TARGET_ROWS
     )
     t_encode = time.time() - t0
 
@@ -111,7 +126,7 @@ def run_bench() -> dict:
     snappy = _parquet_snappy_bytes(frag_dir)
 
     query_secs: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in ([] if SCALING_MODE else BENCH_QUERIES):
         fn = q.QUERIES[name]
         t0 = time.time()
         res = fn(SF_DIR)
@@ -143,7 +158,13 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
+            RAY_GRAFT_TARGET_ROWS=str(64 * 1024),
+            RAY_GRAFT_SCALING_MODE="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -19,6 +19,9 @@ _OWNS_SESSION = False
 
 def _init_ray(num_cpus: int | None) -> None:
     global _OWNS_SESSION
+    from fhirflat_ray.pipelines.encode import tune_session_memory_env
+
+    tune_session_memory_env()
     import ray
 
     if not ray.is_initialized():

@@ -56,19 +56,26 @@ def make_transcripts(rows: int = 10_000, seed: int = 42) -> pa.Table:
 
     n_words = rng.integers(5, 61, size=rows)
     word_ids = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
-    words = np.array(_WORDS, dtype=object)[word_ids]
-    bounds = np.cumsum(n_words)[:-1]
-    text = np.array([" ".join(chunk) for chunk in np.split(words, bounds)], dtype=object)
+    # vectorized text build (same strings as a per-row " ".join, C speed):
+    # dictionary take → list wrap by token counts → binary_join
+    vocab = pa.array(_WORDS, pa.string())
+    tokens = vocab.take(pa.array(word_ids.astype(np.int32)))
+    offsets = np.concatenate([[0], np.cumsum(n_words)]).astype(np.int64)
+    token_lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), tokens)
+    import pyarrow.compute as pc
+
+    text = pc.binary_join(token_lists, " ")
 
     deltas = rng.integers(1, 5_000_000, size=rows, dtype=np.int64)
     ts = 1_700_000_000_000_000 + np.cumsum(deltas)
 
+    text_arr = text.cast(pa.string()) if not text.type.equals(pa.string()) else text
     return pa.table(
         {
             "conv_id": pa.array(conv_col, pa.string()),
             "turn_idx": pa.array(turn_idx, pa.int32()),
             "role": pa.array(role, pa.string()),
-            "text": pa.array(text, pa.string()),
+            "text": text_arr,
             "tool": pa.array(tool, pa.string()),
             "ts": pa.array(ts, pa.timestamp("us")),
         },
@@ -127,6 +134,35 @@ def make_unsorted_transcripts(rows: int = 10_000, seed: int = 42) -> pa.Table:
     t = make_transcripts(rows, seed)
     perm = np.random.default_rng(seed + 1).permutation(t.num_rows)
     return t.take(pa.array(perm))
+
+
+def write_scaling_fragments(
+    out_dir: str, rows: int, n_fragments: int = 32, seed: int = 42
+) -> list[str]:
+    """Large bench fixture: fragments generated in PARALLEL Ray tasks.
+
+    Each fragment is an independent seeded table (seed+i, conv ids prefixed
+    ``f{i:02d}-`` so conversations never span fragments). Parallel generation
+    matters on this sandbox: a single process faults fresh pages at
+    ~16 MB/s, the cluster ~90 MB/s aggregate."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (rows + n_fragments - 1) // n_fragments
+
+    @ray.remote(num_cpus=1)
+    def gen(i: int) -> str:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = make_transcripts(min(per, rows - i * per), seed + i)
+        conv = pc.binary_join_element_wise(f"f{i:02d}-", t.column("conv_id").cast(pa.string()), "")
+        t = t.set_column(0, pa.field("conv_id", pa.string(), nullable=False), conv)
+        path = os.path.join(out_dir, f"transcripts-{i:05d}.parquet")
+        pq.write_table(t, path, row_group_size=64 * 1024)
+        return path
+
+    return sorted(ray.get([gen.remote(i) for i in range(n_fragments) if i * per < rows]))
 
 
 def write_transcript_fragments(

@@ -40,16 +40,29 @@ SHARED_DICT_MAX_CARD = 4096
 def _tune_worker_memory() -> None:
     """Keep allocator arenas resident in long-lived workers.
 
-    This sandbox's VM provisions anonymous pages at ~15 MB/s per process on
+    This sandbox's VM provisions anonymous pages at ~90 MB/s aggregate on
     first touch; any allocator that returns pages to the OS between batches
-    re-pays that tax every batch. Disabling jemalloc decay makes each actor
-    pay it once and reuse the arena for its whole lifetime."""
+    re-pays that tax every batch. Disabling jemalloc decay makes each worker
+    pay it once and reuse the arena for its whole lifetime. (glibc-malloc
+    retention for numpy buffers needs MALLOC_MMAP_THRESHOLD_/
+    MALLOC_TRIM_THRESHOLD_ set BEFORE the worker process starts — see
+    :func:`tune_session_memory_env`.)"""
     try:
         import pyarrow as _pa
 
         _pa.jemalloc_set_decay_ms(-1)
     except (ImportError, NotImplementedError, OSError):
         pass
+
+
+def tune_session_memory_env() -> None:
+    """Set glibc malloc retention env vars. MUST run before ``ray.init`` so
+    raylet-spawned workers inherit them: large numpy buffers then stay in the
+    worker heap instead of being munmap'd and re-faulted every batch (one
+    measured wave of 32×150MB allocations drops from ~2.4s/task to
+    ~0.13s/task on warm workers)."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 
 
 def plan_partitions(

@@ -100,6 +100,35 @@ def transcript_roundtrip(sf_dir: str):
     return dec.decode_dataset(seg_dir)
 
 
+def _generic_roundtrip(sf_dir: str, table: str):
+    """Encode→decode any parquet table (the codec layer is schema-generic:
+    ints/floats/strings/timestamps all round-trip bit-identically)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_rt",
+        hashlib.sha1(f"{sf_dir}:{table}".encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    enc.encode_files(
+        [os.path.join(sf_dir, f"{table}.parquet")], work, sort_keys=None
+    )
+    return dec.decode_dataset(work)
+
+
+def events_roundtrip(sf_dir: str):
+    return _generic_roundtrip(sf_dir, "events")
+
+
+def documents_roundtrip(sf_dir: str):
+    return _generic_roundtrip(sf_dir, "documents")
+
+
+EVENTS_ROUNDTRIP_SQL = "SELECT * FROM events"
+DOCUMENTS_ROUNDTRIP_SQL = "SELECT * FROM documents"
+
+
 # =====================================================================
 # Aggregations (partial pre-aggregation before the shuffle)
 # =====================================================================
@@ -611,6 +640,8 @@ def knn_ivf(sf_dir: str):
 QUERIES = {
     "transcript_build": transcript_build,
     "transcript_roundtrip": transcript_roundtrip,
+    "events_roundtrip": events_roundtrip,
+    "documents_roundtrip": documents_roundtrip,
     "q1_lineitem": q1_lineitem,
     "events_condense": events_condense,
     "distinct_users": distinct_users,
@@ -637,6 +668,8 @@ QUERIES = {
 ORACLE_SQL = {
     "transcript_build": TRANSCRIPT_BUILD_SQL,
     "transcript_roundtrip": TRANSCRIPT_BUILD_SQL,
+    "events_roundtrip": EVENTS_ROUNDTRIP_SQL,
+    "documents_roundtrip": DOCUMENTS_ROUNDTRIP_SQL,
     "q1_lineitem": Q1_SQL,
     "events_condense": EVENTS_CONDENSE_SQL,
     "distinct_users": DISTINCT_USERS_SQL,
