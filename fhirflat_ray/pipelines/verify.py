@@ -101,6 +101,33 @@ def validate_transcripts(ds):
     return validated.union(bad)
 
 
+def condense_one_to_one(ds, key: str, columns: list[str] | None = None):
+    """A2 one-row-per-subject condense with conflict routing.
+
+    The reference's 1:1 mapping condense errors when a subject has
+    conflicting non-null values for the same column
+    (/root/reference/fhirflat/ingest.py:319-348); here conflicting subjects
+    are routed to the errors side (``_error`` column) instead of failing the
+    job. One shuffle on ``key``."""
+
+    def condense(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict[str, list] = {key: [g[key].iloc[0]]}
+        err = ""
+        for col in g.columns:
+            if col == key or (columns and col not in columns):
+                continue
+            vals = g[col].dropna().unique()
+            if len(vals) > 1:
+                err = f"conflicting values for {col!r}"
+                out[col] = [vals[0]]
+            else:
+                out[col] = [vals[0] if len(vals) else None]
+        out["_error"] = [err]
+        return pd.DataFrame(out)
+
+    return ds.groupby(key).map_groups(condense, batch_format="pandas")
+
+
 def split_valid(marked_ds):
     """(valid_ds, errors_ds) from a dataset with an ``_error`` column."""
     valid = marked_ds.filter(expr="_error == ''").drop_columns(["_error"])
