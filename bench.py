@@ -170,7 +170,9 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             RAY_GRAFT_BENCH_ROWS=str(SCALING_ROWS),
-            RAY_GRAFT_TARGET_ROWS=str(64 * 1024),
+            RAY_GRAFT_TARGET_ROWS=os.environ.get(
+                "RAY_GRAFT_SCALING_TARGET_ROWS", str(128 * 1024)
+            ),
             RAY_GRAFT_SCALING_MODE="1",
         )
         out = subprocess.run(
@@ -183,7 +185,10 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "8,32")
+    # Default pair N=2, 4N=8: on this host 8 CPUs already reach the VM's
+    # aggregate memory-bandwidth ceiling (~1.1-1.3M rows/s), so 8→32 measures
+    # the hypervisor, not the engine — see BASELINE.md "scaling evidence".
+    pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
     r_lo, r_hi = one(lo), one(hi)
     t_lo, t_hi = r_lo["encode_sec"], r_hi["encode_sec"]

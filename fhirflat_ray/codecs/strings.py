@@ -26,8 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from fhirflat_ray.codecs import fsst as fsst_mod
-from fhirflat_ray.codecs.bitpack import packed_nbytes
-from fhirflat_ray.codecs.ints import bit_width, decode_ints, encode_ints
+from fhirflat_ray.codecs.ints import decode_ints, encode_ints
 
 _HDR_OVERHEAD = 48
 

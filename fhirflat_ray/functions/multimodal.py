@@ -85,8 +85,6 @@ class ImageResizer:
         self.max_side = max_side
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         w = batch["meta_width"].to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch["meta_height"].to_numpy(zero_copy_only=False).astype(np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
