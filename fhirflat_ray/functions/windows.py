@@ -1,0 +1,75 @@
+"""Windowed aggregates over ordered event streams (SURVEY.md §2.9).
+
+Ray Data has no event-time windows; the engine expresses them as
+(a) tumbling windows = a computed window key + partial-aggregate groupby
+(no per-row Python), and (b) session windows = ``groupby(key).map_groups``
+over the per-key ordered group (gap-based sessionization with vectorized
+pandas inside the group). Ordering assumption: within a key, rows are
+ordered by (ts, event_id) inside the group function — stated per the
+streaming guide; the oracle SQL uses the same window functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
+    """Tumbling-window count/sum: window id = floor(epoch_us / width).
+
+    Partial per-batch combine before the groupby shuffle (A5 pattern)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts_col].cast(pa.int64())
+        win = pc.divide(epoch, pa.scalar(width_us, pa.int64()))
+        t = pa.table(
+            {
+                "window": win,
+                **({"by": batch[by]} if by else {}),
+            }
+        )
+        df = t.to_pandas()
+        keys = ["window"] + (["by"] if by else [])
+        g = df.groupby(keys, as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    keys = ["window"] + (["by"] if by else [])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(
+        Sum("n", alias_name="n")
+    )
+    if by:
+        out = out.map_batches(
+            lambda t: t.rename_columns(
+                [by if c == "by" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | None = None):
+    """Gap-based session windows per key → (key, n_sessions, max_session_len).
+
+    One shuffle on ``key``; inside each group the session boundaries are a
+    vectorized diff-vs-gap comparison."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + [c for c in (order_cols or []) if c in g.columns]
+        g = g.sort_values(order, kind="mergesort")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
+        sess_id = np.cumsum(new_session)
+        lens = np.bincount(sess_id)[1:]
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_sessions": [int(sess_id[-1])],
+                "max_session_len": [int(lens.max())],
+            }
+        )
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

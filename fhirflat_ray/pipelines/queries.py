@@ -490,6 +490,92 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
 
 
 # =====================================================================
+# Windows / as-of join (custom operators the Dataset API lacks)
+# =====================================================================
+
+
+def tumbling_window(sf_dir: str):
+    """Tumbling 1-day windows per event_type (computed window key + partial
+    aggregate; SURVEY.md §2.9 / ray guide streaming section)."""
+    from fhirflat_ray.functions.windows import tumbling_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return tumbling_aggregate(ds, "ts", width_us=86_400_000_000, by="event_type")
+
+
+TUMBLING_WINDOW_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS window, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def session_windows(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user."""
+    from fhirflat_ray.functions.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", gap_us=1_800_000_000, order_cols=["event_id"])
+
+
+SESSION_WINDOWS_SQL = """
+WITH flag AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag
+),
+per_sess AS (SELECT user_id, sid, count(*) AS len FROM sess GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(len) AS BIGINT) AS max_session_len
+FROM per_sess GROUP BY user_id
+"""
+
+
+def asof_join(sf_dir: str):
+    """As-of join: each event matched to the latest order (same user key)
+    whose order date is <= the event timestamp. Broadcast small side +
+    per-batch merge_asof (no shuffle)."""
+    import pyarrow.parquet as pq2
+
+    from fhirflat_ray.functions.joins import broadcast_asof_join
+
+    orders = (
+        pq2.read_table(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+        )
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .first()  # dedupe ties so the matched o_orderdate is deterministic
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = broadcast_asof_join(
+        ds,
+        orders.rename(columns={"o_orderdate": "order_ts"}),
+        left_on="ts",
+        right_on="order_ts",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_value_cols=[],
+    )
+    return out.select_columns(["event_id", "order_ts"])
+
+
+ASOF_JOIN_SQL = """
+SELECT e.event_id, o.o_orderdate AS order_ts
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+# =====================================================================
 # Text analysis
 # =====================================================================
 
@@ -654,6 +740,9 @@ QUERIES = {
     "dict_vocab": dict_vocab,
     "fk_anti_join": fk_anti_join,
     "top_docs": top_docs,
+    "tumbling_window": tumbling_window,
+    "session_windows": session_windows,
+    "asof_join": asof_join,
     "token_count": token_count,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
@@ -682,6 +771,9 @@ ORACLE_SQL = {
     "dict_vocab": DICT_VOCAB_SQL,
     "fk_anti_join": FK_ANTI_JOIN_SQL,
     "top_docs": TOP_DOCS_SQL,
+    "tumbling_window": TUMBLING_WINDOW_SQL,
+    "session_windows": SESSION_WINDOWS_SQL,
+    "asof_join": ASOF_JOIN_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,

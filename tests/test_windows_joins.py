@@ -1,0 +1,82 @@
+"""Unit tests for windowed aggregates and broadcast joins."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fhirflat_ray.functions.joins import broadcast_asof_join, broadcast_semi_join
+from fhirflat_ray.functions.windows import sessionize, tumbling_aggregate
+
+US = 1_000_000
+
+
+def events_table() -> pa.Table:
+    # user 1: 3 events, gap between #2 and #3 > 10s → two sessions
+    rows = [
+        (1, 1, 0 * US),
+        (2, 1, 5 * US),
+        (3, 1, 100 * US),
+        (4, 2, 50 * US),
+    ]
+    eid, uid, ts = zip(*rows)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def test_tumbling_aggregate(ray_session):
+    import ray.data as rd
+
+    out = tumbling_aggregate(rd.from_arrow(events_table()), "ts", width_us=60 * US)
+    got = {int(r["window"]): int(r["n"]) for r in out.take_all()}
+    assert got == {0: 3, 1: 1}
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    out = sessionize(rd.from_arrow(events_table()), "user_id", "ts", gap_us=10 * US)
+    got = {r["user_id"]: (r["n_sessions"], r["max_session_len"]) for r in out.take_all()}
+    assert got == {1: (2, 2), 2: (1, 1)}
+
+
+def test_broadcast_asof_join(ray_session):
+    import ray.data as rd
+
+    right = pd.DataFrame(
+        {
+            "key": [1, 1, 2],
+            "rts": pd.to_datetime([2 * US * 1000, 90 * US * 1000, 500 * US * 1000], unit="ns"),
+            "val": ["a", "b", "c"],
+        }
+    )
+    out = broadcast_asof_join(
+        rd.from_arrow(events_table()),
+        right,
+        left_on="ts",
+        right_on="rts",
+        by_left="user_id",
+        by_right="key",
+        right_value_cols=["val"],
+    ).take_all()
+    by_eid = {r["event_id"]: r["val"] for r in out}
+    assert by_eid[1] is None  # before any right row
+    assert by_eid[2] == "a"
+    assert by_eid[3] == "b"
+    assert by_eid[4] is None  # user 2's right row is later
+
+
+def test_broadcast_semi_and_anti(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(events_table())
+    semi = broadcast_semi_join(ds, {1}, "user_id").take_all()
+    assert sorted(r["event_id"] for r in semi) == [1, 2, 3]
+    anti = broadcast_semi_join(ds, {1}, "user_id", anti=True).take_all()
+    assert [r["event_id"] for r in anti] == [4]
