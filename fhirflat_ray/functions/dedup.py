@@ -20,7 +20,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_MERSENNE = (1 << 61) - 1
+#: Mersenne prime 2^31-1: keeps (a*x + b) inside int64 (a, x < 2^31 →
+#: product < 2^62), so the universal-hash family evaluates as ONE vectorized
+#: numpy matrix op per document instead of a Python loop per hash function.
+_MERSENNE = (1 << 31) - 1
 
 
 # ---------------------------------------------------------------- exact
@@ -67,7 +70,7 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     out = np.fromiter(
         (
-            int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "big") & (_MERSENNE - 1)
+            int.from_bytes(hashlib.sha1(s.encode()).digest()[:4], "big") & (_MERSENNE - 1)
             for s in shingles
         ),
         dtype=np.int64,
@@ -91,15 +94,13 @@ class MinHasher:
         self.n_hashes = n_hashes
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k).astype(object)  # object → exact bigint mod
+        sh = _shingle_hashes(text, self.k)
         if len(sh) == 0:
             return np.zeros(self.n_hashes, dtype=np.int64)
-        # exact (a*x+b) % p without overflow: python ints via object dtype
-        mins = np.empty(self.n_hashes, dtype=np.int64)
-        for i in range(self.n_hashes):
-            vals = (int(self.a[i]) * sh + int(self.b[i])) % _MERSENNE
-            mins[i] = int(vals.min())
-        return mins
+        # one vectorized (n_shingles, n_hashes) evaluation; products stay
+        # inside int64 because a, x < 2^31
+        vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t or "") for t in batch[self.column].to_pylist()]

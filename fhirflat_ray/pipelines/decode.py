@@ -105,6 +105,22 @@ def decode_dataset(
     paths = segment_paths(seg_dir)
     if not paths:
         raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    if columns is not None:
+        # ranged pruned reads: only the requested columns' byte ranges leave
+        # disk — don't ship whole segment blobs through the object store
+        def pruned(batch: dict[str, Any]) -> pa.Table:
+            store = _worker_dict_store(seg_dir)
+            tables = [
+                seg.read_segment_pruned(str(p), columns, store, verify_checksums)
+                for p in batch["item"]
+            ]
+            return pa.concat_tables(tables)
+
+        return rd.from_items(paths).map_batches(
+            pruned, batch_size=1, batch_format="numpy", num_cpus=1
+        )
+
     ds = rd.read_binary_files(paths)
     if compute == "tasks":
         return ds.map_batches(

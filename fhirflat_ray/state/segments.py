@@ -146,9 +146,44 @@ def read_segment(
     verify_checksums: bool = False,
 ) -> pa.Table:
     if isinstance(blob_or_path, str):
+        if columns is not None:
+            return read_segment_pruned(
+                blob_or_path, columns, dict_store, verify_checksums
+            )
         with open(blob_or_path, "rb") as f:
             blob = f.read()
     else:
         blob = blob_or_path
     hdr, off = read_segment_header(blob)
     return decode_payload(hdr, blob[off:], dict_store, columns, verify_checksums)
+
+
+def read_segment_pruned(
+    path: str,
+    columns: list[str],
+    dict_store: dict[str, pa.Array] | None = None,
+    verify_checksums: bool = False,
+) -> pa.Table:
+    """Column-pruned segment read with ranged I/O: only the requested
+    columns' byte ranges are read from disk (true column-store projection,
+    the point of per-column blobs — a 2-column read of a wide segment never
+    touches the text payload)."""
+    from fhirflat_ray.codecs import decode_column
+
+    hdr, payload_off = read_segment_header(path)
+    arrays: list[pa.Array] = []
+    fields: list[pa.Field] = []
+    with open(path, "rb") as f:
+        for col in hdr["columns"]:
+            if col["name"] not in columns:
+                continue
+            f.seek(payload_off + col["off"])
+            blob = f.read(col["len"])
+            if verify_checksums and sha256_hex(blob) != col["sha256"]:
+                raise ValueError(f"checksum mismatch for column {col['name']!r}")
+            arr = decode_column(col["hdr"], blob, dict_store)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            arrays.append(arr)
+            fields.append(pa.field(col["name"], arr.type, nullable=col.get("nullable", True)))
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))

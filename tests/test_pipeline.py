@@ -135,6 +135,44 @@ def test_manifest_lineage_fields(ray_session, frag_dir, tmp_path):
     assert on_disk["checksum_of_checksums"] == manifest["checksum_of_checksums"]
 
 
+def test_pruned_decode_ranged_io(ray_session, frag_dir, tmp_path):
+    out = str(tmp_path / "enc")
+    enc.encode_files(frag_dir, out, target_rows=8_000)
+    pruned = dec.decode_dataset(out, columns=["conv_id", "turn_idx"])
+    batches = list(pruned.iter_batches(batch_size=None, batch_format="pyarrow"))
+    got = pa.concat_tables(batches)
+    assert got.column_names == ["conv_id", "turn_idx"]
+    assert got.num_rows == 20_000
+
+
+def test_giant_conversation_spans_partitions(ray_session, tmp_path):
+    """One conversation larger than a partition must round-trip exactly
+    (FIXTURES.md F2 'conversation longer than one batch'; SURVEY §7 skew)."""
+    import numpy as np
+
+    n = 30_000
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-giant"] * n, pa.string()),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "role": pa.array(["user", "assistant"] * (n // 2), pa.string()),
+            "text": pa.array([f"turn {i}" for i in range(n)], pa.string()),
+            "tool": pa.array([""] * n, pa.string()),
+            "ts": pa.array(np.arange(n, dtype=np.int64) * 1000, pa.timestamp("us")),
+        }
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(t, os.path.join(src, "giant.parquet"), row_group_size=4096)
+    out = str(tmp_path / "enc")
+    manifest = enc.encode_files(src, out, target_rows=8_192)
+    assert manifest["n_partitions"] >= 3  # the conversation spans partitions
+    got = pa.concat_tables(
+        dec.decode_dataset(out).iter_batches(batch_size=None, batch_format="pyarrow")
+    ).sort_by([("turn_idx", "ascending")])
+    assert got.combine_chunks().equals(t)
+
+
 # ----------------------------------------------------------- error routing
 
 
