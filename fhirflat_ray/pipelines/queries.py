@@ -719,6 +719,24 @@ def knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def validate_errors(sf_dir: str):
+    """Valid/error routing over a transcript table with injected defects
+    (duplicate (conv, turn) rows) — the reference's validation split
+    (/root/reference/fhirflat/resources/base.py:89-149). Rows-only check:
+    returns the errors table."""
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import split_valid, validate_transcripts
+
+    built = transcript_build(sf_dir)
+    tbl = pa.concat_tables(built.iter_batches(batch_size=None, batch_format="pyarrow"))
+    # inject: duplicate the first 10 rows (same (conv_id, turn_idx))
+    defective = pa.concat_tables([tbl, tbl.slice(0, 10)])
+    marked = validate_transcripts(rd.from_arrow(defective))
+    _, errors = split_valid(marked)
+    return errors.select_columns(["conv_id", "turn_idx", "_error"])
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -752,6 +770,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
+    "validate_errors": validate_errors,
 }
 
 ORACLE_SQL = {
