@@ -162,8 +162,19 @@ def encode_column(
         hdr["c"] = "ints"
         hdr["h"] = ih
     elif pa.types.is_floating(t):
-        body = arr.to_numpy(zero_copy_only=False).tobytes()
-        hdr["c"] = "plain_float"
+        dec = _try_decimal_ints(arr) if pa.types.is_float64(t) else None
+        if dec is not None:
+            k, ints = dec
+            ih, body = encode_ints(ints)
+            if len(body) < 8 * n:  # only keep when it actually wins
+                hdr["c"] = "decfloat"
+                hdr["k"] = k
+                hdr["h"] = ih
+            else:
+                dec = None
+        if dec is None:
+            body = arr.to_numpy(zero_copy_only=False).tobytes()
+            hdr["c"] = "plain_float"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         sh, body = encode_strings(arr, shared_vocab, shared_hash)
         hdr["c"] = "str"
@@ -193,6 +204,28 @@ def _is_codecable(t: pa.DataType) -> bool:
         or pa.types.is_binary(t)
         or pa.types.is_large_binary(t)
     )
+
+
+def _try_decimal_ints(arr: pa.Array) -> tuple[int, np.ndarray] | None:
+    """Decimal-scaled-integer float codec (frame-of-reference for money):
+    find the smallest k <= 4 with v == round(v * 10^k) / 10^k BITWISE for
+    every element; then the column is stored as integers + scale. The decode
+    division reproduces the exact input doubles (verified at encode time), so
+    the round trip stays bit-identical; NaN/-0.0/huge values fail the check
+    and fall back to plain."""
+    v = arr.to_numpy(zero_copy_only=False)
+    if len(v) == 0 or not np.all(np.isfinite(v)):
+        return None
+    vbits = v.view(np.int64)
+    for k in range(5):
+        scale = 10.0**k
+        ints = np.round(v * scale)
+        if np.abs(ints).max() >= 2**53:
+            return None
+        back = ints / scale
+        if np.array_equal(back.view(np.int64), vbits):
+            return k, ints.astype(np.int64)
+    return None
 
 
 def _ipc_serialize(arr: pa.Array) -> bytes:
@@ -231,6 +264,11 @@ def decode_column(
     if c == "ints":
         vals = decode_ints(hdr["h"], blob, n)
         return _restore_intlike(vals, t, validity, n)
+    if c == "decfloat":
+        ints = decode_ints(hdr["h"], blob, n)
+        vals = ints.astype(np.float64) / (10.0 ** hdr["k"])
+        vbuf = pa.py_buffer(validity) if validity is not None else None
+        return pa.Array.from_buffers(t, n, [vbuf, pa.py_buffer(vals.tobytes())])
     if c == "plain_float":
         dtype = np.float32 if pa.types.is_float32(t) else np.float64
         vals = np.frombuffer(blob, dtype=dtype, count=n)

@@ -51,6 +51,14 @@ def encode_ints(v: np.ndarray, _depth: int = 0) -> tuple[dict[str, Any], bytes]:
 
     vmin = int(v.min())
     resid, w_for = _residual_width(v, vmin)
+    g_for = 1
+    if 0 < w_for < 64:
+        # factor out a common divisor (day-granularity timestamps, scaled
+        # decimals): residual = g * packed, shrinking the bit width
+        g_for = int(np.gcd.reduce(resid))
+        if g_for > 1:
+            resid = resid // g_for
+            w_for = bit_width(int(resid.max()))
     candidates: list[tuple[int, str]] = [(8 * n, "plain")]
     if w_for < 64:
         candidates.append((packed_nbytes(n, w_for), "for"))
@@ -58,11 +66,18 @@ def encode_ints(v: np.ndarray, _depth: int = 0) -> tuple[dict[str, Any], bytes]:
     d = np.array([], dtype=np.int64)
     w_delta = 64
     dmin = 0
+    g_delta = 1
+    dresid = np.array([], dtype=np.int64)
     if n > 1:
         with np.errstate(over="ignore"):
             d = v[1:] - v[:-1]
         dmin = int(d.min())
         dresid, w_delta = _residual_width(d, dmin)
+        if 0 < w_delta < 64:
+            g_delta = int(np.gcd.reduce(dresid))
+            if g_delta > 1:
+                dresid = dresid // g_delta
+                w_delta = bit_width(int(dresid.max()))
         if w_delta < 64:
             candidates.append((8 + packed_nbytes(n - 1, w_delta) + _HDR_OVERHEAD, "delta"))
 
@@ -80,13 +95,15 @@ def encode_ints(v: np.ndarray, _depth: int = 0) -> tuple[dict[str, Any], bytes]:
     choice = min(candidates)[1]
 
     if choice == "for":
-        return {"c": "for", "ref": vmin, "w": w_for}, pack_bits(resid, w_for)
+        hdr = {"c": "for", "ref": vmin, "w": w_for}
+        if g_for > 1:
+            hdr["g"] = g_for
+        return hdr, pack_bits(resid, w_for)
     if choice == "delta":
-        dresid, _ = _residual_width(d, dmin)
-        return (
-            {"c": "delta", "first": int(v[0]), "ref": dmin, "w": w_delta},
-            pack_bits(dresid, w_delta),
-        )
+        hdr = {"c": "delta", "first": int(v[0]), "ref": dmin, "w": w_delta}
+        if g_delta > 1:
+            hdr["g"] = g_delta
+        return hdr, pack_bits(dresid, w_delta)
     if choice == "rle":
         run_vals = v[starts]
         vh, vb = encode_ints(run_vals, _depth + 1)
@@ -109,10 +126,14 @@ def decode_ints(hdr: dict[str, Any], blob: bytes, n: int) -> np.ndarray:
     if c == "for":
         resid = unpack_bits(blob, hdr["w"], n)
         with np.errstate(over="ignore"):
+            if hdr.get("g", 1) > 1:
+                resid = resid * np.int64(hdr["g"])
             return resid + np.int64(hdr["ref"])
     if c == "delta":
         dresid = unpack_bits(blob, hdr["w"], n - 1)
         with np.errstate(over="ignore"):
+            if hdr.get("g", 1) > 1:
+                dresid = dresid * np.int64(hdr["g"])
             d = dresid + np.int64(hdr["ref"])
             out = np.concatenate([np.array([hdr["first"]], dtype=np.int64), d])
             np.cumsum(out, out=out)  # int64 wraparound cumsum

@@ -140,6 +140,14 @@ def build_shared_dicts(
     if not columns:
         return {}
 
+    # tolerate requested columns absent from this table's schema (the CLI
+    # defaults to role,tool; arbitrary tables just skip them)
+    if input_paths:
+        schema_names = set(pq.read_schema(input_paths[0]).names)
+        columns = [c for c in columns if c in schema_names]
+    if not columns:
+        return {}
+
     merged: dict[str, set] = {c: set() for c in columns}
 
     if sample_fragments is not None and len(input_paths) >= 1:
