@@ -304,6 +304,75 @@ class EncodePartition:
         return pa.Table.from_pylist(records)
 
 
+def encode_dataset(
+    ds,
+    out_dir: str,
+    *,
+    sort_keys: tuple[str, ...] | None = ORDER_KEY,
+    shared: dict[str, tuple[str, pa.Array]] | None = None,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+) -> dict[str, Any]:
+    """Streaming encode of an in-memory/lazy ``ray.data.Dataset``.
+
+    For pipelines whose input is already a Dataset (e.g. after
+    ``stages.layout.hash_partition_sort`` or any upstream transform): each
+    batch becomes one content-addressed segment written by the map task
+    itself, so the whole pipeline streams with backpressure and nothing
+    materializes on the driver. Partition ids are content hashes — retries
+    are idempotent, but resume-by-skipping needs the deterministic
+    file-driven planner (``encode_files``); use that for restartable bulk
+    jobs. Returns the manifest (driver-side fold of the per-segment rows).
+    """
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    shared = shared or {}
+    shared_ref = ray.put(shared) if shared else None
+
+    def encode_block(batch: pa.Table) -> pa.Table:
+        _tune_worker_memory()
+        sh = _resolve_shared(shared_ref)
+        table = batch
+        if sort_keys:
+            keys = [k for k in sort_keys if k in table.column_names]
+            if keys:
+                table = table.sort_by([(k, "ascending") for k in keys])
+        header, payload = seg.encode_table(table, sh)
+        digest = seg.sha256_hex(payload)
+        record = lin.lineage_record(
+            part_id=int(digest[:12], 16),
+            input_fragment=f"dataset-block:{digest[:12]}",
+            row_range=(0, table.num_rows),
+            n_rows=table.num_rows,
+            raw_bytes=table.nbytes,
+            encoded_bytes=len(payload),
+            columns=header["columns"],
+            payload_sha256=digest,
+        )
+        path = os.path.join(out_dir, f"part-{digest[:12]}.seg")
+        seg.write_segment(path, header, payload, record)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "part_id": record["part_id"],
+                    "n_rows": record["n_rows"],
+                    "raw_bytes": record["raw_bytes"],
+                    "encoded_bytes": record["encoded_bytes"],
+                }
+            ]
+        )
+
+    ds.map_batches(
+        encode_block, batch_size=target_rows, batch_format="pyarrow", num_cpus=1
+    ).take_all()
+    records = lin.collect_lineage(out_dir)
+    return lin.write_manifest(
+        out_dir,
+        records,
+        extra={"source": "dataset", "sort_keys": list(sort_keys) if sort_keys else None},
+    )
+
+
 def encode_files(
     input_paths: list[str] | str,
     out_dir: str,

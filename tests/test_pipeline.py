@@ -135,6 +135,43 @@ def test_manifest_lineage_fields(ray_session, frag_dir, tmp_path):
     assert on_disk["checksum_of_checksums"] == manifest["checksum_of_checksums"]
 
 
+def test_streaming_encode_dataset(ray_session, tmp_path):
+    """Dataset-native streaming encode: layout → encode_dataset → decode ==
+    source (the pure-Dataset pipeline path, no input files required)."""
+    import ray.data as rd
+
+    from fhirflat_ray import fixtures
+    from fhirflat_ray.stages.layout import hash_partition_sort
+
+    t = fixtures.make_unsorted_transcripts(6_000, seed=8)
+    laid = hash_partition_sort(rd.from_arrow(t), n_buckets=4)
+    out = str(tmp_path / "stream_enc")
+    manifest = enc.encode_dataset(laid, out, target_rows=2_000)
+    assert manifest["n_rows"] == 6_000
+    assert manifest["encoded_bytes"] < manifest["raw_bytes"] / 3
+
+    got = pa.concat_tables(
+        dec.decode_dataset(out).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    key = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    assert (
+        got.select(t.column_names).sort_by(key).combine_chunks().cast(t.schema)
+        .equals(t.sort_by(key).combine_chunks())
+    )
+
+
+def test_encode_empty_input(ray_session, tmp_path):
+    src = str(tmp_path / "empty")
+    os.makedirs(src)
+    pq.write_table(fixtures.make_transcripts(10, seed=1).slice(0, 0), os.path.join(src, "e.parquet"))
+    out = str(tmp_path / "enc")
+    manifest = enc.encode_files(src, out)
+    assert manifest["n_rows"] == 0
+    if manifest["n_partitions"]:
+        # an empty row group yields one empty segment — decodes to 0 rows
+        assert dec.decode_dataset(out).count() == 0
+
+
 def test_pruned_decode_ranged_io(ray_session, frag_dir, tmp_path):
     out = str(tmp_path / "enc")
     enc.encode_files(frag_dir, out, target_rows=8_000)
