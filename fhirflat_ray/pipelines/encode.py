@@ -413,8 +413,27 @@ def encode_files(
     os.makedirs(out_dir, exist_ok=True)
     items = plan_partitions(input_paths, target_rows)
 
-    done = lin.completed_part_ids(out_dir) if resume else set()
+    def fragment_of(it: dict[str, Any]) -> str:
+        return f"{it['path']}#rg{it['row_groups'][0]}-{it['row_groups'][-1]}"
+
+    done_map = lin.completed_partitions(out_dir) if resume else {}
+    # skip only when BOTH the id and the input fragment match — an input set
+    # that changed since the interrupted run re-encodes shifted partitions
+    done = {
+        it["part_id"]
+        for it in items
+        if done_map.get(it["part_id"]) == fragment_of(it)
+    }
     todo = [it for it in items if it["part_id"] not in done]
+
+    # remove stray segments from a previous plan (shrunken/changed input) so
+    # decode never reads rows that are no longer part of this job
+    planned_paths = {lin.segment_path(out_dir, it["part_id"]) for it in items}
+    import glob as _glob
+
+    for stray in _glob.glob(os.path.join(out_dir, "part-*.seg")):
+        if stray not in planned_paths:
+            os.unlink(stray)
 
     shared = (
         build_shared_dicts(input_paths, shared_dict_columns, out_dir)

@@ -719,6 +719,42 @@ def knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def flatten_props(sf_dir: str):
+    """M1/M8 struct-flatten on live data: parse the ``props`` JSON column
+    into a struct, run the real ``flatten_batch`` (dotted names), aggregate
+    the flattened leaf per event_type."""
+    from ray.data.aggregate import Count, Sum
+
+    from fhirflat_ray.stages.flatten import flatten_batch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse_and_flatten(batch: pa.Table) -> pa.Table:
+        k = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
+        kv = pc.struct_field(k, [0]).cast(pa.int64())
+        nested = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "props": pa.StructArray.from_arrays([kv.combine_chunks()], ["k"]),
+            }
+        )
+        return flatten_batch(nested)  # → event_type, props.k
+
+    flat = ds.map_batches(parse_and_flatten, batch_format="pyarrow")
+    out = flat.groupby("event_type").aggregate(
+        Sum("props.k", alias_name="sum_k"), Count(alias_name="n")
+    )
+    return out
+
+
+FLATTEN_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def validate_errors(sf_dir: str):
     """Valid/error routing over a transcript table with injected defects
     (duplicate (conv, turn) rows) — the reference's validation split
@@ -771,6 +807,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "validate_errors": validate_errors,
+    "flatten_props": flatten_props,
 }
 
 ORACLE_SQL = {
@@ -798,6 +835,7 @@ ORACLE_SQL = {
     "fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "flatten_props": FLATTEN_PROPS_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

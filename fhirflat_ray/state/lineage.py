@@ -116,17 +116,19 @@ def read_manifest(out_dir: str) -> dict[str, Any] | None:
         return json.load(f)
 
 
-def completed_part_ids(out_dir: str) -> set[int]:
-    """Partitions whose segments are already durably on disk.
+def completed_partitions(out_dir: str) -> dict[int, str]:
+    """part_id → input_fragment for segments already durably on disk.
 
     Trusts only fully-written segments (atomic rename guarantees integrity);
     the manifest is advisory — segments written after the last manifest fold
     still count, so a crash between segment write and manifest write never
-    re-encodes work.
+    re-encodes work. The fragment string lets resume verify *identity*, not
+    just ordinal id: if the input file set changed and ids shifted, stale
+    segments are re-encoded instead of wrongly skipped.
     """
     from fhirflat_ray.state.segments import read_segment_header
 
-    done: set[int] = set()
+    done: dict[int, str] = {}
     for path in glob.glob(os.path.join(out_dir, "part-*.seg")):
         try:
             hdr, _ = read_segment_header(path)
@@ -134,8 +136,12 @@ def completed_part_ids(out_dir: str) -> set[int]:
             continue
         lin = hdr.get("lineage")
         if lin is not None:
-            done.add(int(lin["part_id"]))
+            done[int(lin["part_id"])] = str(lin.get("input_fragment", ""))
     return done
+
+
+def completed_part_ids(out_dir: str) -> set[int]:
+    return set(completed_partitions(out_dir))
 
 
 def collect_lineage(out_dir: str) -> list[dict[str, Any]]:

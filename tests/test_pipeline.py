@@ -123,6 +123,28 @@ def test_resume_skips_completed_and_is_deterministic(ray_session, frag_dir, tmp_
     assert resumed["n_rows"] == full["n_rows"]
 
 
+def test_resume_reencodes_when_input_set_changed(ray_session, tmp_path):
+    """If new fragments shift partition ids, stale segments must be
+    re-encoded, not wrongly skipped (resume verifies fragment identity)."""
+    d = tmp_path / "frags"
+    d.mkdir()
+    t = fixtures.make_transcripts(4_000, seed=11)
+    pq.write_table(t.slice(0, 2_000), str(d / "b.parquet"))
+    out = str(tmp_path / "enc")
+    enc.encode_files(str(d), out, target_rows=1_000)
+
+    # add a file that sorts BEFORE the existing one → all part ids shift
+    pq.write_table(t.slice(2_000), str(d / "a.parquet"))
+    manifest = enc.encode_files(str(d), out, target_rows=1_000, resume=True)
+    assert manifest["n_rows"] == 4_000
+    assert manifest["skipped_partitions"] == []  # nothing matched → full redo
+
+    import ray.data as rd
+
+    verdict = ver.verify_roundtrip(rd.read_parquet(str(d)), dec.decode_dataset(out))
+    assert verdict["equal"], verdict
+
+
 def test_manifest_lineage_fields(ray_session, frag_dir, tmp_path):
     out = str(tmp_path / "enc")
     manifest = enc.encode_files(frag_dir, out, target_rows=8_000)
