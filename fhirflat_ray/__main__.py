@@ -82,6 +82,53 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0 if verdict["equal"] else 1
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    from collections import Counter
+
+    from fhirflat_ray.state.lineage import read_manifest
+
+    m = read_manifest(args.segments)
+    if m is None:
+        print(json.dumps({"error": f"no manifest under {args.segments}"}))
+        return 1
+    codec_counts: Counter[str] = Counter()
+    for p in m["partitions"]:
+        for col, codec in p.get("codecs", {}).items():
+            codec_counts[f"{col}:{codec}"] += 1
+    print(
+        json.dumps(
+            {
+                "partitions": m["n_partitions"],
+                "rows": m["n_rows"],
+                "raw_bytes": m["raw_bytes"],
+                "encoded_bytes": m["encoded_bytes"],
+                "ratio": round(m["raw_bytes"] / max(1, m["encoded_bytes"]), 2),
+                "checksum": m["checksum_of_checksums"],
+                "codecs": dict(sorted(codec_counts.items())),
+                "shared_dicts": m.get("shared_dicts", {}),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.encode import compact_segments
+
+    m = compact_segments(args.segments, args.output, target_rows=args.target_rows)
+    print(
+        json.dumps(
+            {
+                "partitions": m["n_partitions"],
+                "rows": m["n_rows"],
+                "encoded_bytes": m["encoded_bytes"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     # delegate to the repo-root bench harness (one JSON line contract)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -115,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("source")
     pv.add_argument("segments")
     pv.set_defaults(fn=cmd_verify)
+
+    ps = sub.add_parser("stats", help="summarize a segment dir's manifest")
+    ps.add_argument("segments")
+    ps.set_defaults(fn=cmd_stats)
+
+    pc_ = sub.add_parser("compact", help="merge small segments into larger ones")
+    pc_.add_argument("segments")
+    pc_.add_argument("output")
+    pc_.add_argument("--target-rows", type=int, default=512 * 1024)
+    pc_.set_defaults(fn=cmd_compact)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--scaling", action="store_true")

@@ -373,6 +373,24 @@ def encode_dataset(
     )
 
 
+def compact_segments(
+    seg_dir: str,
+    out_dir: str,
+    *,
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    sort_keys: tuple[str, ...] | None = ORDER_KEY,
+) -> dict[str, Any]:
+    """Merge many small segments into target-sized ones (the small-file
+    compaction a long-running ingest needs): streaming decode → re-sort →
+    streaming re-encode. Compression usually improves because larger
+    partitions give the dictionaries and run-length codecs more context."""
+    from fhirflat_ray.pipelines.decode import decode_dataset
+
+    return encode_dataset(
+        decode_dataset(seg_dir), out_dir, sort_keys=sort_keys, target_rows=target_rows
+    )
+
+
 def encode_files(
     input_paths: list[str] | str,
     out_dir: str,
