@@ -222,9 +222,12 @@ def _try_decimal_ints(arr: pa.Array) -> tuple[int, np.ndarray] | None:
         ints = np.round(v * scale)
         if np.abs(ints).max() >= 2**53:
             return None
-        back = ints / scale
+        # verify through the ACTUAL stored representation (int64) — e.g.
+        # -0.0 survives a float division check but not the integer cast
+        stored = ints.astype(np.int64)
+        back = stored.astype(np.float64) / scale
         if np.array_equal(back.view(np.int64), vbits):
-            return k, ints.astype(np.int64)
+            return k, stored
     return None
 
 

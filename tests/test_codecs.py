@@ -202,3 +202,47 @@ def test_edgecase_table_roundtrip():
 def test_timestamp_with_tz_roundtrip():
     arr = pa.array([1, 2, 3], pa.timestamp("us", tz="UTC"))
     assert roundtrip(arr).equals(arr)
+
+
+# ------------------------------------------------------------ decfloat/gcd
+
+
+def test_decimal_float_codec_for_money():
+    vals = [round(x * 0.01, 2) for x in range(0, 5000, 7)]
+    arr = pa.array(vals, pa.float64())
+    hdr, blob = encode_column(arr)
+    assert hdr["c"] == "decfloat" and hdr["k"] == 2
+    assert len(blob) < len(vals) * 8 / 3
+    assert arrays_equal(roundtrip(arr), arr)
+
+
+def test_decimal_float_rejects_non_decimals():
+    for vals in ([1 / 3, 2 / 3], [float("nan"), 1.0], [1e308, -1e308], [-0.0, 1.5]):
+        arr = pa.array(vals, pa.float64())
+        hdr, blob = encode_column(arr)
+        assert hdr["c"] == "plain_float", vals
+        assert arrays_equal(decode_column(hdr, blob), arr)
+
+
+def test_gcd_factoring_for_strided_ints():
+    import numpy as np
+
+    day = 86_400_000_000
+    arr = pa.array(
+        (np.arange(200) * day + 1_700_000_000_000_000), pa.timestamp("us")
+    )
+    hdr, blob = encode_column(arr)
+    inner = hdr["h"]
+    assert inner.get("g", 1) == day or inner["c"] == "delta" and inner.get("g", inner["ref"]) >= day
+    assert len(blob) <= 8  # constant stride → (near-)zero payload
+    assert roundtrip(arr).equals(arr)
+
+
+def test_gcd_factoring_random_multiples():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    arr = pa.array(rng.integers(0, 1000, 500) * 2500, pa.int64())
+    hdr, blob = encode_column(arr)
+    assert roundtrip(arr).equals(arr)
+    assert len(blob) < 500 * 3  # ~10 bits/value after factoring 2500 out
