@@ -28,9 +28,6 @@ import pyarrow.compute as pc
 from fhirflat_ray.codecs import fsst as fsst_mod
 from fhirflat_ray.codecs.ints import decode_ints, encode_ints
 
-_HDR_OVERHEAD = 48
-
-
 # ---------------------------------------------------------------- helpers
 
 
