@@ -188,6 +188,28 @@ def build_shared_dicts(
     return out
 
 
+def _already_sorted(table: pa.Table, keys: list[str]) -> bool:
+    """Vectorized lexicographic sortedness check for 1-2 keys — bulk inputs
+    are usually already (conv, turn)-ordered, and skipping the sort avoids a
+    full table copy per partition."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    if n < 2 or not keys:
+        return True
+    a = table.column(keys[0]).combine_chunks()
+    lo, hi = a.slice(0, n - 1), a.slice(1)
+    le = pc.less_equal(lo, hi)
+    if not pc.all(le).as_py():
+        return False
+    if len(keys) == 1:
+        return True
+    eq = pc.equal(lo, hi)
+    b = table.column(keys[1]).combine_chunks()
+    b_ok = pc.less_equal(b.slice(0, n - 1), b.slice(1))
+    return pc.all(pc.if_else(eq, b_ok, pa.scalar(True))).as_py()
+
+
 def encode_partition_item(
     item: dict[str, Any],
     out_dir: str,
@@ -204,7 +226,7 @@ def encode_partition_item(
     t1 = time.monotonic()
     if sort_keys:
         keys = [k for k in sort_keys if k in table.column_names]
-        if keys:
+        if keys and not (len(keys) <= 2 and _already_sorted(table, keys)):
             table = table.sort_by([(k, "ascending") for k in keys])
     t2 = time.monotonic()
     header, payload = seg.encode_table(table, shared)
