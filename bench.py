@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "knn_bruteforce",
     "transcript_build",
+    "tumbling_window",
+    "asof_join",
 ]
 
 
