@@ -54,6 +54,11 @@ def build_symbols(sample: bytes, max_symbols: int) -> list[bytes]:
     for _gain, sym in scored:
         if len(chosen) >= max_symbols:
             break
+        # suppress near-duplicates: a symbol that contains or is contained by
+        # an already-chosen one mostly re-covers the same bytes and wastes a
+        # code point that a diverse symbol could use
+        if any(sym in c or c in sym for c in chosen):
+            continue
         chosen.append(sym)
     # longest-first so greedy replacement prefers bigger wins
     chosen.sort(key=lambda s: (-len(s), s))

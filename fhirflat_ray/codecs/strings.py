@@ -185,11 +185,13 @@ def decode_worddict(hdr: dict[str, Any], blob: bytes, n: int) -> pa.Array:
 # ---------------------------------------------------------------- fsst
 
 
-def encode_fsst(arr: pa.Array) -> tuple[dict[str, Any], bytes] | None:
+def encode_fsst(arr: pa.Array, min_sample_gain: float = 0.0) -> tuple[dict[str, Any], bytes] | None:
     lengths, data = _string_payload(arr)
     table = fsst_mod.train(data)
     if table is None:
         return None
+    if min_sample_gain and fsst_mod.estimate_ratio(data, table) > 1.0 - min_sample_gain:
+        return None  # the sample says this column won't compress enough
     offs = np.concatenate([[0], np.cumsum(lengths)])
     parts = [data[offs[i] : offs[i + 1]] for i in range(len(lengths))]
     blob, enc_lens = fsst_mod.encode_parts(parts, table)
@@ -262,8 +264,10 @@ def encode_strings(
         and total / max(n, 1) >= 8
         and best[0] > 0.8 * total
     ):
-        f = encode_fsst(arr)
-        if f is not None and len(f[1]) < best[0]:
+        # sampled estimate gates the expensive full encode; keep FSST only on
+        # a clear (>=10%) win over the best lightweight candidate
+        f = encode_fsst(arr, min_sample_gain=0.15)
+        if f is not None and len(f[1]) < 0.9 * best[0]:
             best = (len(f[1]), f[0], f[1])
 
     return best[1], best[2]
