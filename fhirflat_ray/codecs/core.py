@@ -130,6 +130,11 @@ def encode_column(
         arr = arr.combine_chunks()
     n = len(arr)
     t = arr.type
+    if _is_numeric_list(t) and arr.null_count == 0:
+        enc = _encode_numeric_list(arr)
+        if enc is not None:
+            return enc
+
     hdr: dict[str, Any] = {"t": type_to_str(t) if _is_codecable(t) else "ipc", "n": n}
 
     if not _is_codecable(t):
@@ -206,6 +211,61 @@ def _is_codecable(t: pa.DataType) -> bool:
     )
 
 
+def _is_numeric_list(t: pa.DataType) -> bool:
+    """list/fixed_size_list of floats or int-likes (embedding columns)."""
+    if pa.types.is_list(t) or pa.types.is_fixed_size_list(t):
+        vt = t.value_type
+        return pa.types.is_floating(vt) or _is_intlike(vt) or pa.types.is_boolean(vt)
+    return False
+
+
+def _encode_numeric_list(arr: pa.Array) -> tuple[dict[str, Any], bytes] | None:
+    """Numeric list columns (embeddings): child values through the numeric
+    codec path + per-row lengths through the int codec — no IPC framing, and
+    integer/decimal element types get the full lightweight treatment."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        lengths = np.full(len(arr), t.list_size, dtype=np.int64)
+        child = arr.values if hasattr(arr, "values") else arr.flatten()
+    else:
+        lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        child = pc.list_flatten(arr)
+    if isinstance(child, pa.ChunkedArray):
+        child = child.combine_chunks()
+    if child.null_count > 0:
+        return None  # nested nulls → IPC passthrough keeps exact layout
+    ch, cb = encode_column(child)
+    lh, lb = encode_ints(lengths)
+    hdr = {
+        "t": type_to_str(t.value_type),
+        "n": len(arr),
+        "c": "numlist",
+        "fixed": t.list_size if pa.types.is_fixed_size_list(t) else None,
+        "vname": t.value_field.name,  # preserve e.g. list<element: float>
+        "vnull": t.value_field.nullable,
+        "lens": {"h": lh, "len": len(lb)},
+        "child": {"h": ch, "n": len(child)},
+    }
+    return hdr, lb + cb
+
+
+def _decode_numeric_list(hdr: dict[str, Any], blob: bytes, dict_store=None) -> pa.Array:
+    nb = hdr["lens"]["len"]
+    lengths = decode_ints(hdr["lens"]["h"], blob[:nb], hdr["n"])
+    child = decode_column(hdr["child"]["h"], blob[nb:], dict_store)
+    if isinstance(child, pa.ChunkedArray):
+        child = child.combine_chunks()
+    field = pa.field(hdr.get("vname", "item"), child.type, nullable=hdr.get("vnull", True))
+    if hdr.get("fixed"):
+        out = pa.FixedSizeListArray.from_arrays(child, hdr["fixed"])
+        return out.cast(pa.list_(field, hdr["fixed"]))
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+    return out.cast(pa.list_(field))
+
+
 def _try_decimal_ints(arr: pa.Array) -> tuple[int, np.ndarray] | None:
     """Decimal-scaled-integer float codec (frame-of-reference for money):
     find the smallest k <= 4 with v == round(v * 10^k) / 10^k BITWISE for
@@ -252,6 +312,8 @@ def decode_column(
 ) -> pa.Array:
     if hdr.get("c") == "ipc":
         return _ipc_deserialize(blob)
+    if hdr.get("c") == "numlist":
+        return _decode_numeric_list(hdr, blob, dict_store)
     n = hdr["n"]
     t = str_to_type(hdr["t"])
     validity: bytes | None = None

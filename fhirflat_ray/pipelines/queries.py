@@ -125,8 +125,18 @@ def documents_roundtrip(sf_dir: str):
     return _generic_roundtrip(sf_dir, "documents")
 
 
+def embeddings_roundtrip(sf_dir: str):
+    """Numeric-list (embedding) columns through the numlist codec; the
+    returned labels/ids prove the row set — the vector payload equality is
+    asserted by the codec layer's bit-exact guarantee (rows-only check:
+    list-typed value hashing differs between engines)."""
+    ds = _generic_roundtrip(sf_dir, "embeddings")
+    return ds.select_columns(["vec_id", "label"])
+
+
 EVENTS_ROUNDTRIP_SQL = "SELECT * FROM events"
 DOCUMENTS_ROUNDTRIP_SQL = "SELECT * FROM documents"
+EMBEDDINGS_ROUNDTRIP_SQL = "SELECT vec_id, label FROM embeddings"
 
 
 # =====================================================================
@@ -782,6 +792,7 @@ QUERIES = {
     "transcript_roundtrip": transcript_roundtrip,
     "events_roundtrip": events_roundtrip,
     "documents_roundtrip": documents_roundtrip,
+    "embeddings_roundtrip": embeddings_roundtrip,
     "q1_lineitem": q1_lineitem,
     "events_condense": events_condense,
     "distinct_users": distinct_users,
@@ -815,6 +826,7 @@ ORACLE_SQL = {
     "transcript_roundtrip": TRANSCRIPT_BUILD_SQL,
     "events_roundtrip": EVENTS_ROUNDTRIP_SQL,
     "documents_roundtrip": DOCUMENTS_ROUNDTRIP_SQL,
+    "embeddings_roundtrip": EMBEDDINGS_ROUNDTRIP_SQL,
     "q1_lineitem": Q1_SQL,
     "events_condense": EVENTS_CONDENSE_SQL,
     "distinct_users": DISTINCT_USERS_SQL,

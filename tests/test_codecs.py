@@ -204,6 +204,41 @@ def test_timestamp_with_tz_roundtrip():
     assert roundtrip(arr).equals(arr)
 
 
+# ------------------------------------------------------------ numeric lists
+
+
+@pytest.mark.parametrize(
+    "arr",
+    [
+        pa.array([[1.0, 2.5], [3.25], []], pa.list_(pa.float32())),
+        pa.array([[1, 2, 3], [4], [5, 6]], pa.list_(pa.int64())),
+        pa.array([[0.25, 1.5], [2.75, -0.5]], pa.list_(pa.float64())),
+        pa.array([[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32(), 2)),  # fixed size
+        pa.array([[True, False], [True]], pa.list_(pa.bool_())),
+    ],
+)
+def test_numeric_list_roundtrip(arr):
+    hdr, blob = encode_column(arr)
+    assert hdr["c"] == "numlist"
+    assert decode_column(hdr, blob).equals(arr)
+
+
+def test_numeric_list_with_inner_nulls_falls_back_to_ipc():
+    arr = pa.array([[1, None], [3]], pa.list_(pa.int64()))
+    hdr, blob = encode_column(arr)
+    assert hdr["c"] == "ipc"
+    assert decode_column(hdr, blob).equals(arr)
+
+
+def test_numeric_list_preserves_value_field_name():
+    t = pa.list_(pa.field("element", pa.float32()))
+    arr = pa.array([[1.0], [2.0]], t)
+    hdr, blob = encode_column(arr)
+    back = decode_column(hdr, blob)
+    assert str(back.type) == str(t)
+    assert back.equals(arr)
+
+
 # ------------------------------------------------------------ decfloat/gcd
 
 
