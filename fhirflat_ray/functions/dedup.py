@@ -102,32 +102,118 @@ class MinHasher:
         vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0)
 
+    def batch_signatures(self, texts: pa.Array) -> np.ndarray:
+        """Fully vectorized (n_docs, n_hashes) signatures for a whole batch.
+
+        Tokenize with Arrow, factorize tokens to int codes, compute k-shingle
+        rolling polynomial hashes over the flat code stream (k passes), mask
+        shingles that cross document boundaries, evaluate every universal
+        hash as one flat array op, and take per-document minima with
+        ``np.minimum.reduceat`` — no Python loop over documents."""
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n_docs = len(texts)
+        parts = pc.split_pattern_regex(texts, r"\s+")
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        # token values are hashed DETERMINISTICALLY (stable across batches,
+        # blocks and processes) via the small per-batch vocabulary — using
+        # raw dictionary codes would make signatures batch-local and LSH
+        # would only ever match duplicates inside one block
+        import pandas.util as pdu
+
+        vocab_hash = (
+            pdu.hash_array(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+            % np.uint64(_MERSENNE - 1)
+        ).astype(np.int64) + 1
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        codes = vocab_hash[idx]
+
+        total = len(codes)
+        k = self.k
+        B = np.int64(1_000_003)
+        # rolling polynomial hash of each k-window over the flat stream
+        n_win = max(0, total - k + 1)
+        acc = np.zeros(max(n_win, 0), dtype=np.int64)
+        for j in range(k):
+            acc = (acc * B + codes[j : j + n_win]) % _MERSENNE
+        # document boundaries in the flat stream
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        sigs = np.full((n_docs, self.n_hashes), _MERSENNE, dtype=np.int64)
+        # shingle ownership: window starting at i belongs to the doc whose
+        # span fully contains [i, i+k); windows crossing boundaries dropped
+        if n_win > 0:
+            starts = np.arange(n_win)
+            doc_of = np.searchsorted(offs, starts, side="right") - 1
+            valid = starts + k <= offs[doc_of + 1]
+            sh = acc[valid]
+            own = doc_of[valid]
+        else:
+            sh = np.array([], dtype=np.int64)
+            own = np.array([], dtype=np.int64)
+        # short documents (fewer than k tokens) hash their whole token run
+        short = np.nonzero(counts < k)[0]
+        if len(short):
+            sh_extra = np.zeros(len(short), dtype=np.int64)
+            for rank, d in enumerate(short):
+                seg = codes[offs[d] : offs[d + 1]]
+                h = np.int64(0)
+                for c in seg:
+                    h = (h * B + c) % _MERSENNE
+                sh_extra[rank] = h
+            sh = np.concatenate([sh, sh_extra])
+            own = np.concatenate([own, short])
+        if len(sh) == 0:
+            sigs[:] = 0
+            return sigs
+        order = np.argsort(own, kind="stable")
+        sh, own = sh[order], own[order]
+        present, first_idx = np.unique(own, return_index=True)
+        for h in range(self.n_hashes):
+            vals = (sh * self.a[h] + self.b[h]) % _MERSENNE
+            sigs[present, h] = np.minimum.reduceat(vals, first_idx)
+        sigs[sigs == _MERSENNE] = 0  # docs with no shingles at all
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t or "") for t in batch[self.column].to_pylist()]
-        return batch.append_column(
-            "minhash", pa.array([s.tolist() for s in sigs], pa.list_(pa.int64()))
+        sigs = self.batch_signatures(batch[self.column])
+        n, m = sigs.shape
+        offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+        list_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(sigs.reshape(-1), pa.int64())
         )
+        return batch.append_column("minhash", list_arr)
 
 
 def explode_bands(batch: pa.Table, n_bands: int = 16, id_column: str = "doc_id") -> pa.Table:
-    """(band_id, band_hash, doc_id) rows from minhash signatures."""
-    ids = batch[id_column].to_numpy(zero_copy_only=False)
-    sig_list = batch["minhash"].to_pylist()
-    rows_band, rows_hash, rows_id = [], [], []
-    for doc_id, sig in zip(ids, sig_list):
-        sig = np.asarray(sig, dtype=np.int64)
-        r = len(sig) // n_bands
-        for band in range(n_bands):
-            chunk = sig[band * r : (band + 1) * r]
-            h = hashlib.sha1(chunk.tobytes()).digest()[:8]
-            rows_band.append(band)
-            rows_hash.append(int.from_bytes(h, "big") >> 1)
-            rows_id.append(int(doc_id))
+    """(band_id, band_hash, doc_id) rows from minhash signatures.
+
+    Band hashes are a polynomial fold over each band's signature slice,
+    computed for the whole batch as one (n_docs, n_bands, r) matrix op."""
+    ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    mh = batch["minhash"].combine_chunks()
+    n_docs = len(mh)
+    flat = pc.list_flatten(mh).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = flat.size // max(1, n_docs)
+    r = m // n_bands
+    sig = flat.reshape(n_docs, n_bands, r)
+    B = np.int64(1_000_003)
+    h = np.zeros((n_docs, n_bands), dtype=np.int64)
+    for j in range(r):
+        h = (h * B + sig[:, :, j]) % _MERSENNE
+    # salt with the band index so identical slices in different bands differ
+    h = (h * B + np.arange(n_bands, dtype=np.int64)[None, :]) % _MERSENNE
     return pa.table(
         {
-            "band_id": pa.array(rows_band, pa.int32()),
-            "band_hash": pa.array(rows_hash, pa.int64()),
-            id_column: pa.array(rows_id, pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), n_docs), pa.int32()
+            ),
+            "band_hash": pa.array(h.reshape(-1), pa.int64()),
+            id_column: pa.array(np.repeat(ids, n_bands), pa.int64()),
         }
     )
 
