@@ -280,34 +280,56 @@ class JaccardVerifier:
 
 
 class SimHasher:
-    """64-bit SimHash per document (stateful: token hash cache per actor)."""
+    """63-bit SimHash per document, fully vectorized per batch.
+
+    Token bit-vectors come from a deterministic hash of the small per-batch
+    vocabulary (block-invariant, like MinHash); per-document bit sums use
+    ``np.add.reduceat`` over the flat token stream — no Python loop over
+    documents or tokens."""
 
     def __init__(self, column: str = "text"):
         self.column = column
-        self.cache: dict[str, int] = {}
 
-    def _token_hash(self, tok: str) -> int:
-        h = self.cache.get(tok)
-        if h is None:
-            h = int.from_bytes(hashlib.sha1(tok.encode()).digest()[:8], "big")
-            if len(self.cache) < 1_000_000:
-                self.cache[tok] = h
-        return h
+    def batch_simhashes(self, texts: pa.Array) -> np.ndarray:
+        import pandas.util as pdu
+
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n_docs = len(texts)
+        parts = pc.split_pattern_regex(texts, r"\s+")
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        denc = flat.dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        vocab_h = pdu.hash_array(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+        # (vocab, 64) signed bit matrix: +1/-1 per bit of the token hash
+        vb = np.unpackbits(
+            vocab_h.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int8)
+        vb = (2 * vb.astype(np.int16) - 1)
+        idx = denc.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(idx):
+            # 64 bincount passes (8MB working set each) instead of one
+            # (tokens x 64) int64 matrix — first-touch memory is the scarce
+            # resource on this host, not arithmetic
+            for j in range(64):
+                acc[:, j] = np.bincount(
+                    doc_of, weights=vb[idx, j], minlength=n_docs
+                ).astype(np.int64)
+        bits = (acc > 0).astype(np.uint8)
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        out = packed.reshape(-1).view("<u8").astype(np.uint64)
+        return (out >> np.uint64(1)).astype(np.int64)  # keep in int64 range
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = self._token_hash(tok)
-            bits = np.frombuffer(
-                np.uint64(h).tobytes(), dtype=np.uint8
-            )
-            bitarr = np.unpackbits(bits, bitorder="little").astype(np.int64)
-            acc += 2 * bitarr - 1
-        out = int(np.packbits((acc > 0).astype(np.uint8), bitorder="little").view("<u8")[0])
-        return out >> 1  # keep in int64 range
+        return int(self.batch_simhashes(pa.array([text], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t or "") for t in batch[self.column].to_pylist()]
+        hs = self.batch_simhashes(batch[self.column])
         return batch.append_column("simhash", pa.array(hs, pa.int64()))
 
 
