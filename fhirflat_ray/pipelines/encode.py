@@ -343,15 +343,34 @@ def encode_dataset(
     materializes on the driver. Partition ids are content hashes — retries
     are idempotent, but resume-by-skipping needs the deterministic
     file-driven planner (``encode_files``); use that for restartable bulk
-    jobs. Returns the manifest (driver-side fold of the per-segment rows).
+    jobs. Two byte-identical blocks deduplicate to one segment (at
+    whole-block granularity this implies a fully duplicated 100k+-row run —
+    use ``encode_files`` when exact multiset semantics must be guaranteed;
+    ``verify_roundtrip`` catches any such collapse). Returns the manifest.
     """
+    import glob as _glob
+
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
+    # not resumable: a previous run's segments must not leak into this manifest
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.seg")):
+        os.unlink(stale)
     shared = shared or {}
     shared_ref = ray.put(shared) if shared else None
 
+    _summary_schema = pa.schema(
+        [
+            ("part_id", pa.int64()),
+            ("n_rows", pa.int64()),
+            ("raw_bytes", pa.int64()),
+            ("encoded_bytes", pa.int64()),
+        ]
+    )
+
     def encode_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _summary_schema.empty_table()
         _tune_worker_memory()
         sh = _resolve_shared(shared_ref)
         table = batch
@@ -408,6 +427,12 @@ def compact_segments(
     partitions give the dictionaries and run-length codecs more context."""
     from fhirflat_ray.pipelines.decode import decode_dataset
 
+    if os.path.abspath(seg_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "compact_segments cannot write into its own source dir: "
+            "encode_dataset clears part-*.seg in out_dir before the lazy "
+            "decode executes"
+        )
     return encode_dataset(
         decode_dataset(seg_dir), out_dir, sort_keys=sort_keys, target_rows=target_rows
     )
