@@ -492,13 +492,16 @@ def encode_files(
     todo = [it for it in items if it["part_id"] not in done]
 
     # remove stray segments from a previous plan (shrunken/changed input) so
-    # decode never reads rows that are no longer part of this job
-    planned_paths = {lin.segment_path(out_dir, it["part_id"]) for it in items}
-    import glob as _glob
+    # decode never reads rows that are no longer part of this job; an EMPTY
+    # plan (typo'd/missing input) deletes nothing — never destroy durable
+    # work on a bad invocation
+    if items:
+        planned_paths = {lin.segment_path(out_dir, it["part_id"]) for it in items}
+        import glob as _glob
 
-    for stray in _glob.glob(os.path.join(out_dir, "part-*.seg")):
-        if stray not in planned_paths:
-            os.unlink(stray)
+        for stray in _glob.glob(os.path.join(out_dir, "part-*.seg")):
+            if stray not in planned_paths:
+                os.unlink(stray)
 
     shared = (
         build_shared_dicts(input_paths, shared_dict_columns, out_dir)
