@@ -182,6 +182,43 @@ def test_streaming_encode_dataset(ray_session, tmp_path):
     )
 
 
+def test_streaming_encode_clears_stale_and_skips_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = fixtures.make_transcripts(2_000, seed=14)
+    out = str(tmp_path / "se")
+    enc.encode_dataset(rd.from_arrow(t), out, target_rows=500)
+    first = set(os.listdir(out))
+
+    # re-encode different data into the same dir: old hash-named segments
+    # must not survive into the new manifest
+    t2 = fixtures.make_transcripts(1_000, seed=15)
+    m2 = enc.encode_dataset(rd.from_arrow(t2), out, target_rows=500)
+    assert m2["n_rows"] == 1_000
+    total = sum(
+        seg.read_segment(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".seg")
+    )
+    assert total == 1_000
+    assert first != set(os.listdir(out))
+
+
+def test_empty_plan_preserves_durable_segments(ray_session, tmp_path, frag_dir):
+    out = str(tmp_path / "enc")
+    enc.encode_files(frag_dir, out, target_rows=8_000)
+    n_before = len(dec.segment_paths(out))
+    empty_in = tmp_path / "emptyin"
+    empty_in.mkdir()
+    manifest = enc.encode_files(str(empty_in), out, resume=True)
+    assert len(dec.segment_paths(out)) == n_before  # nothing deleted
+
+
+def test_compact_refuses_self_target(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="own source dir"):
+        enc.compact_segments(str(tmp_path), str(tmp_path))
+
+
 def test_encode_empty_input(ray_session, tmp_path):
     src = str(tmp_path / "empty")
     os.makedirs(src)
