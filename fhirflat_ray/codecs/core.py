@@ -228,7 +228,9 @@ def _encode_numeric_list(arr: pa.Array) -> tuple[dict[str, Any], bytes] | None:
     t = arr.type
     if pa.types.is_fixed_size_list(t):
         lengths = np.full(len(arr), t.list_size, dtype=np.int64)
-        child = arr.values if hasattr(arr, "values") else arr.flatten()
+        # flatten() is offset/length-aware; .values returns the FULL backing
+        # buffer, silently encoding wrong rows for a sliced FixedSizeListArray
+        child = arr.flatten()
     else:
         lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
         child = pc.list_flatten(arr)

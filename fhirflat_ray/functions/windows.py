@@ -60,7 +60,14 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | N
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts_col] + [c for c in (order_cols or []) if c in g.columns]
         g = g.sort_values(order, kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
+        ts_raw = g[ts_col].to_numpy()
+        if np.issubdtype(ts_raw.dtype, np.datetime64):
+            # normalize to microseconds explicitly: a pandas/pyarrow combo
+            # that coerces timestamps to datetime64[ns] would otherwise make
+            # the gap comparison 1000x too tight
+            ts = ts_raw.astype("datetime64[us]").astype("int64")
+        else:
+            ts = ts_raw.astype("int64")
         new_session = np.concatenate([[True], np.diff(ts) > gap_us])
         sess_id = np.cumsum(new_session)
         lens = np.bincount(sess_id)[1:]

@@ -78,6 +78,8 @@ def plan_partitions(
     items: list[dict[str, Any]] = []
     part_id = 0
     for path in sorted(input_paths):
+        st = os.stat(path)
+        src_sig = f"{st.st_size}:{st.st_mtime_ns}"
         md = pq.ParquetFile(path).metadata
         groups: list[int] = []
         rows = 0
@@ -93,6 +95,7 @@ def plan_partitions(
                         "row_groups": groups,
                         "row_start": row_start,
                         "row_end": row_cursor,
+                        "src_sig": src_sig,
                     }
                 )
                 part_id += 1
@@ -108,10 +111,21 @@ def plan_partitions(
                     "row_groups": groups,
                     "row_start": row_start,
                     "row_end": row_cursor,
+                    "src_sig": src_sig,
                 }
             )
             part_id += 1
     return items
+
+
+def fragment_id(item: dict[str, Any]) -> str:
+    """Identity string for one planned fragment, embedded in its lineage
+    record and compared by resume. Includes the source file's size+mtime so
+    an input rewritten IN PLACE (same name, same row-group layout) is not
+    wrongly skipped, leaving stale encoded data."""
+    base = f"{item['path']}#rg{item['row_groups'][0]}-{item['row_groups'][-1]}"
+    sig = item.get("src_sig")
+    return f"{base}@{sig}" if sig else base
 
 
 def build_shared_dicts(
@@ -198,14 +212,21 @@ def _already_sorted(table: pa.Table, keys: list[str]) -> bool:
     if n < 2 or not keys:
         return True
     a = table.column(keys[0]).combine_chunks()
+    # pc.all skips nulls by default, so a nullable key could be reported
+    # sorted and silently skip the sort (degrading run lengths); treat any
+    # null in a key column as not-sorted and let sort_by place them
+    if a.null_count:
+        return False
     lo, hi = a.slice(0, n - 1), a.slice(1)
     le = pc.less_equal(lo, hi)
     if not pc.all(le).as_py():
         return False
     if len(keys) == 1:
         return True
-    eq = pc.equal(lo, hi)
     b = table.column(keys[1]).combine_chunks()
+    if b.null_count:
+        return False
+    eq = pc.equal(lo, hi)
     b_ok = pc.less_equal(b.slice(0, n - 1), b.slice(1))
     return pc.all(pc.if_else(eq, b_ok, pa.scalar(True))).as_py()
 
@@ -239,7 +260,7 @@ def encode_partition_item(
     record = lin.lineage_record(
         metrics=metrics,
         part_id=item["part_id"],
-        input_fragment=f"{item['path']}#rg{item['row_groups'][0]}-{item['row_groups'][-1]}",
+        input_fragment=fragment_id(item),
         row_range=(item["row_start"], item["row_end"]),
         n_rows=table.num_rows,
         raw_bytes=table.nbytes,
@@ -262,6 +283,17 @@ def encode_partition_item(
 #: REUSED across dataset executions, so repeated jobs skip this VM's
 #: per-process memory-provisioning cold tax entirely.
 _WORKER_CACHE: dict[str, Any] = {}
+
+#: per-worker-process block ordinal for ``encode_dataset``: combined with the
+#: pid it salts each streamed block's segment identity, so (a) two
+#: byte-IDENTICAL blocks land in distinct segments (multiset semantics hold —
+#: no whole-block dedup footgun), and (b) two DIFFERENT blocks can never
+#: collide on a truncated digest and overwrite each other via ``os.replace``.
+#: Determinism across runs is not required here — ``encode_dataset`` is
+#: documented as non-resumable and clears ``out_dir`` up front.
+import itertools as _itertools
+
+_BLOCK_ORDINAL = _itertools.count()
 
 
 def _resolve_shared(shared_ref: Any) -> dict[str, tuple[str, pa.Array]]:
@@ -380,9 +412,13 @@ def encode_dataset(
                 table = table.sort_by([(k, "ascending") for k in keys])
         header, payload = seg.encode_table(table, sh)
         digest = seg.sha256_hex(payload)
+        # segment identity = payload digest salted with (pid, per-worker
+        # ordinal); full salted digest in the filename — see _BLOCK_ORDINAL
+        salt = f":{os.getpid()}:{next(_BLOCK_ORDINAL)}".encode()
+        uniq = seg.sha256_hex(payload + salt)
         record = lin.lineage_record(
-            part_id=int(digest[:12], 16),
-            input_fragment=f"dataset-block:{digest[:12]}",
+            part_id=int(uniq[:15], 16),
+            input_fragment=f"dataset-block:{uniq}",
             row_range=(0, table.num_rows),
             n_rows=table.num_rows,
             raw_bytes=table.nbytes,
@@ -390,7 +426,7 @@ def encode_dataset(
             columns=header["columns"],
             payload_sha256=digest,
         )
-        path = os.path.join(out_dir, f"part-{digest[:12]}.seg")
+        path = os.path.join(out_dir, f"part-{uniq}.seg")
         seg.write_segment(path, header, payload, record)
         return pa.Table.from_pylist(
             [
@@ -478,16 +514,14 @@ def encode_files(
     os.makedirs(out_dir, exist_ok=True)
     items = plan_partitions(input_paths, target_rows)
 
-    def fragment_of(it: dict[str, Any]) -> str:
-        return f"{it['path']}#rg{it['row_groups'][0]}-{it['row_groups'][-1]}"
-
     done_map = lin.completed_partitions(out_dir) if resume else {}
-    # skip only when BOTH the id and the input fragment match — an input set
-    # that changed since the interrupted run re-encodes shifted partitions
+    # skip only when BOTH the id and the input fragment (path + row-group
+    # span + file size/mtime) match — an input set that changed since the
+    # interrupted run re-encodes shifted or rewritten partitions
     done = {
         it["part_id"]
         for it in items
-        if done_map.get(it["part_id"]) == fragment_of(it)
+        if done_map.get(it["part_id"]) == fragment_id(it)
     }
     todo = [it for it in items if it["part_id"] not in done]
 

@@ -281,3 +281,22 @@ def test_gcd_factoring_random_multiples():
     hdr, blob = encode_column(arr)
     assert roundtrip(arr).equals(arr)
     assert len(blob) < 500 * 3  # ~10 bits/value after factoring 2500 out
+
+
+def test_sliced_fixed_size_list_roundtrip():
+    """A sliced FixedSizeListArray must encode only its window, not the full
+    backing buffer (ADVICE round 1: .values ignores slice offset/length)."""
+    full = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]], pa.list_(pa.float32(), 2))
+    sl = full.slice(1, 2)
+    hdr, blob = encode_column(sl)
+    back = decode_column(hdr, blob)
+    assert len(back) == 2
+    assert back.equals(pa.array([[3.0, 4.0], [5.0, 6.0]], sl.type))
+
+
+def test_sliced_variable_list_roundtrip():
+    full = pa.array([[1.0], [2.0, 3.0], [4.0], [5.0, 6.0, 7.0]], pa.list_(pa.float64()))
+    sl = full.slice(1, 2)
+    hdr, blob = encode_column(sl)
+    back = decode_column(hdr, blob)
+    assert back.equals(pa.array([[2.0, 3.0], [4.0]], sl.type))

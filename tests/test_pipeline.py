@@ -287,3 +287,40 @@ def test_validate_transcripts_routes_errors(ray_session):
     verrs = sorted(r["_error"] for r in errors.take_all())
     assert verrs == ["duplicate (conv_id, turn_idx)", "negative turn_idx", "null conv_id"]
     assert valid.count() == 2
+
+
+def test_streaming_encode_keeps_identical_blocks(ray_session, tmp_path):
+    """Two byte-identical input blocks must round-trip to 2x rows — segment
+    identity is salted per block, so whole-block content-addressing can no
+    longer collapse a duplicated run (multiset semantics)."""
+    import ray.data as rd
+
+    t = fixtures.make_transcripts(1_000, seed=21)
+    doubled = pa.concat_tables([t, t])
+    out = str(tmp_path / "dupe")
+    manifest = enc.encode_dataset(rd.from_arrow(doubled), out, target_rows=1_000)
+    assert manifest["n_rows"] == 2_000
+    assert manifest["n_partitions"] >= 2
+    assert dec.decode_dataset(out).count() == 2_000
+
+
+def test_resume_reencodes_in_place_rewrite(ray_session, tmp_path):
+    """An input file rewritten IN PLACE (same name, same row-group layout,
+    different content) must invalidate its cached segments on resume."""
+    d = tmp_path / "frags"
+    d.mkdir()
+    path = str(d / "a.parquet")
+    pq.write_table(fixtures.make_transcripts(2_000, seed=31), path)
+    out = str(tmp_path / "enc")
+    enc.encode_files(str(d), out, target_rows=1_000)
+
+    t2 = fixtures.make_transcripts(2_000, seed=32)
+    pq.write_table(t2, path)
+    os.utime(path, ns=(1, 1))  # even a backdated mtime must not match (size may tie)
+    manifest = enc.encode_files(str(d), out, target_rows=1_000, resume=True)
+    assert manifest["skipped_partitions"] == []
+
+    import ray.data as rd
+
+    verdict = ver.verify_roundtrip(rd.read_parquet(path), dec.decode_dataset(out))
+    assert verdict["equal"], verdict
