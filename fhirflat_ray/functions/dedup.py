@@ -30,13 +30,21 @@ _MERSENNE = (1 << 31) - 1
 
 
 def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Stable 64-bit content hash (first 16 hex chars of sha1)."""
-    texts = batch[column].to_pylist()
-    hs = [
-        int.from_bytes(hashlib.sha1((t or "").encode()).digest()[:8], "big") >> 1
-        for t in texts
-    ]
-    return batch.append_column("content_hash", pa.array(hs, pa.int64()))
+    """Stable 64-bit content hash, vectorized.
+
+    ``pandas.util.hash_array`` (siphash in C, deterministic across processes
+    and Ray blocks — the same primitive MinHash/SimHash use for vocabulary
+    hashing) replaces the round-1 per-row ``hashlib.sha1`` loop. The
+    downstream keep-min-representative is hash-agnostic, so the groupby key
+    only needs determinism, not any particular digest."""
+    import pandas.util as pdu
+
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    texts = pc.fill_null(col, "").to_numpy(zero_copy_only=False)
+    h = pdu.hash_array(np.asarray(texts, dtype=object)) >> np.uint64(1)
+    return batch.append_column("content_hash", pa.array(h.astype(np.int64), pa.int64()))
 
 
 def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):

@@ -32,10 +32,9 @@ def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
                 **({"by": batch[by]} if by else {}),
             }
         )
-        df = t.to_pandas()
         keys = ["window"] + (["by"] if by else [])
-        g = df.groupby(keys, as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(keys + ["n"])
 
     keys = ["window"] + (["by"] if by else [])
     out = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(

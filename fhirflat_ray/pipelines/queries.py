@@ -90,10 +90,12 @@ def transcript_roundtrip(sf_dir: str):
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir, exist_ok=True)
     built = transcript_build(sf_dir)
-    tbl = pa.concat_tables(
-        built.iter_batches(batch_size=None, batch_format="pyarrow")
-    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    pq.write_table(tbl, os.path.join(src_dir, "transcripts-00000.parquet"))
+    # stream the built transcripts straight to sharded parquet — nothing
+    # materializes on the driver (round 1 concat_tables'd the whole table
+    # here; at 100x the data that was the job-killer). encode_files sorts
+    # each partition by (conv_id, turn_idx) itself, so the global sort is
+    # unnecessary for both correctness (multiset compare) and compression.
+    built.write_parquet(src_dir)
 
     seg_dir = os.path.join(work, "enc")
     enc.encode_files(src_dir, seg_dir, shared_dict_columns=["role", "tool"])
@@ -154,13 +156,19 @@ def q1_lineitem(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        batch = batch.append_column("rev", rev)
-        df = batch.select(["l_returnflag", "l_linestatus", "l_quantity", "rev"]).to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("l_quantity", "sum"), sum_rev=("rev", "sum"), n=("rev", "size"))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "rev": rev,
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native partial aggregate: no pandas copy inside the hot stage
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("rev", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"])
 
     from ray.data.aggregate import Sum
 
@@ -223,41 +231,74 @@ FROM events GROUP BY user_id
 
 
 def distinct_users(sf_dir: str):
-    """A3 distinct-count for manifest metadata (Count(distinct) analogue)."""
+    """A3 distinct-count: per-batch distinct → distributed distinct → count.
+
+    ``ds.unique`` would pull the full distinct list onto the driver; this
+    keeps the distinct set sharded (one narrow shuffle on the key) and only
+    the count crosses to the driver."""
     ds = _read(sf_dir, "events", columns=["user_id"])
-    n = ds.unique("user_id")
-    return pa.table({"n_users": pa.array([len(n)], pa.int64())})
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"user_id": pc.unique(batch["user_id"])})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    n = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(first, batch_format="pandas")
+        .count()
+    )
+    return pa.table({"n_users": pa.array([int(n)], pa.int64())})
 
 
 DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
 
 
 def stats_profile(sf_dir: str):
-    """A5 codec-selection statistics: rows + cardinality per column."""
+    """A5 codec-selection statistics: rows + exact cardinality per column.
+
+    Fully distributed (round-1 version unioned every distinct value into
+    driver-side Python sets — unbounded on a high-cardinality column): each
+    batch emits its per-column distinct (col, val) pairs, a groupby on
+    (col, val) dedupes them across blocks, and a second tiny groupby counts
+    per column. Both shuffles carry only distinct pairs, never row data; the
+    driver sees two result rows."""
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        rows = []
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        cols: list[str] = []
+        vals: list[str] = []
         for col in ("event_type", "user_id"):
-            rows.append(
-                {
-                    "col": col,
-                    "n": batch.num_rows,
-                    "vals": pc.unique(batch[col]).cast(pa.string()).to_pylist(),
-                }
-            )
-        return pa.Table.from_pylist(rows)
+            u = pc.unique(batch[col]).cast(pa.string())
+            cols.extend([col] * len(u))
+            vals.extend(u.to_pylist())
+        return pa.table(
+            {"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())}
+        )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged: dict[str, tuple[int, set]] = {}
-    for r in parts:
-        n, vals = merged.get(r["col"], (0, set()))
-        merged[r["col"]] = (n + r["n"], vals | set(r["vals"]))
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    uniq = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["col", "val"])
+        .map_groups(first, batch_format="pandas")
+    )
+    card = {
+        r["col"]: r["ncard"]
+        for r in uniq.groupby("col").aggregate(Count(alias_name="ncard")).take_all()
+    }
+    n_rows = ds.count()
+    cols = sorted(card)
     return pa.table(
         {
-            "col": pa.array(sorted(merged), pa.string()),
-            "n": pa.array([merged[c][0] for c in sorted(merged)], pa.int64()),
-            "ncard": pa.array([len(merged[c][1]) for c in sorted(merged)], pa.int64()),
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array([n_rows] * len(cols), pa.int64()),
+            "ncard": pa.array([int(card[c]) for c in cols], pa.int64()),
         }
     )
 
@@ -281,8 +322,8 @@ def rle_runs(sf_dir: str):
         return pd.DataFrame({"runs": [n_runs]})
 
     per_user = ds.groupby("user_id").map_groups(runs, batch_format="pandas")
-    total = sum(r["runs"] for r in per_user.take_all())
-    return pa.table({"n_runs": pa.array([total], pa.int64())})
+    total = per_user.sum("runs")  # distributed reduce, O(1) on the driver
+    return pa.table({"n_runs": pa.array([int(total)], pa.int64())})
 
 
 RLE_RUNS_SQL = """
@@ -353,9 +394,8 @@ def date_format(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
-        t = pa.table({"day": day})
-        df = t.to_pandas().groupby("day", as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = pa.table({"day": day}).group_by("day").aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -475,11 +515,11 @@ def fk_anti_join(sf_dir: str):
             missing = self.keys[pos] != ck
             return pa.table({"n": pa.array([int(missing.sum())], pa.int64())})
 
-    parts = orders.map_batches(
+    total = orders.map_batches(
         Anti, fn_constructor_kwargs={"ref": keys_ref},
         batch_format="pyarrow", concurrency=(1, 4),
-    ).take_all()
-    return pa.table({"n_orphans": pa.array([sum(p["n"] for p in parts)], pa.int64())})
+    ).sum("n")
+    return pa.table({"n_orphans": pa.array([int(total)], pa.int64())})
 
 
 FK_ANTI_JOIN_SQL = """
@@ -775,10 +815,12 @@ def validate_errors(sf_dir: str):
     from fhirflat_ray.pipelines.verify import split_valid, validate_transcripts
 
     built = transcript_build(sf_dir)
-    tbl = pa.concat_tables(built.iter_batches(batch_size=None, batch_format="pyarrow"))
-    # inject: duplicate the first 10 rows (same (conv_id, turn_idx))
-    defective = pa.concat_tables([tbl, tbl.slice(0, 10)])
-    marked = validate_transcripts(rd.from_arrow(defective))
+    # inject defects via a streaming union: duplicate 10 rows (same
+    # (conv_id, turn_idx)) — only those 10 rows ever touch the driver;
+    # the built dataset itself streams through validate → split
+    dupes = built.limit(10).take_batch(10, batch_format="pyarrow")
+    defective = built.union(rd.from_arrow(dupes))
+    marked = validate_transcripts(defective)
     _, errors = split_valid(marked)
     return errors.select_columns(["conv_id", "turn_idx", "_error"])
 
