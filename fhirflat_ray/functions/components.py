@@ -1,0 +1,123 @@
+"""Distributed connected components over an edge Dataset.
+
+Used by the near-dedup pipelines to turn verified duplicate pairs into
+survivor sets: every document in a duplicate component keeps only the
+minimum id. The algorithm is the alternating large-star/small-star method
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature): each round is ONE ``groupby(node)`` over the edge list,
+no joins, and it converges in O(log^2 n) rounds to a star forest where every
+node points at its component minimum.
+
+Scale notes: the edge list is the only thing shuffled — for dedup workloads
+it is proportional to the number of duplicate candidates, not the corpus.
+The driver only orchestrates rounds and compares O(1) round fingerprints
+for convergence; edges never materialize on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _star_round(edges, large: bool):
+    """One large-star (connect bigger neighbors to the min) or small-star
+    (connect smaller neighbors + self to the min) round."""
+
+    def bidir(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u"].to_numpy()
+        v = batch["v"].to_numpy()
+        return pd.DataFrame(
+            {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
+        )
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        u = int(g["u"].iloc[0])
+        nb = g["v"].to_numpy()
+        m = int(min(u, nb.min()))
+        if large:
+            out = nb[nb > u]
+        else:
+            out = nb[(nb <= u) & (nb != m)]
+            if u != m:
+                out = np.append(out, u)
+        out = np.unique(out)
+        out = out[out != m]
+        return pd.DataFrame({"u": out, "v": np.full(len(out), m, dtype=np.int64)})
+
+    return (
+        edges.map_batches(bidir, batch_format="pandas")
+        .groupby("u")
+        .map_groups(star, batch_format="pandas")
+    )
+
+
+def _dedupe_edges(edges):
+    from fhirflat_ray.functions.util import distinct_rows
+
+    return distinct_rows(edges, ["u", "v"])
+
+
+def _fingerprint(edges) -> tuple[int, int]:
+    """Order-insensitive O(1) summary of the edge multiset (count, hash-sum)."""
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
+        return pd.DataFrame(
+            {"s": [int(h.astype(np.uint64).sum(dtype=np.uint64))], "n": [len(batch)]}
+        )
+
+    rows = edges.map_batches(part, batch_format="pandas").take_all()
+    total = 0
+    n = 0
+    for r in rows:
+        total = (total + int(r["s"])) & ((1 << 64) - 1)
+        n += int(r["n"])
+    return n, total
+
+
+def connected_components(
+    edges_ds, src: str = "left_id", dst: str = "right_id", max_iters: int = 32
+):
+    """(node, component) Dataset from an undirected edge Dataset.
+
+    ``component`` is the minimum node id in the node's connected component.
+    Only nodes that appear in at least one edge are returned — isolated
+    nodes are their own components by definition and need no work.
+    """
+
+    def canon(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[src].to_numpy(dtype=np.int64)
+        b = batch[dst].to_numpy(dtype=np.int64)
+        u, v = np.maximum(a, b), np.minimum(a, b)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]})
+
+    def label(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": batch["u"].to_numpy(dtype=np.int64),
+                "component": batch["v"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    edges = _dedupe_edges(edges_ds.map_batches(canon, batch_format="pandas"))
+    prev = _fingerprint(edges)
+    if prev[0] == 0:
+        return edges.map_batches(label, batch_format="pandas")
+    for _ in range(max_iters):
+        # star() dedupes within each group, so no dedupe pass is needed
+        # between the two star rounds — one per full round keeps edge
+        # counts canonical for the convergence fingerprint
+        edges = _star_round(edges, large=True)
+        edges = _dedupe_edges(_star_round(edges, large=False))
+        # materialize once per round (an iterative pipeline cannot stay
+        # lazy: lineage would grow unboundedly); the edge list is the small
+        # derived set, never the corpus
+        edges = edges.materialize()
+        cur = _fingerprint(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    return edges.map_batches(label, batch_format="pandas")

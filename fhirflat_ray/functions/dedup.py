@@ -20,6 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from fhirflat_ray.functions.util import distinct_rows
+
 #: Mersenne prime 2^31-1: keeps (a*x + b) inside int64 (a, x < 2^31 →
 #: product < 2^62), so the universal-hash family evaluates as ONE vectorized
 #: numpy matrix op per document instead of a Python loop per hash function.
@@ -87,6 +89,73 @@ def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(out)
 
 
+def _flat_shingle_stream(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Vectorized word-k-shingle hashes for a whole batch of documents.
+
+    Returns ``(sh, own, n_docs)``: flat shingle hashes in ``[0, 2^31)``,
+    owning document index per shingle, and the document count. Token values
+    are hashed DETERMINISTICALLY (pandas siphash over the small per-batch
+    vocabulary — stable across batches, blocks and processes); raw
+    dictionary codes would make shingles batch-local and LSH would only
+    ever match duplicates inside one Ray block. Documents shorter than
+    ``k`` tokens hash their whole token run (empty doc → hash 0).
+
+    Shared by MinHash signatures and the vectorized Jaccard verifier, so
+    candidate generation and verification see the same shingle universe."""
+    import pandas.util as pdu
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    n_docs = len(texts)
+    parts = pc.split_pattern_regex(texts, r"\s+")
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(parts)
+    denc = flat.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    vocab_hash = (
+        pdu.hash_array(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+        % np.uint64(_MERSENNE - 1)
+    ).astype(np.int64) + 1
+    idx = denc.indices.to_numpy(zero_copy_only=False)
+    codes = vocab_hash[idx]
+
+    total = len(codes)
+    B = np.int64(1_000_003)
+    # rolling polynomial hash of each k-window over the flat stream
+    n_win = max(0, total - k + 1)
+    acc = np.zeros(max(n_win, 0), dtype=np.int64)
+    for j in range(k):
+        acc = (acc * B + codes[j : j + n_win]) % _MERSENNE
+    # document boundaries in the flat stream
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    # shingle ownership: window starting at i belongs to the doc whose
+    # span fully contains [i, i+k); windows crossing boundaries dropped
+    if n_win > 0:
+        starts = np.arange(n_win)
+        doc_of = np.searchsorted(offs, starts, side="right") - 1
+        valid = starts + k <= offs[doc_of + 1]
+        sh = acc[valid]
+        own = doc_of[valid]
+    else:
+        sh = np.array([], dtype=np.int64)
+        own = np.array([], dtype=np.int64)
+    # short documents (fewer than k tokens) hash their whole token run
+    short = np.nonzero(counts < k)[0]
+    if len(short):
+        sh_extra = np.zeros(len(short), dtype=np.int64)
+        for rank, d in enumerate(short):
+            seg = codes[offs[d] : offs[d + 1]]
+            h = np.int64(0)
+            for c in seg:
+                h = (h * B + c) % _MERSENNE
+            sh_extra[rank] = h
+        sh = np.concatenate([sh, sh_extra])
+        own = np.concatenate([own, short])
+    return sh, own, n_docs
+
+
 class MinHasher:
     """Per-batch MinHash signatures (stateful: permutation params built once).
 
@@ -118,63 +187,8 @@ class MinHasher:
         shingles that cross document boundaries, evaluate every universal
         hash as one flat array op, and take per-document minima with
         ``np.minimum.reduceat`` — no Python loop over documents."""
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
-        n_docs = len(texts)
-        parts = pc.split_pattern_regex(texts, r"\s+")
-        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(parts)
-        denc = flat.dictionary_encode()
-        if isinstance(denc, pa.ChunkedArray):
-            denc = denc.combine_chunks()
-        # token values are hashed DETERMINISTICALLY (stable across batches,
-        # blocks and processes) via the small per-batch vocabulary — using
-        # raw dictionary codes would make signatures batch-local and LSH
-        # would only ever match duplicates inside one block
-        import pandas.util as pdu
-
-        vocab_hash = (
-            pdu.hash_array(np.asarray(denc.dictionary.to_pylist(), dtype=object))
-            % np.uint64(_MERSENNE - 1)
-        ).astype(np.int64) + 1
-        idx = denc.indices.to_numpy(zero_copy_only=False)
-        codes = vocab_hash[idx]
-
-        total = len(codes)
-        k = self.k
-        B = np.int64(1_000_003)
-        # rolling polynomial hash of each k-window over the flat stream
-        n_win = max(0, total - k + 1)
-        acc = np.zeros(max(n_win, 0), dtype=np.int64)
-        for j in range(k):
-            acc = (acc * B + codes[j : j + n_win]) % _MERSENNE
-        # document boundaries in the flat stream
-        offs = np.concatenate([[0], np.cumsum(counts)])
+        sh, own, n_docs = _flat_shingle_stream(texts, self.k)
         sigs = np.full((n_docs, self.n_hashes), _MERSENNE, dtype=np.int64)
-        # shingle ownership: window starting at i belongs to the doc whose
-        # span fully contains [i, i+k); windows crossing boundaries dropped
-        if n_win > 0:
-            starts = np.arange(n_win)
-            doc_of = np.searchsorted(offs, starts, side="right") - 1
-            valid = starts + k <= offs[doc_of + 1]
-            sh = acc[valid]
-            own = doc_of[valid]
-        else:
-            sh = np.array([], dtype=np.int64)
-            own = np.array([], dtype=np.int64)
-        # short documents (fewer than k tokens) hash their whole token run
-        short = np.nonzero(counts < k)[0]
-        if len(short):
-            sh_extra = np.zeros(len(short), dtype=np.int64)
-            for rank, d in enumerate(short):
-                seg = codes[offs[d] : offs[d + 1]]
-                h = np.int64(0)
-                for c in seg:
-                    h = (h * B + c) % _MERSENNE
-                sh_extra[rank] = h
-            sh = np.concatenate([sh, sh_extra])
-            own = np.concatenate([own, short])
         if len(sh) == 0:
             sigs[:] = 0
             return sigs
@@ -226,11 +240,41 @@ def explode_bands(batch: pa.Table, n_bands: int = 16, id_column: str = "doc_id")
     )
 
 
-def minhash_lsh_candidates(ds, id_column: str = "doc_id", n_hashes: int = 64, n_bands: int = 16, column: str = "text"):
+#: buckets up to this size emit the full pair clique (best verify recall);
+#: larger buckets emit star edges (min_id, member) — same connected
+#: components, O(bucket) instead of O(bucket^2) rows, so one degenerate
+#: bucket (millions of empty/boilerplate docs) can no longer blow up the
+#: pair expansion. Nothing is dropped either way.
+DEFAULT_CLIQUE_CAP = 64
+
+
+def _bucket_edges(ids: np.ndarray, clique_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """(left, right) edge arrays for one co-bucketed id set (sorted unique)."""
+    ids = np.unique(ids)
+    if len(ids) < 2:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    if len(ids) <= clique_cap:
+        left, right = np.triu_indices(len(ids), k=1)
+        return ids[left], ids[right]
+    # star: connect the bucket minimum to every other member
+    return np.full(len(ids) - 1, ids[0], dtype=np.int64), ids[1:]
+
+
+def minhash_lsh_candidates(
+    ds,
+    id_column: str = "doc_id",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    column: str = "text",
+    clique_cap: int = DEFAULT_CLIQUE_CAP,
+):
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     shingle→minhash→band→bucket-groupby (one shuffle on (band_id, band_hash));
-    emits one (left, right) row per co-bucketed pair, deduplicated."""
+    emits one (left, right) row per co-bucketed edge, deduplicated. Buckets
+    larger than ``clique_cap`` emit star edges instead of the full clique
+    (see :data:`DEFAULT_CLIQUE_CAP`)."""
     sigs = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs={"n_hashes": n_hashes, "column": column},
@@ -242,18 +286,11 @@ def minhash_lsh_candidates(ds, id_column: str = "doc_id", n_hashes: int = 64, n_
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_column].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": []}).astype(np.int64)
-        left, right = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"left_id": ids[left], "right_id": ids[right]})
+        left, right = _bucket_edges(g[id_column].to_numpy(), clique_cap)
+        return pd.DataFrame({"left_id": left, "right_id": right})
 
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-
-    def dedupe_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return cand.groupby(["left_id", "right_id"]).map_groups(dedupe_pairs, batch_format="pandas")
+    return distinct_rows(cand, ["left_id", "right_id"])
 
 
 # ---------------------------------------------------------------- jaccard
@@ -269,17 +306,46 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 class JaccardVerifier:
     """Verify candidate pairs against true n-gram Jaccard (actor-pool stage).
 
-    Expects rows (left_id, right_id, left_text, right_text)."""
+    Expects rows (left_id, right_id, left_text, right_text). Fully
+    vectorized: both text columns are shingled together in one
+    ``_flat_shingle_stream`` pass (shared vocabulary hash → comparable
+    shingle ids), per-pair set sizes come from ``np.bincount`` over unique
+    (pair, shingle) keys and the intersection from one ``np.intersect1d`` —
+    no Python loop over pairs (round 1 re-shingled each pair in Python)."""
 
     def __init__(self, k: int = 5, threshold: float = 0.7):
         self.k = k
         self.threshold = threshold
 
+    def batch_jaccard(self, left: pa.Array, right: pa.Array) -> np.ndarray:
+        if isinstance(left, pa.ChunkedArray):
+            left = left.combine_chunks()
+        if isinstance(right, pa.ChunkedArray):
+            right = right.combine_chunks()
+        n = len(left)
+        if n == 0:
+            return np.array([], dtype=np.float64)
+        both = pa.concat_arrays([pc.fill_null(left, ""), pc.fill_null(right, "")])
+        sh, own, _ = _flat_shingle_stream(both, self.k)
+        # key = (owner << 31) | shingle ∈ int64 (shingles < 2^31)
+        keys = np.unique((own << np.int64(31)) | sh)
+        owner = keys >> np.int64(31)
+        is_left = owner < n
+        pair_of = np.where(is_left, owner, owner - n)
+        # re-key both sides by PAIR index so intersect1d aligns them
+        pair_keys = (pair_of << np.int64(31)) | (keys & np.int64((1 << 31) - 1))
+        lk, rk = pair_keys[is_left], pair_keys[~is_left]
+        inter = np.intersect1d(lk, rk, assume_unique=True)
+        nl = np.bincount(pair_of[is_left], minlength=n)
+        nr = np.bincount(pair_of[~is_left], minlength=n)
+        ni = np.bincount(inter >> np.int64(31), minlength=n)
+        union = nl + nr - ni
+        # every doc has >= 1 shingle (empty text hashes to shingle 0), so
+        # union >= 1 unless a side is missing entirely
+        return np.where(union > 0, ni / np.maximum(union, 1), 1.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sims = [
-            ngram_jaccard(l or "", r or "", self.k)
-            for l, r in zip(batch["left_text"].to_pylist(), batch["right_text"].to_pylist())
-        ]
+        sims = self.batch_jaccard(batch["left_text"], batch["right_text"])
         out = batch.append_column("jaccard", pa.array(sims, pa.float64()))
         return out.filter(pc.greater_equal(out["jaccard"], self.threshold))
 
@@ -341,6 +407,118 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(hs, pa.int64()))
 
 
+def _join_partitions(num_partitions: int | None) -> int:
+    """Hash-join partition count sized to the session: each join spawns one
+    shuffle aggregator per partition, so oversizing deadlocks small
+    sessions and undersizing skews large ones."""
+    if num_partitions is not None:
+        return num_partitions
+    import ray
+
+    return max(2, min(64, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
+
+def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None = None):
+    num_partitions = _join_partitions(num_partitions)
+    """Drop every node of each duplicate component except its minimum id.
+
+    edges → distributed connected components → anti join of the corpus
+    against the non-min members. All stages are shuffles over narrow
+    derived sets; the corpus itself streams through one hash join."""
+    from fhirflat_ray.functions.components import connected_components
+    from fhirflat_ray.functions.joins import hash_anti_join
+
+    comps = connected_components(edges)
+    # materialize the drop set (object-store blocks, not the driver): it is
+    # proportional to the duplicate count, and pinning it keeps the anti
+    # join as the only hash-shuffle in its execution plan — chaining
+    # several hash joins lazily trips Ray 2.49's shuffle aggregator
+    # (observed: FieldRef errors from a stale right-side schema)
+    drops = (
+        comps.filter(expr="node != component").select_columns(["node"]).materialize()
+    )
+    return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
+
+
+def near_dedup(
+    ds,
+    id_column: str = "doc_id",
+    column: str = "text",
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k: int = 5,
+    clique_cap: int = DEFAULT_CLIQUE_CAP,
+    num_partitions: int | None = None,
+):
+    """END-TO-END near-duplicate removal (the operator a 100 TB training-data
+    pipeline actually runs, not just candidate pairs):
+
+    1. banded MinHash LSH candidates (star edges above ``clique_cap``);
+    2. vectorized true-Jaccard verification at ``threshold``;
+    3. distributed connected components over the verified edges;
+    4. keep the min-id representative per component (anti join).
+
+    Returns the deduplicated Dataset with all original columns. The corpus
+    streams; only candidate/edge sets (proportional to duplicates, not
+    corpus size) are iterated on. Star edges trade a little verify recall
+    inside degenerate buckets for O(bucket) pair expansion — cliques are
+    kept below ``clique_cap`` where recall matters most."""
+    num_partitions = _join_partitions(num_partitions)
+    cand = minhash_lsh_candidates(
+        ds,
+        id_column=id_column,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        column=column,
+        clique_cap=clique_cap,
+    )
+    # repartition before joining: the groupby pipeline can leave schema-less
+    # empty blocks that break acero hash joins (see hash_anti_join); the
+    # candidate set is small and derived, so materializing it for reuse by
+    # the two joins below is the scale-honest choice
+    cand = cand.repartition(num_partitions).materialize()
+    txt = ds.select_columns([id_column, column])
+
+    # attach both texts via distributed hash joins (no driver collect)
+    lt = cand.join(
+        txt, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
+        right_suffix="_l",
+    )
+    lt = lt.map_batches(
+        lambda b: _rename(b, {column: "left_text", f"{column}_l": "left_text"}),
+        batch_format="pyarrow",
+    )
+    rt = lt.join(
+        txt, "inner", num_partitions, on=("right_id",), right_on=(id_column,),
+        right_suffix="_r",
+    )
+    rt = rt.map_batches(
+        lambda b: _rename(b, {column: "right_text", f"{column}_r": "right_text"}),
+        batch_format="pyarrow",
+    )
+
+    verified = (
+        rt.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs={"k": k, "threshold": threshold},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .select_columns(["left_id", "right_id"])
+        .materialize()  # edge set (small, derived); ends the two-join plan
+    )
+    return _keep_component_minima(ds, verified, id_column, num_partitions)
+
+
+def _rename(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    cols = [c for c in batch.column_names]
+    out = batch.rename_columns([mapping.get(c, c) for c in cols])
+    # drop stray join-key copies the hash join may append
+    keep = [c for c in out.column_names if not c.endswith("__k")]
+    return out.select(keep)
+
+
 def simhash_dedup(ds, id_column: str = "doc_id", column: str = "text"):
     """Exact-bucket SimHash dedup: keep min id per identical simhash."""
     hashed = ds.map_batches(
@@ -352,3 +530,111 @@ def simhash_dedup(ds, id_column: str = "doc_id", column: str = "text"):
         return g.loc[[g[id_column].idxmin()]]
 
     return hashed.groupby("simhash").map_groups(first, batch_format="pandas")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of int64 values (signed dtypes + packbits only:
+    numpy unsigned ops are pathologically slow on some hosts)."""
+    b = x.astype("<i8").view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def _simhash_chunk_bounds(n_chunks: int, total_bits: int = 63) -> list[tuple[int, int]]:
+    """(shift, width) per chunk, splitting ``total_bits`` as evenly as possible."""
+    base = total_bits // n_chunks
+    rem = total_bits % n_chunks
+    bounds = []
+    shift = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < rem else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
+def simhash_near_candidates(
+    ds,
+    id_column: str = "doc_id",
+    column: str = "text",
+    k: int = 3,
+    clique_cap: int = DEFAULT_CLIQUE_CAP,
+):
+    """Candidate pairs within Hamming distance ``k`` of 63-bit SimHashes.
+
+    Pigeonhole chunking: the hash splits into ``k+1`` disjoint chunks; two
+    hashes within Hamming ``k`` differ in at most ``k`` bits, so at least
+    one chunk matches EXACTLY. Bucketing by (chunk_id, chunk_value) —
+    one narrow shuffle — therefore finds every such pair; an exact popcount
+    of the XOR verifies inside the bucket. (Round 1 shipped Hamming-0
+    buckets only; this is the documented near-dup completion.)"""
+    hashed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"column": column},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).select_columns([id_column, "simhash"])
+    bounds = _simhash_chunk_bounds(k + 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        cid = np.repeat(np.arange(len(bounds), dtype=np.int32), n)
+        vals = np.concatenate(
+            [(h >> np.int64(s)) & np.int64((1 << w) - 1) for s, w in bounds]
+        )
+        return pa.table(
+            {
+                "chunk_id": pa.array(cid, pa.int32()),
+                "chunk_val": pa.array(vals, pa.int64()),
+                id_column: pa.array(np.tile(ids, len(bounds)), pa.int64()),
+                "simhash": pa.array(np.tile(h, len(bounds)), pa.int64()),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_column].to_numpy()
+        hs = g["simhash"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, hs = ids[order], hs[order]
+        left_i, right_i = _bucket_edge_indices(len(ids), clique_cap)
+        if len(left_i) == 0:
+            return pd.DataFrame({"left_id": [], "right_id": []}).astype(np.int64)
+        ham = _popcount64(hs[left_i] ^ hs[right_i])
+        keep = ham <= k
+        return pd.DataFrame(
+            {"left_id": ids[left_i[keep]], "right_id": ids[right_i[keep]]}
+        )
+
+    cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return distinct_rows(cand, ["left_id", "right_id"])
+
+
+def _bucket_edge_indices(n: int, clique_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Index form of :func:`_bucket_edges` (caller supplies sorted ids)."""
+    if n < 2:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    if n <= clique_cap:
+        left, right = np.triu_indices(n, k=1)
+        return left.astype(np.int64), right.astype(np.int64)
+    return np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)
+
+
+def simhash_near_dedup(
+    ds,
+    id_column: str = "doc_id",
+    column: str = "text",
+    k: int = 3,
+    clique_cap: int = DEFAULT_CLIQUE_CAP,
+    num_partitions: int | None = None,
+):
+    """End-to-end SimHash near-dedup: Hamming-k candidates → connected
+    components → keep min-id per component. Returns the deduplicated
+    Dataset (all original columns)."""
+    edges = simhash_near_candidates(
+        ds, id_column=id_column, column=column, k=k, clique_cap=clique_cap
+    )
+    return _keep_component_minima(ds, edges, id_column, num_partitions)

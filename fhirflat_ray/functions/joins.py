@@ -68,6 +68,80 @@ def broadcast_asof_join(
     )
 
 
+def _dataset_fields(ds) -> list[pa.Field]:
+    sch = ds.schema()
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(t)
+        fields.append(pa.field(n, t))
+    return fields
+
+
+def hash_anti_join(ds, keys_ds, on: str, right_on: str, num_partitions: int = 16):
+    """Distributed anti join: rows of ``ds`` whose ``on`` key does NOT appear
+    in ``keys_ds[right_on]``.
+
+    Built on ``Dataset.join`` (hash-partitioned left-outer) + a match-marker
+    filter, so neither side materializes on the driver — the scale path when
+    the key set is too large to broadcast (contrast
+    :func:`broadcast_semi_join`)."""
+    import pyarrow.compute as pc
+
+    def mark(batch: pa.Table) -> pa.Table:
+        out = pa.table({right_on: pc.unique(batch[right_on])})
+        return out.append_column(
+            "__match", pa.array(np.ones(out.num_rows, dtype=np.int8))
+        )
+
+    marked = keys_ds.map_batches(mark, batch_format="pyarrow")
+    # pre-dedupe keys so the left-outer join cannot fan out left rows
+    def first_key(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    marked = marked.groupby(right_on).map_groups(first_key, batch_format="pandas")
+
+    # groupby can emit schema-less empty blocks (e.g. when the key set is
+    # empty or a partition holds no groups); the hash join requires every
+    # right-side block to carry the key column, so pin the schema
+    key_field = next(
+        f for f in _dataset_fields(keys_ds) if f.name == right_on
+    )
+    target = pa.schema([key_field, pa.field("__match", pa.int8())])
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or right_on not in batch.column_names:
+            return target.empty_table()
+        return pa.table(
+            {
+                right_on: batch[right_on].cast(key_field.type),
+                "__match": batch["__match"].cast(pa.int8()),
+            }
+        )
+
+    marked = marked.map_batches(coerce, batch_format="pyarrow")
+    # groupby pipelines can leave SCHEMA-LESS empty blocks in the stream
+    # (they bypass map stages untouched); a right-side join partition built
+    # only from those blocks makes acero fail with "no match for FieldRef".
+    # repartition() concatenates blocks and drops the degenerate empties —
+    # cheap here, the marked set is keys-only.
+    marked = marked.repartition(max(2, num_partitions // 2))
+    joined = ds.join(
+        marked,
+        "left_outer",
+        num_partitions,
+        on=(on,),
+        right_on=(right_on,),
+    )
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        mask = pc.is_null(batch["__match"])
+        drop = [c for c in ("__match", right_on) if c in batch.column_names and c != on]
+        return batch.filter(mask).drop_columns(drop)
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
 def broadcast_semi_join(ds, keys, column: str, anti: bool = False):
     """Keep rows whose ``column`` is (not, for anti) in the broadcast key set."""
     import ray

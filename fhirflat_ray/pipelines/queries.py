@@ -241,15 +241,11 @@ def distinct_users(sf_dir: str):
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return pa.table({"user_id": pc.unique(batch["user_id"])})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from fhirflat_ray.functions.util import distinct_rows
 
-    n = (
-        ds.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(first, batch_format="pandas")
-        .count()
-    )
+    n = distinct_rows(
+        ds.map_batches(batch_distinct, batch_format="pyarrow"), ["user_id"]
+    ).count()
     return pa.table({"n_users": pa.array([int(n)], pa.int64())})
 
 
@@ -280,13 +276,10 @@ def stats_profile(sf_dir: str):
             {"col": pa.array(cols, pa.string()), "val": pa.array(vals, pa.string())}
         )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from fhirflat_ray.functions.util import distinct_rows
 
-    uniq = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["col", "val"])
-        .map_groups(first, batch_format="pandas")
+    uniq = distinct_rows(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"), ["col", "val"]
     )
     card = {
         r["col"]: r["ncard"]
@@ -472,10 +465,9 @@ def dict_vocab(sf_dir: str):
         dc.map_batches(distinct("lang"), batch_format="pyarrow")
     )
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from fhirflat_ray.functions.util import distinct_rows
 
-    return both.groupby(["col", "val"]).map_groups(first, batch_format="pandas")
+    return distinct_rows(both, ["col", "val"])
 
 
 DICT_VOCAB_SQL = """
@@ -719,6 +711,31 @@ def dedup_simhash(sf_dir: str):
     return simhash_dedup(ds, id_column="doc_id", column="text").select_columns(["doc_id"])
 
 
+def dedup_near(sf_dir: str):
+    """END-TO-END near-dedup (LSH → Jaccard verify → connected components →
+    min-id survivors): returns the surviving doc_ids. Rows-only check —
+    LSH recall is probabilistic by construction (deterministic under the
+    fixed seed, but not ANSI-SQL-expressible); the planted-duplicate pytest
+    in tests/test_functions.py asserts exact survivor sets."""
+    from fhirflat_ray.functions.dedup import near_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dedup(ds, id_column="doc_id", column="text", threshold=0.7).select_columns(
+        ["doc_id"]
+    )
+
+
+def dedup_simhash_near(sf_dir: str):
+    """Hamming-k (k=3) SimHash near-dedup via pigeonhole chunk re-bucketing
+    (rows-only check, same reasoning as dedup_near)."""
+    from fhirflat_ray.functions.dedup import simhash_near_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dedup(ds, id_column="doc_id", column="text", k=3).select_columns(
+        ["doc_id"]
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -857,6 +874,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_near": dedup_near,
+    "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "validate_errors": validate_errors,

@@ -210,3 +210,144 @@ def test_media_actor_pool_runs_on_ray(ray_session):
         concurrency=2,
     ).take_all()
     assert len(out) == 16
+
+
+# ------------------------------------------------- near-dedup end-to-end
+
+
+def test_jaccard_verifier_matches_reference():
+    """Vectorized batch Jaccard == per-pair reference ngram_jaccard."""
+    pairs = [
+        ("a b c d e f g", "a b c d e f g"),
+        ("a b c d e f g", "a b c d e f h"),
+        ("a b c d e f g", "x y z w v u t"),
+        ("", ""),
+        ("", "a b"),
+        ("one two", "one two three four five six"),
+    ]
+    v = dd.JaccardVerifier(k=3, threshold=0.0)
+    got = v.batch_jaccard(
+        pa.array([p[0] for p in pairs]), pa.array([p[1] for p in pairs])
+    )
+    want = [dd.ngram_jaccard(a, b, 3) for a, b in pairs]
+    assert np.allclose(got, want), (got, want)
+
+
+def test_near_dedup_planted_cross_block(ray_session):
+    """Planted exact + near duplicates spanning Ray blocks: the end-to-end
+    near-dedup must keep exactly the min-id representative per family."""
+    import ray.data as rd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind distant hills and the evening wind carries a faint "
+        "smell of rain across the quiet valley"
+    )
+    texts, ids = [], []
+    for i in range(200):
+        if i % 40 == 0:
+            t = base  # exact dup family member
+        elif i % 40 == 1:
+            t = base + " tonight"  # near dup of the family
+        else:
+            t = f"unique document number {i} about topic {i*7} keyword {i*13}"
+        texts.append(t)
+        ids.append(i)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(5)  # dups land in different blocks
+    # num_partitions small: the test session runs on 4 CPUs and each hash
+    # join spawns num_partitions shuffle aggregators
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.near_dedup(ds, threshold=0.5, num_partitions=2).take_all()
+    )
+    planted = {i for i in range(200) if i % 40 in (0, 1)}
+    # the whole planted family collapses to doc 0; everything else survives
+    assert [i for i in kept if i in planted] == [0]
+    assert set(kept) == (set(range(200)) - planted) | {0}
+
+
+def test_lsh_degenerate_bucket_emits_linear_edges(ray_session):
+    """A bucket of 100k identical docs must emit O(bucket) star edges, not
+    the O(b^2) clique (the round-1 skew bomb)."""
+    import ray.data as rd
+
+    n = 100_000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["identical boilerplate text body here"] * n),
+        }
+    )
+    cand = dd.minhash_lsh_candidates(rd.from_arrow(tbl), n_bands=4)
+    n_pairs = cand.count()
+    assert n_pairs == n - 1  # one star edge per non-min member
+
+
+def test_simhash_near_candidates_hamming_k(ray_session):
+    """Planted near-dup pairs at Hamming <= 3 must be recovered."""
+    import ray.data as rd
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10
+    texts = [
+        words,
+        words.replace("kappa", "sigma", 1),  # tiny perturbation
+        "completely different content about compression engines and arrays "
+        "with many distinct words appearing only here " * 5,
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)}
+    )
+    sh = dd.SimHasher()
+    h = sh.batch_simhashes(pa.array(texts))
+    d01 = int(dd._popcount64(np.array([h[0] ^ h[1]]))[0])
+    cand = dd.simhash_near_candidates(rd.from_arrow(tbl), k=max(3, d01)).take_all()
+    found = {(r["left_id"], r["right_id"]) for r in cand}
+    assert (0, 1) in found
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_popcount64_and_chunk_bounds():
+    x = np.array([0, 1, 3, (1 << 62) - 1, -1], dtype=np.int64)
+    assert dd._popcount64(x).tolist() == [0, 1, 2, 62, 64]
+    bounds = dd._simhash_chunk_bounds(4)
+    assert sum(w for _, w in bounds) == 63
+    assert bounds[0][0] == 0 and bounds[-1][0] + bounds[-1][1] == 63
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.components import connected_components
+
+    edges = pa.table(
+        {
+            "left_id": pa.array([2, 3, 4, 10, 20, 21, 22, 23, 7, 1], pa.int64()),
+            "right_id": pa.array([1, 2, 3, 11, 21, 22, 23, 24, 8, 4], pa.int64()),
+        }
+    )
+    out = connected_components(rd.from_arrow(edges)).take_all()
+    got = sorted((r["node"], r["component"]) for r in out)
+    assert got == [
+        (2, 1), (3, 1), (4, 1), (8, 7), (11, 10),
+        (21, 20), (22, 20), (23, 20), (24, 20),
+    ]
+
+
+def test_hash_anti_join_with_schemaless_empty_blocks(ray_session):
+    """Regression: schema-less empty pandas blocks (as emitted by groupby
+    pipelines) on the key side must not break the acero hash join."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import hash_anti_join
+
+    tbl = pa.table(
+        {"doc_id": pa.array(range(100), pa.int64()), "text": [f"t{i}" for i in range(100)]}
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    blocks = [pd.DataFrame({"node": [1, 3, 5]})] + [pd.DataFrame() for _ in range(25)]
+    out = hash_anti_join(ds, rd.from_pandas(blocks), on="doc_id", right_on="node",
+                         num_partitions=16)
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [i for i in range(100) if i not in (1, 3, 5)]
