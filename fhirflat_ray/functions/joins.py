@@ -142,6 +142,117 @@ def hash_anti_join(ds, keys_ds, on: str, right_on: str, num_partitions: int = 16
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
 
 
+def bucketed_asof_join(
+    left_ds,
+    right_ds,
+    left_on: str,
+    right_on: str,
+    by_left: str,
+    by_right: str,
+    right_value_cols: list[str],
+    n_buckets: int | None = None,
+):
+    """As-of join for TWO LARGE SIDES (the scale path broadcast_asof_join
+    documents): hash-bucket both sides on the join key — one narrow shuffle
+    each, no side ever materializes — then run ONE vectorized
+    ``pd.merge_asof(by=key)`` per bucket, which handles every key in the
+    bucket in a single C pass.
+
+    Partitioning assumption: all rows of one key land in one bucket (hash
+    co-partitioning), so a single key's rows must fit in a worker — the
+    same assumption any keyed as-of join makes. Bucket count defaults to
+    4x CPUs; raise it for skewed key distributions.
+
+    Left and right column names must be disjoint apart from the join
+    semantics (standard as-of layout)."""
+    import pandas.util as pdu
+
+    if n_buckets is None:
+        import ray
+
+        n_buckets = max(4, min(512, int(ray.cluster_resources().get("CPU", 4)) * 4))
+
+    left_fields = _dataset_fields(left_ds)
+    left_cols = [f.name for f in left_fields]
+    right_cols = [by_right, right_on] + list(right_value_cols)
+    right_fields_all = {f.name: f for f in _dataset_fields(right_ds)}
+    right_fields = [right_fields_all[c] for c in right_cols]
+    union_fields = (
+        [pa.field("__bucket", pa.int64()), pa.field("__side", pa.int8())]
+        + left_fields
+        + [f for f in right_fields if f.name not in left_cols]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def _tag(side: int, key_col: str, present: list[str]):
+        def tag(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False)
+            if np.issubdtype(keys.dtype, np.number):
+                keys = keys.astype(np.int64)
+            else:
+                keys = np.asarray(keys, dtype=object)
+            bucket = (pdu.hash_array(keys) % np.uint64(n_buckets)).astype(np.int64)
+            cols = {
+                "__bucket": pa.array(bucket, pa.int64()),
+                "__side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
+            }
+            for f in union_fields[2:]:
+                if f.name in present and f.name in batch.column_names:
+                    cols[f.name] = batch[f.name].cast(f.type)
+                else:
+                    cols[f.name] = pa.nulls(batch.num_rows, f.type)
+            return pa.table(cols).cast(union_schema)
+
+        return tag
+
+    tagged = left_ds.map_batches(
+        _tag(0, by_left, left_cols), batch_format="pyarrow"
+    ).union(right_ds.map_batches(_tag(1, by_right, right_cols), batch_format="pyarrow"))
+
+    out_value_cols = [c for c in [right_on] + list(right_value_cols) if c not in left_cols]
+
+    out_schema = pa.schema(
+        left_fields + [right_fields_all[c] for c in out_value_cols]
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # split sides while still Arrow: the union's null padding would
+        # otherwise degrade int columns to float64 in pandas
+        lmask = pc.equal(t["__side"], 0)
+        left = t.filter(lmask).select(left_cols).to_pandas()
+        right = t.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        if len(left) == 0:
+            return out_schema.empty_table()
+        if len(right) == 0:
+            out = pa.Table.from_pandas(left, preserve_index=False)
+            for c in out_value_cols:
+                out = out.append_column(
+                    c, pa.nulls(out.num_rows, right_fields_all[c].type)
+                )
+            return out.cast(out_schema)
+        left = left.sort_values(left_on, kind="mergesort")
+        ldt = left[left_on].dtype
+        if right[right_on].dtype != ldt:
+            right = right.assign(**{right_on: right[right_on].astype(ldt)})
+        right = right.sort_values(right_on, kind="mergesort")
+        merged = pd.merge_asof(
+            left,
+            right,
+            left_on=left_on,
+            right_on=right_on,
+            left_by=by_left,
+            right_by=by_right,
+            direction="backward",
+        )
+        return pa.Table.from_pandas(
+            merged[left_cols + out_value_cols], preserve_index=False
+        ).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def broadcast_semi_join(ds, keys, column: str, anti: bool = False):
     """Keep rows whose ``column`` is (not, for anti) in the broadcast key set."""
     import ray

@@ -617,6 +617,38 @@ FROM events e ASOF LEFT JOIN orders o
 """
 
 
+def asof_join_bucketed(sf_dir: str):
+    """Same as-of join forced through the TWO-LARGE-SIDES path: both sides
+    hash-bucketed on the key (one narrow shuffle each, nothing broadcast or
+    driver-materialized), one vectorized ``merge_asof`` per bucket. Same
+    oracle as ``asof_join`` — the two paths must be indistinguishable."""
+    from fhirflat_ray.functions.joins import bucketed_asof_join
+    from fhirflat_ray.functions.util import distinct_rows
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    # dedupe (key, ts) ties so the matched order_ts is deterministic
+    orders = distinct_rows(orders, ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.rename_columns(
+            ["order_ts" if c == "o_orderdate" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = bucketed_asof_join(
+        ds,
+        orders,
+        left_on="ts",
+        right_on="order_ts",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_value_cols=[],
+    )
+    return out.select_columns(["event_id", "order_ts"])
+
+
+ASOF_JOIN_BUCKETED_SQL = ASOF_JOIN_SQL
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
@@ -867,6 +899,7 @@ QUERIES = {
     "tumbling_window": tumbling_window,
     "session_windows": session_windows,
     "asof_join": asof_join,
+    "asof_join_bucketed": asof_join_bucketed,
     "token_count": token_count,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
@@ -903,6 +936,7 @@ ORACLE_SQL = {
     "tumbling_window": TUMBLING_WINDOW_SQL,
     "session_windows": SESSION_WINDOWS_SQL,
     "asof_join": ASOF_JOIN_SQL,
+    "asof_join_bucketed": ASOF_JOIN_BUCKETED_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,

@@ -80,3 +80,52 @@ def test_broadcast_semi_and_anti(ray_session):
     assert sorted(r["event_id"] for r in semi) == [1, 2, 3]
     anti = broadcast_semi_join(ds, {1}, "user_id", anti=True).take_all()
     assert [r["event_id"] for r in anti] == [4]
+
+
+def test_bucketed_asof_join_matches_broadcast(ray_session):
+    """The two-large-sides bucketed path must be indistinguishable from the
+    broadcast path on the same input."""
+    import numpy as np
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import bucketed_asof_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 2_000, 500
+    left = pa.table(
+        {
+            "event_id": pa.array(range(n_l), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 50, n_l), pa.int64()),
+            "ts": pa.array(rng.integers(0, 10_000, n_l), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "key": pa.array(rng.integers(0, 60, n_r), pa.int64()),
+            "rts": pa.array(rng.integers(0, 10_000, n_r), pa.int64()),
+            "val": pa.array(rng.standard_normal(n_r)),
+        }
+    )
+    # dedupe (key, rts) so the matched val is deterministic on both paths
+    rdf = (
+        right.to_pandas()
+        .groupby(["key", "rts"], as_index=False)
+        .first()
+    )
+    bcast = broadcast_asof_join(
+        rd.from_arrow(left), rdf, left_on="ts", right_on="rts",
+        by_left="user_id", by_right="key", right_value_cols=["val"],
+    ).select_columns(["event_id", "rts", "val"]).take_all()
+    buck = bucketed_asof_join(
+        rd.from_arrow(left).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False)).repartition(3),
+        left_on="ts", right_on="rts",
+        by_left="user_id", by_right="key", right_value_cols=["val"],
+        n_buckets=8,
+    ).select_columns(["event_id", "rts", "val"]).take_all()
+    key = lambda r: r["event_id"]
+    a = sorted(bcast, key=key)
+    b = sorted(buck, key=key)
+    assert len(a) == len(b) == n_l
+    for x, y in zip(a, b):
+        assert x == y, (x, y)
