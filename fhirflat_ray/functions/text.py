@@ -112,21 +112,56 @@ def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 def rolling_hash_batch(batch: pa.Table, column: str = "text", window: int = 16) -> pa.Table:
     """Winnowing-style rolling-hash fingerprint: min of window hashes per doc.
 
-    Vectorized per batch via numpy over byte views."""
-    out = []
-    for t in batch[column].to_pylist():
-        if t is None:
-            out.append(None)
-            continue
-        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
-        if len(b) < window:
-            out.append(int(b.sum()) if len(b) else 0)
-            continue
-        # polynomial rolling hash over sliding windows, vectorized
+    Fully vectorized over the batch's FLAT utf-8 byte stream (zero-copy from
+    the Arrow data buffer): ``window`` strided passes accumulate every
+    window's polynomial hash at once, windows crossing document boundaries
+    are masked, and per-document minima come from ``np.minimum.reduceat`` —
+    no Python loop over documents (round 1 looped per doc). Documents
+    shorter than ``window`` bytes hash to their byte sum; nulls stay null."""
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(col, "").cast(pa.large_binary())
+    n_docs = len(filled)
+    off_buf, data_buf = filled.buffers()[1], filled.buffers()[2]
+    offs = np.frombuffer(off_buf, dtype=np.int64)[
+        filled.offset : filled.offset + n_docs + 1
+    ]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8).astype(np.int64)
+        if data_buf is not None
+        else np.zeros(0, dtype=np.int64)
+    )
+    base, end = int(offs[0]), int(offs[-1])
+    b = data[base:end]
+    offs = offs - base
+    lens = np.diff(offs)
+
+    out = np.zeros(n_docs, dtype=np.int64)
+    # short docs (< window bytes): byte sum (np.add.reduceat needs care with
+    # empty segments — compute via cumsum differences instead)
+    csum = np.concatenate([[0], np.cumsum(b)])
+    sums = csum[offs[1:]] - csum[offs[:-1]]
+    short = lens < window
+    out[short] = sums[short]
+
+    n_win = len(b) - window + 1
+    if n_win > 0:
         weights = np.power(31, np.arange(window, dtype=np.int64), dtype=np.int64)
-        n_win = len(b) - window + 1
-        idx = np.arange(window)[None, :] + np.arange(n_win)[:, None]
+        acc = np.zeros(n_win, dtype=np.int64)
         with np.errstate(over="ignore"):
-            hashes = (b[idx] * weights[None, :]).sum(axis=1)
-        out.append(int(hashes.min()))
-    return batch.append_column("rolling_fp", pa.array(out, pa.int64()))
+            for j in range(window):
+                acc += b[j : j + n_win] * weights[j]
+        starts = np.arange(n_win)
+        doc_of = np.searchsorted(offs, starts, side="right") - 1
+        valid = (starts + window <= offs[doc_of + 1]) & ~short[doc_of]
+        acc, doc_of = acc[valid], doc_of[valid]
+        order = np.argsort(doc_of, kind="stable")
+        acc, doc_of = acc[order], doc_of[order]
+        present, first_idx = np.unique(doc_of, return_index=True)
+        out[present] = np.minimum.reduceat(acc, first_idx)
+
+    return batch.append_column(
+        "rolling_fp", pa.array(np.where(null_mask, None, out), pa.int64(), mask=null_mask)
+    )

@@ -101,6 +101,90 @@ def validate_transcripts(ds):
     return validated.union(bad)
 
 
+#: A schema spec is ``{column: rules}`` with any of:
+#:   type: expected arrow type string (e.g. "int64", "string", "timestamp[us]")
+#:   nullable: False → nulls are errors (default True)
+#:   min / max: inclusive numeric bounds
+#:   regex: full-match pattern the (string) value must satisfy
+#:   enum: allowed value list
+#:   required: False → column may be absent entirely (default True)
+#: This is the engine's analogue of the reference's per-row typed-schema
+#: validation (/root/reference/fhirflat/resources/base.py:89-149, pydantic),
+#: done as vectorized Arrow kernels per batch instead of Python per row.
+
+
+def validate_schema(ds, spec: dict[str, dict[str, Any]]):
+    """Mark rows violating a typed column spec; returns ds + ``_error``.
+
+    Stateless per-batch transform — no shuffle; compose with
+    :func:`split_valid` to route valid/error rows like the reference's
+    ingest split (/root/reference/fhirflat/ingest.py:541-575)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def check(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        err = np.full(n, "", dtype=object)
+
+        def mark(mask, msg: str) -> None:
+            m = mask.to_numpy(zero_copy_only=False) if hasattr(mask, "to_numpy") else mask
+            m = np.asarray(m)
+            m = np.where(np.equal(m, None), False, m).astype(bool)
+            err[m & (err == "")] = msg
+
+        for col, rules in spec.items():
+            if col not in batch.column_names:
+                if rules.get("required", True):
+                    err[err == ""] = f"missing column {col!r}"
+                continue
+            arr = batch[col]
+            want_type = rules.get("type")
+            if want_type is not None and str(arr.type) != want_type:
+                err[err == ""] = f"column {col!r} has type {arr.type}, want {want_type}"
+                continue
+            nulls = pc.is_null(arr)
+            if not rules.get("nullable", True):
+                mark(nulls, f"null {col}")
+            not_null = pc.invert(nulls)
+            if "min" in rules:
+                mark(
+                    pc.and_(not_null, pc.less(arr, pa.scalar(rules["min"], arr.type))),
+                    f"{col} below min {rules['min']}",
+                )
+            if "max" in rules:
+                mark(
+                    pc.and_(not_null, pc.greater(arr, pa.scalar(rules["max"], arr.type))),
+                    f"{col} above max {rules['max']}",
+                )
+            if "regex" in rules:
+                ok = pc.match_substring_regex(
+                    arr.cast(pa.string()), f"^(?:{rules['regex']})$"
+                )
+                mark(pc.and_(not_null, pc.invert(ok)), f"{col} fails pattern")
+            if "enum" in rules:
+                ok = pc.is_in(arr, value_set=pa.array(rules["enum"], arr.type))
+                mark(pc.and_(not_null, pc.invert(ok)), f"{col} not in enum")
+
+        if "_error" in batch.column_names:
+            prev = batch["_error"].to_numpy(zero_copy_only=False)
+            keep = np.asarray(prev, dtype=object)
+            err = np.where(keep != "", keep, err)
+            batch = batch.drop_columns(["_error"])
+        return batch.append_column("_error", pa.array(err, pa.string()))
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+#: The transcript contract as a schema spec (used by the CLI and tests).
+TRANSCRIPT_SCHEMA_SPEC: dict[str, dict[str, Any]] = {
+    "conv_id": {"type": "string", "nullable": False},
+    "turn_idx": {"type": "int32", "nullable": False, "min": 0},
+    "role": {"enum": ["user", "assistant", "system", "tool"]},
+    "text": {"nullable": True},
+    "ts": {"nullable": False},
+}
+
+
 def condense_one_to_one(ds, key: str, columns: list[str] | None = None):
     """A2 one-row-per-subject condense with conflict routing.
 

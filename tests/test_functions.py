@@ -351,3 +351,73 @@ def test_hash_anti_join_with_schemaless_empty_blocks(ray_session):
                          num_partitions=16)
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [i for i in range(100) if i not in (1, 3, 5)]
+
+
+def test_rolling_hash_matches_per_doc_reference():
+    """Vectorized flat-stream rolling hash == naive per-document computation."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "short",
+        "x" * 16,
+        "a much longer document with enough bytes for several windows indeed",
+    ]
+    got = tx.rolling_hash_batch(
+        pa.table({"text": pa.array(texts, pa.string())})
+    )["rolling_fp"].to_pylist()
+
+    def ref(t, window=16):
+        if t is None:
+            return None
+        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+        if len(b) < window:
+            return int(b.sum()) if len(b) else 0
+        w = np.power(31, np.arange(window, dtype=np.int64), dtype=np.int64)
+        idx = np.arange(window)[None, :] + np.arange(len(b) - window + 1)[:, None]
+        with np.errstate(over="ignore"):
+            return int((b[idx] * w[None, :]).sum(axis=1).min())
+
+    assert got == [ref(t) for t in texts]
+
+
+def test_validate_schema(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import split_valid, validate_schema
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", None, "c", "d", "e"], pa.string()),
+            "turn_idx": pa.array([0, 1, -2, 3, 4], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "robot", "user"]),
+            "ts": pa.array([1, 2, 3, 4, None], pa.int64()),
+        }
+    )
+    spec = {
+        "conv_id": {"type": "string", "nullable": False},
+        "turn_idx": {"type": "int32", "min": 0},
+        "role": {"enum": ["user", "assistant"]},
+        "ts": {"nullable": False},
+        "text": {"required": False},
+    }
+    marked = validate_schema(rd.from_arrow(t), spec)
+    valid, errors = split_valid(marked)
+    assert valid.count() == 1  # only row 0 passes every rule
+    errs = {r["conv_id"]: r["_error"] for r in errors.take_all()}
+    assert errs[None] == "null conv_id" or "null" in errs[None]
+    assert "below min" in errs["c"]
+    assert "enum" in errs["d"]
+    assert "null ts" in errs["e"]
+
+
+def test_validate_schema_type_and_missing_column(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import validate_schema
+
+    t = pa.table({"turn_idx": pa.array([1.5, 2.0], pa.float64())})
+    marked = validate_schema(
+        rd.from_arrow(t), {"turn_idx": {"type": "int32"}, "conv_id": {}}
+    ).take_all()
+    assert all("type" in r["_error"] or "missing" in r["_error"] for r in marked)
