@@ -178,8 +178,15 @@ def encode_column(
             else:
                 dec = None
         if dec is None:
-            body = arr.to_numpy(zero_copy_only=False).tobytes()
-            hdr["c"] = "plain_float"
+            v = arr.to_numpy(zero_copy_only=False)
+            bp = _try_byteplane_float(v)
+            if bp is not None:
+                ph, body = bp
+                hdr["c"] = "bpfloat"
+                hdr["h"] = ph
+            else:
+                body = v.tobytes()
+                hdr["c"] = "plain_float"
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         sh, body = encode_strings(arr, shared_vocab, shared_hash)
         hdr["c"] = "str"
@@ -293,6 +300,72 @@ def _try_decimal_ints(arr: pa.Array) -> tuple[int, np.ndarray] | None:
     return None
 
 
+def _try_byteplane_float(v: np.ndarray) -> tuple[dict[str, Any], bytes] | None:
+    """Byte-plane split for float payloads that decimal scaling can't touch.
+
+    Embedding-style floats (unit-norm vectors) concentrate the sign+exponent
+    byte into a handful of values (measured ~2.7 bits entropy, ~20 distinct,
+    on the synthetic embeddings) while mantissa bytes are full-entropy.
+    Splitting each value into its little-endian byte planes lets the
+    low-cardinality planes be dictionary+bitpacked (vectorized searchsorted
+    + pack_bits) while full-entropy planes stay plain — a ~10-15% win on
+    the float payload, bit-exact (NaN/-0.0 reassemble byte-identically).
+    Returns None unless the split beats plain storage with margin."""
+    from fhirflat_ray.codecs.bitpack import bit_width, pack_bits, packed_nbytes
+
+    n = len(v)
+    itemsize = v.dtype.itemsize
+    if n < 64:
+        return None
+    raw = np.ascontiguousarray(v).view(np.uint8).reshape(n, itemsize)
+    planes = np.ascontiguousarray(raw.T)  # one transpose pass; planes contiguous
+    plane_hdrs: list[dict[str, Any]] = []
+    parts: list[bytes] = []
+    total = 0
+    for p in range(itemsize):
+        byts = planes[p].astype(np.int64)
+        vals = np.unique(byts)
+        w = bit_width(len(vals) - 1)
+        packed_cost = len(vals) + packed_nbytes(n, w)
+        if packed_cost < n:
+            codes = np.searchsorted(vals, byts)
+            parts.append(vals.astype(np.uint8).tobytes())
+            parts.append(pack_bits(codes, w))
+            plane_hdrs.append({"m": "d", "w": w, "nv": int(len(vals))})
+            total += packed_cost
+        else:
+            parts.append(planes[p].tobytes())
+            plane_hdrs.append({"m": "p"})
+            total += n
+    if total >= int(0.95 * n * itemsize):
+        return None
+    return {"planes": plane_hdrs}, b"".join(parts)
+
+
+def _decode_byteplane_float(
+    hdr: dict[str, Any], blob: bytes, n: int, t: pa.DataType
+) -> np.ndarray:
+    from fhirflat_ray.codecs.bitpack import packed_nbytes, unpack_bits
+
+    itemsize = 4 if pa.types.is_float32(t) else 8
+    planes = np.empty((itemsize, n), dtype=np.uint8)
+    pos = 0
+    for p, ph in enumerate(hdr["h"]["planes"]):
+        if ph["m"] == "d":
+            nv, w = ph["nv"], ph["w"]
+            vals = np.frombuffer(blob, dtype=np.uint8, count=nv, offset=pos)
+            pos += nv
+            nb = packed_nbytes(n, w)
+            codes = unpack_bits(blob[pos : pos + nb], w, n)
+            pos += nb
+            planes[p] = vals[codes]
+        else:
+            planes[p] = np.frombuffer(blob, dtype=np.uint8, count=n, offset=pos)
+            pos += n
+    raw = np.ascontiguousarray(planes.T).reshape(-1)
+    return raw.view(np.float32 if itemsize == 4 else np.float64)
+
+
 def _ipc_serialize(arr: pa.Array) -> bytes:
     table = pa.table({"v": arr})
     sink = pa.BufferOutputStream()
@@ -339,6 +412,10 @@ def decode_column(
     if c == "plain_float":
         dtype = np.float32 if pa.types.is_float32(t) else np.float64
         vals = np.frombuffer(blob, dtype=dtype, count=n)
+        vbuf = pa.py_buffer(validity) if validity is not None else None
+        return pa.Array.from_buffers(t, n, [vbuf, pa.py_buffer(vals.tobytes())])
+    if c == "bpfloat":
+        vals = _decode_byteplane_float(hdr, blob, n, t)
         vbuf = pa.py_buffer(validity) if validity is not None else None
         return pa.Array.from_buffers(t, n, [vbuf, pa.py_buffer(vals.tobytes())])
     if c == "str":

