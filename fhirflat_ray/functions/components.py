@@ -101,23 +101,27 @@ def connected_components(
             }
         )
 
-    edges = _dedupe_edges(edges_ds.map_batches(canon, batch_format="pandas"))
-    prev = _fingerprint(edges)
-    if prev[0] == 0:
-        return edges.map_batches(label, batch_format="pandas")
+    edges = edges_ds.map_batches(canon, batch_format="pandas")
+    prev_n: int | None = None
+    prev_mat = None
     for _ in range(max_iters):
         # star() dedupes within each group, so no dedupe pass is needed
         # between the two star rounds — one per full round keeps edge
-        # counts canonical for the convergence fingerprint
+        # counts canonical for the convergence check
         edges = _star_round(edges, large=True)
         edges = _dedupe_edges(_star_round(edges, large=False))
         # materialize once per round (an iterative pipeline cannot stay
         # lazy: lineage would grow unboundedly); the edge list is the small
         # derived set, never the corpus
         edges = edges.materialize()
-        cur = _fingerprint(edges)
-        if cur == prev:
-            break
-        prev = cur
+        # each Ray execution costs ~1s of framework constant at small scale,
+        # so the convergence test is two-tier: edge COUNT from materialized
+        # block metadata (free), and the order-insensitive set fingerprint
+        # (one execution over the edge list) only once counts stabilize
+        n = edges.count()
+        if prev_n is not None and n == prev_n:
+            if n == 0 or _fingerprint(prev_mat) == _fingerprint(edges):
+                break
+        prev_n, prev_mat = n, edges
 
     return edges.map_batches(label, batch_format="pandas")

@@ -54,17 +54,13 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
 
     Hash-partition + per-group-first (SURVEY.md §2.7): the shuffle key is the
     64-bit content hash, never the full text, so the exchange is narrow."""
+    from fhirflat_ray.functions.util import keep_min_per_key
+
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, column), batch_format="pyarrow"
     )
-
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[id_column].idxmin()]]
-
-    return (
-        hashed.groupby("content_hash")
-        .map_groups(first_per_group, batch_format="pandas")
-        .drop_columns(["content_hash"])
+    return keep_min_per_key(hashed, "content_hash", id_column).drop_columns(
+        ["content_hash"]
     )
 
 
@@ -284,13 +280,74 @@ def minhash_lsh_candidates(
     bands = sigs.select_columns([id_column, "minhash"]).map_batches(
         lambda b: explode_bands(b, n_bands, id_column), batch_format="pyarrow"
     )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        left, right = _bucket_edges(g[id_column].to_numpy(), clique_cap)
-        return pd.DataFrame({"left_id": left, "right_id": right})
-
-    cand = bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # combined bucket key (band_hash < 2^31, band_id small) lets the shuffle
+    # group COARSE hash-buckets instead of exact LSH buckets — grouping by
+    # the exact (band, hash) pair makes nearly every group a singleton and
+    # pays Python per group (measured 12s of 13.6s at 5k docs)
+    cand = _grouped_bucket_edges(
+        bands,
+        key_fn=lambda g: (
+            (g["band_id"].to_numpy().astype(np.int64) << np.int64(31))
+            | g["band_hash"].to_numpy().astype(np.int64)
+        ),
+        id_column=id_column,
+        clique_cap=clique_cap,
+    )
     return distinct_rows(cand, ["left_id", "right_id"])
+
+
+def _grouped_bucket_edges(ds, key_fn, id_column: str, clique_cap: int, num_buckets: int | None = None):
+    """(left_id, right_id) edges for every exact-key bucket of ``ds``.
+
+    Shuffles on a COARSE hash of the exact key (``num_buckets`` groups
+    total, so Python-per-group cost is bounded), then inside each coarse
+    group: sort by exact key, find segment boundaries with ``np.unique``,
+    drop singleton segments wholesale, and emit clique/star edges only for
+    the few real multi-member buckets."""
+    import pandas.util as pdu
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(4, min(256, int(ray.cluster_resources().get("CPU", 4)) * 4))
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = key_fn(g)
+        out = pd.DataFrame(
+            {"__key": key, id_column: g[id_column].to_numpy().astype(np.int64)}
+        )
+        out["__bucket"] = (
+            pdu.hash_array(key) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["__key"].to_numpy()
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        _, first, counts = np.unique(key, return_index=True, return_counts=True)
+        lefts: list[np.ndarray] = []
+        rights: list[np.ndarray] = []
+        for f, c in zip(first[counts >= 2], counts[counts >= 2]):
+            seg = np.unique(ids[f : f + c])
+            left, right = _bucket_edge_indices(len(seg), clique_cap)
+            if len(left):
+                lefts.append(seg[left])
+                rights.append(seg[right])
+        if not lefts:
+            return pd.DataFrame(
+                {"left_id": np.array([], np.int64), "right_id": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"left_id": np.concatenate(lefts), "right_id": np.concatenate(rights)}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------- jaccard
@@ -429,14 +486,10 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     from fhirflat_ray.functions.joins import hash_anti_join
 
     comps = connected_components(edges)
-    # materialize the drop set (object-store blocks, not the driver): it is
-    # proportional to the duplicate count, and pinning it keeps the anti
-    # join as the only hash-shuffle in its execution plan — chaining
-    # several hash joins lazily trips Ray 2.49's shuffle aggregator
-    # (observed: FieldRef errors from a stale right-side schema)
-    drops = (
-        comps.filter(expr="node != component").select_columns(["node"]).materialize()
-    )
+    # (hash_anti_join repartitions its key side, which also normalizes away
+    # the schema-less empty blocks groupby pipelines can leave behind —
+    # those break acero hash joins otherwise)
+    drops = comps.filter(expr="node != component").select_columns(["node"])
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
@@ -498,16 +551,14 @@ def near_dedup(
         batch_format="pyarrow",
     )
 
-    verified = (
-        rt.map_batches(
-            JaccardVerifier,
-            fn_constructor_kwargs={"k": k, "threshold": threshold},
-            batch_format="pyarrow",
-            concurrency=(1, 8),
-        )
-        .select_columns(["left_id", "right_id"])
-        .materialize()  # edge set (small, derived); ends the two-join plan
-    )
+    verified = rt.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={"k": k, "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).select_columns(["left_id", "right_id"])
+    # stays lazy: the components loop's first-round materialize executes
+    # the two-join verify plan exactly once
     return _keep_component_minima(ds, verified, id_column, num_partitions)
 
 
@@ -521,15 +572,13 @@ def _rename(batch: pa.Table, mapping: dict[str, str]) -> pa.Table:
 
 def simhash_dedup(ds, id_column: str = "doc_id", column: str = "text"):
     """Exact-bucket SimHash dedup: keep min id per identical simhash."""
+    from fhirflat_ray.functions.util import keep_min_per_key
+
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"column": column},
         batch_format="pyarrow", concurrency=(1, 8),
     )
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[id_column].idxmin()]]
-
-    return hashed.groupby("simhash").map_groups(first, batch_format="pandas")
+    return keep_min_per_key(hashed, "simhash", id_column)
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -592,22 +641,59 @@ def simhash_near_candidates(
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_column].to_numpy()
-        hs = g["simhash"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, hs = ids[order], hs[order]
-        left_i, right_i = _bucket_edge_indices(len(ids), clique_cap)
-        if len(left_i) == 0:
-            return pd.DataFrame({"left_id": [], "right_id": []}).astype(np.int64)
-        ham = _popcount64(hs[left_i] ^ hs[right_i])
-        keep = ham <= k
+    # coarse hash-bucket shuffle (not the exact (chunk, value) bucket — that
+    # makes nearly every group a singleton and pays Python per group); inside
+    # each coarse group singleton segments are dropped wholesale and only
+    # real multi-member buckets run the Hamming verify
+    import pandas.util as pdu
+    import ray
+
+    num_buckets = max(4, min(256, int(ray.cluster_resources().get("CPU", 4)) * 4))
+    n_chunks = np.int64(len(bounds))
+
+    def add_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["chunk_val"].to_numpy() * n_chunks + g["chunk_id"].to_numpy()
         return pd.DataFrame(
-            {"left_id": ids[left_i[keep]], "right_id": ids[right_i[keep]]}
+            {
+                "__key": key,
+                id_column: g[id_column].to_numpy(),
+                "simhash": g["simhash"].to_numpy(),
+                "__bucket": (pdu.hash_array(key) % np.uint64(num_buckets)).astype(
+                    np.int64
+                ),
+            }
         )
 
-    cand = exploded.groupby(["chunk_id", "chunk_val"]).map_groups(
-        pairs, batch_format="pandas"
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["__key"].to_numpy()
+        ids = g[id_column].to_numpy()
+        hs = g["simhash"].to_numpy()
+        order = np.lexsort((ids, key))
+        key, ids, hs = key[order], ids[order], hs[order]
+        _, first, counts = np.unique(key, return_index=True, return_counts=True)
+        lefts: list[np.ndarray] = []
+        rights: list[np.ndarray] = []
+        for f, c in zip(first[counts >= 2], counts[counts >= 2]):
+            seg_ids = ids[f : f + c]
+            seg_hs = hs[f : f + c]
+            li, ri = _bucket_edge_indices(int(c), clique_cap)
+            ham = _popcount64(seg_hs[li] ^ seg_hs[ri])
+            keep = ham <= k
+            if keep.any():
+                lefts.append(seg_ids[li[keep]])
+                rights.append(seg_ids[ri[keep]])
+        if not lefts:
+            return pd.DataFrame(
+                {"left_id": np.array([], np.int64), "right_id": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"left_id": np.concatenate(lefts), "right_id": np.concatenate(rights)}
+        )
+
+    cand = (
+        exploded.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
     return distinct_rows(cand, ["left_id", "right_id"])
 

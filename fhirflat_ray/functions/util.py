@@ -44,3 +44,38 @@ def distinct_rows(ds, keys: list[str], num_buckets: int | None = None):
         .groupby("__bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def keep_min_per_key(ds, key: str, id_column: str, num_buckets: int | None = None):
+    """Keep the row with the minimum ``id_column`` per distinct ``key`` —
+    hash-partitioned first-per-group at bounded Python cost.
+
+    Same shape as :func:`distinct_rows`: per-batch vectorized pre-reduce
+    (shrinks the shuffle to one row per in-batch key), coarse hash-bucket
+    shuffle, then one vectorized pandas ``groupby().idxmin`` per BUCKET —
+    Python cost scales with bucket count, not key cardinality."""
+    import pandas.util as pdu
+
+    if num_buckets is None:
+        import ray
+
+        num_buckets = max(4, min(256, int(ray.cluster_resources().get("CPU", 4)) * 4))
+    nb = np.uint64(num_buckets)
+
+    def _reduce(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch.groupby(key, sort=False)[id_column].idxmin()]
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _reduce(batch)
+        out = batch.copy()
+        out["__bucket"] = (pdu.hash_array(batch[key].to_numpy()) % nb).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _reduce(g).drop(columns="__bucket")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
