@@ -46,6 +46,42 @@ def distinct_rows(ds, keys: list[str], num_buckets: int | None = None):
     )
 
 
+def default_num_buckets() -> int:
+    import ray
+
+    return max(4, min(256, int(ray.cluster_resources().get("CPU", 4)) * 4))
+
+
+def bucketed_map_groups(ds, key_cols: list[str], fn, num_buckets: int | None = None):
+    """``groupby(keys).map_groups`` analogue that pays Python per BUCKET.
+
+    Ray's ``map_groups`` invokes the callback once per distinct key — at
+    millions of keys the interpreter dispatch dominates the actual work.
+    Here rows shuffle on a coarse deterministic hash of the key tuple
+    (``num_buckets`` groups total); ``fn`` receives one pandas DataFrame per
+    bucket holding ALL rows of every key hashed into it (co-partitioning
+    guarantee, same as an exact groupby) and must itself be vectorized
+    across keys (pandas groupby C engine, numpy segment ops)."""
+    import pandas.util as pdu
+
+    nb = np.uint64(num_buckets or default_num_buckets())
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pdu.hash_pandas_object(batch[key_cols], index=False).to_numpy()
+        out = batch.copy()
+        out["__bucket"] = (h % nb).astype(np.int64)
+        return out
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns="__bucket"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
 def keep_min_per_key(ds, key: str, id_column: str, num_buckets: int | None = None):
     """Keep the row with the minimum ``id_column`` per distinct ``key`` —
     hash-partitioned first-per-group at bounded Python cost.

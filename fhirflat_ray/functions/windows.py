@@ -21,7 +21,7 @@ def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
     """Tumbling-window count/sum: window id = floor(epoch_us / width).
 
     Partial per-batch combine before the groupby shuffle (A5 pattern)."""
-    from ray.data.aggregate import Sum
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
     def partial(batch: pa.Table) -> pa.Table:
         epoch = batch[ts_col].cast(pa.int64())
@@ -37,8 +37,14 @@ def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
         return g.rename_columns(keys + ["n"])
 
     keys = ["window"] + (["by"] if by else [])
-    out = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(
-        Sum("n", alias_name="n")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket combine: window count can be huge at scale
+        # (windows x key cardinality), so Python must stay per-bucket
+        return g.groupby(keys, sort=False).agg(n=("n", "sum")).reset_index()
+
+    out = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), keys, combine
     )
     if by:
         out = out.map_batches(
@@ -53,11 +59,14 @@ def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
 def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | None = None):
     """Gap-based session windows per key → (key, n_sessions, max_session_len).
 
-    One shuffle on ``key``; inside each group the session boundaries are a
-    vectorized diff-vs-gap comparison."""
+    One coarse-bucket shuffle on ``key``; inside each bucket ALL keys are
+    sessionized in one vectorized pass (session boundary = gap exceeded OR
+    key change under (key, ts, ...) order), so Python cost is per bucket,
+    not per key."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + [c for c in (order_cols or []) if c in g.columns]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key, ts_col] + [c for c in (order_cols or []) if c in g.columns]
         g = g.sort_values(order, kind="mergesort")
         ts_raw = g[ts_col].to_numpy()
         if np.issubdtype(ts_raw.dtype, np.datetime64):
@@ -67,15 +76,22 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | N
             ts = ts_raw.astype("datetime64[us]").astype("int64")
         else:
             ts = ts_raw.astype("int64")
-        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
-        sess_id = np.cumsum(new_session)
-        lens = np.bincount(sess_id)[1:]
-        return pd.DataFrame(
-            {
-                key: [g[key].iloc[0]],
-                "n_sessions": [int(sess_id[-1])],
-                "max_session_len": [int(lens.max())],
-            }
+        keys = g[key].to_numpy()
+        if len(keys) == 0:
+            return pd.DataFrame({key: [], "n_sessions": [], "max_session_len": []})
+        new_session = np.concatenate(
+            [[True], (np.diff(ts) > gap_us) | (keys[1:] != keys[:-1])]
         )
+        sess_id = np.cumsum(new_session)
+        per_sess = pd.DataFrame({key: keys, "sid": sess_id})
+        lens = per_sess.groupby([key, "sid"], sort=False).size().reset_index(name="len")
+        out = (
+            lens.groupby(key, sort=False)
+            .agg(n_sessions=("sid", "size"), max_session_len=("len", "max"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        out["max_session_len"] = out["max_session_len"].astype(np.int64)
+        return out
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(ds, [key], per_bucket)

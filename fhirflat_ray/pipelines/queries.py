@@ -43,14 +43,20 @@ def transcript_build(sf_dir: str):
     within the conversation (row_number analogue via groupby + per-group
     sort — the implode/stable-index pattern, SURVEY.md §2.5 A1).
     """
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
     ds = _read(sf_dir, "events")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL users in the bucket: sort by
+        # (user, ts, event_id), then turn_idx = per-user cumcount (C path) —
+        # no Python per conversation
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        turn = g.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
         return pd.DataFrame(
             {
                 "conv_id": "conv-" + g["user_id"].astype(str),
-                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "turn_idx": turn,
                 "role": np.where(
                     g["event_type"].isin(["click", "view"]), "user", "assistant"
                 ),
@@ -60,7 +66,7 @@ def transcript_build(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_map_groups(ds, ["user_id"], per_bucket)
 
 
 TRANSCRIPT_BUILD_SQL = """
@@ -202,25 +208,39 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def events_condense(sf_dir: str):
-    """A2 one-row-per-subject condense (groupby(subject).agg)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """A2 one-row-per-subject condense (groupby(subject).agg).
+
+    Partial per-batch Arrow aggregate → coarse-bucket shuffle → one
+    vectorized pandas combine per bucket. Ray's built-in
+    ``groupby.aggregate`` pays Python per group (~1 ms/group), which is
+    fine at hundreds of subjects but not at the 1e8+ a 100 TB corpus
+    carries; this shape is O(buckets) in Python regardless of subjects."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
-    out = ds.groupby("user_id").aggregate(
-        Count(alias_name="n_events"),
-        Min("ts", alias_name="first_ts"),
-        Max("ts", alias_name="last_ts"),
-        Sum("value", alias_name="total_value"),
-    )
 
-    def round_total(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("total_value"),
-            "total_value",
-            pc.round(batch["total_value"], ndigits=2),
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("user_id").aggregate(
+            [("ts", "min"), ("ts", "max"), ("value", "sum"), ([], "count_all")]
         )
+        return g.rename_columns(["user_id", "first_ts", "last_ts", "total_value", "n_events"])
 
-    return out.map_batches(round_total, batch_format="pyarrow")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("user_id", sort=False)
+            .agg(
+                n_events=("n_events", "sum"),
+                first_ts=("first_ts", "min"),
+                last_ts=("last_ts", "max"),
+                total_value=("total_value", "sum"),
+            )
+            .reset_index()
+        )
+        out["total_value"] = out["total_value"].round(2)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_map_groups(partials, ["user_id"], combine)
 
 
 EVENTS_CONDENSE_SQL = """
@@ -306,16 +326,24 @@ SELECT 'user_id', count(*), count(DISTINCT user_id) FROM events
 def rle_runs(sf_dir: str):
     """Run-length statistics: total runs of event_type under per-user
     (ts, event_id) order — the sort-before-RLE win metric (SURVEY.md §2.6)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
 
     def runs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        # vectorized across every user in the bucket: a run boundary is a
+        # change in event_type OR a change of user under (user, ts, event_id)
+        # order — one partial count row per bucket
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         et = g["event_type"].to_numpy()
-        n_runs = 1 + int((et[1:] != et[:-1]).sum()) if len(et) else 0
-        return pd.DataFrame({"runs": [n_runs]})
+        uid = g["user_id"].to_numpy()
+        if len(et) == 0:
+            return pd.DataFrame({"runs": [0]})
+        boundaries = 1 + int(((et[1:] != et[:-1]) | (uid[1:] != uid[:-1])).sum())
+        return pd.DataFrame({"runs": [boundaries]})
 
-    per_user = ds.groupby("user_id").map_groups(runs, batch_format="pandas")
-    total = per_user.sum("runs")  # distributed reduce, O(1) on the driver
+    per_bucket = bucketed_map_groups(ds, ["user_id"], runs)
+    total = per_bucket.sum("runs")  # distributed reduce, O(1) on the driver
     return pa.table({"n_runs": pa.array([int(total)], pa.int64())})
 
 
