@@ -34,10 +34,12 @@ BENCH_QUERIES = [
     "events_condense",
     "token_count",
     "dedup_exact",
+    "dedup_near",
     "knn_bruteforce",
     "transcript_build",
     "tumbling_window",
     "asof_join",
+    "asof_join_bucketed",
 ]
 
 

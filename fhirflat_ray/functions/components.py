@@ -101,9 +101,23 @@ def connected_components(
             }
         )
 
+    #: below this edge count the convergence check collects the (tiny,
+    #: already-materialized) edge set to the driver and compares arrays
+    #: directly — two int64 columns at 1M rows is 16 MB, far cheaper than
+    #: two extra Ray executions of the distributed fingerprint
+    SMALL_EDGES = 1_000_000
+
+    def _edge_array(mat) -> np.ndarray:
+        rows = mat.take_all()
+        u = np.fromiter((r["u"] for r in rows), np.int64, count=len(rows))
+        v = np.fromiter((r["v"] for r in rows), np.int64, count=len(rows))
+        order = np.lexsort((v, u))
+        return np.stack([u[order], v[order]], axis=1)
+
     edges = edges_ds.map_batches(canon, batch_format="pandas")
     prev_n: int | None = None
     prev_mat = None
+    prev_arr: np.ndarray | None = None
     for _ in range(max_iters):
         # star() dedupes within each group, so no dedupe pass is needed
         # between the two star rounds — one per full round keeps edge
@@ -115,13 +129,26 @@ def connected_components(
         # derived set, never the corpus
         edges = edges.materialize()
         # each Ray execution costs ~1s of framework constant at small scale,
-        # so the convergence test is two-tier: edge COUNT from materialized
-        # block metadata (free), and the order-insensitive set fingerprint
-        # (one execution over the edge list) only once counts stabilize
+        # so the convergence test is tiered: edge COUNT from materialized
+        # block metadata (free); then exact set equality driver-side when
+        # the edge set is small, distributed fingerprint otherwise
         n = edges.count()
         if prev_n is not None and n == prev_n:
-            if n == 0 or _fingerprint(prev_mat) == _fingerprint(edges):
+            if n == 0:
                 break
+            if n <= SMALL_EDGES:
+                cur_arr = _edge_array(edges)
+                if prev_arr is None:
+                    prev_arr = _edge_array(prev_mat)
+                if np.array_equal(prev_arr, cur_arr):
+                    break
+                prev_arr = cur_arr
+            else:
+                prev_arr = None
+                if _fingerprint(prev_mat) == _fingerprint(edges):
+                    break
+        else:
+            prev_arr = None
         prev_n, prev_mat = n, edges
 
     return edges.map_batches(label, batch_format="pandas")

@@ -486,10 +486,21 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     from fhirflat_ray.functions.joins import hash_anti_join
 
     comps = connected_components(edges)
+    drops = comps.filter(expr="node != component").select_columns(["node"]).materialize()
+    # hybrid anti join: the drop set is proportional to DUPLICATES, so it is
+    # usually broadcastable — a sorted-array membership filter per batch
+    # (map-only, no shuffle) beats spinning up hash-join aggregators. The
+    # distributed hash anti join remains the path for massive drop sets.
+    if drops.count() <= 2_000_000:
+        from fhirflat_ray.functions.joins import broadcast_semi_join
+
+        keys = [r["node"] for r in drops.take_all()]
+        if not keys:
+            return ds
+        return broadcast_semi_join(ds, keys, id_column, anti=True)
     # (hash_anti_join repartitions its key side, which also normalizes away
     # the schema-less empty blocks groupby pipelines can leave behind —
     # those break acero hash joins otherwise)
-    drops = comps.filter(expr="node != component").select_columns(["node"])
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
@@ -532,6 +543,46 @@ def near_dedup(
     # the two joins below is the scale-honest choice
     cand = cand.repartition(num_partitions).materialize()
     txt = ds.select_columns([id_column, column])
+
+    n_cand = cand.count()  # metadata on the materialized set — free
+    if n_cand == 0:
+        return ds
+    # hybrid verify: the candidate set is proportional to DUPLICATES, so it
+    # is usually tiny relative to the corpus. Below the threshold, fetch
+    # only the candidate documents' texts (map-only broadcast filter over
+    # the corpus) and verify all pairs in one vectorized pass — skipping
+    # two hash-join shuffles. The join path below remains for massive
+    # candidate sets.
+    if n_cand <= 50_000:
+        from fhirflat_ray.functions.joins import broadcast_semi_join
+
+        pairs_rows = cand.take_all()
+        need = sorted(
+            {r["left_id"] for r in pairs_rows} | {r["right_id"] for r in pairs_rows}
+        )
+        texts = {
+            r[id_column]: r[column]
+            for r in broadcast_semi_join(txt, need, id_column).take_all()
+        }
+        left = pa.array([texts.get(r["left_id"], "") for r in pairs_rows], pa.string())
+        right = pa.array([texts.get(r["right_id"], "") for r in pairs_rows], pa.string())
+        sims = JaccardVerifier(k=k, threshold=threshold).batch_jaccard(left, right)
+        keep = sims >= threshold
+        import ray.data as rd
+
+        edge_tbl = pa.table(
+            {
+                "left_id": pa.array(
+                    [r["left_id"] for r, m in zip(pairs_rows, keep) if m], pa.int64()
+                ),
+                "right_id": pa.array(
+                    [r["right_id"] for r, m in zip(pairs_rows, keep) if m], pa.int64()
+                ),
+            }
+        )
+        return _keep_component_minima(
+            ds, rd.from_arrow(edge_tbl), id_column, num_partitions
+        )
 
     # attach both texts via distributed hash joins (no driver collect)
     lt = cand.join(
