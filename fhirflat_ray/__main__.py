@@ -129,6 +129,50 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_validate(args: argparse.Namespace) -> int:
+    """Valid/error routing over parquet or encoded segments — the engine's
+    `fhirflat validate` (/root/reference/fhirflat/ingest.py:658-742): rows
+    violating the transcript contract (key integrity) and the typed schema
+    spec go to an errors table instead of failing the job."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import (
+        TRANSCRIPT_SCHEMA_SPEC,
+        split_valid,
+        validate_schema,
+        validate_transcripts,
+    )
+
+    if os.path.isdir(args.input) and any(
+        f.endswith(".seg") for f in os.listdir(args.input)
+    ):
+        from fhirflat_ray.pipelines.decode import decode_dataset
+
+        ds = decode_dataset(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+
+    spec = TRANSCRIPT_SCHEMA_SPEC
+    if args.spec:
+        with open(args.spec) as f:
+            spec = json.load(f)
+    marked = validate_schema(ds, spec)
+    if not args.schema_only:
+        # key-contract validation (null/duplicate (conv_id, turn_idx))
+        # composes after the typed schema pass; rows already marked keep
+        # their first error
+        marked = validate_transcripts(marked)
+    valid, errors = split_valid(marked)
+    n_err = errors.count()
+    if args.errors_out:
+        errors.write_parquet(args.errors_out)
+    if args.valid_out:
+        valid.write_parquet(args.valid_out)
+    print(json.dumps({"valid_rows": valid.count(), "error_rows": n_err}))
+    return 0 if n_err == 0 or args.errors_out else 1
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     # delegate to the repo-root bench harness (one JSON line contract)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -172,6 +216,16 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("output")
     pc_.add_argument("--target-rows", type=int, default=512 * 1024)
     pc_.set_defaults(fn=cmd_compact)
+
+    pval = sub.add_parser(
+        "validate", help="typed schema + key-contract validation → valid/error split"
+    )
+    pval.add_argument("input", help="parquet path/dir or encoded segment dir")
+    pval.add_argument("--spec", default=None, help="JSON schema-spec file (default: transcript contract)")
+    pval.add_argument("--schema-only", action="store_true", help="skip conv/turn key-contract checks")
+    pval.add_argument("--valid-out", default=None)
+    pval.add_argument("--errors-out", default=None)
+    pval.set_defaults(fn=cmd_validate)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--scaling", action="store_true")

@@ -66,11 +66,15 @@ def verify_roundtrip(source_ds, decoded_ds, columns: list[str] | None = None) ->
 
 def _mark_errors(group: pd.DataFrame) -> pd.DataFrame:
     """Per-conversation validation (runs inside groupby(conv_id))."""
-    err = np.full(len(group), "", dtype=object)
+    if "_error" in group.columns:
+        # compose with an upstream pass (e.g. validate_schema): first error wins
+        err = group["_error"].fillna("").to_numpy(dtype=object)
+    else:
+        err = np.full(len(group), "", dtype=object)
     if "turn_idx" in group:
         tidx = group["turn_idx"]
-        err[tidx.isna().to_numpy()] = "null turn_idx"
-        err[(tidx.fillna(0) < 0).to_numpy()] = "negative turn_idx"
+        err[tidx.isna().to_numpy() & (err == "")] = "null turn_idx"
+        err[(tidx.fillna(0) < 0).to_numpy() & (err == "")] = "negative turn_idx"
         dup = group.duplicated(subset=["turn_idx"], keep="first").to_numpy()
         err[dup & (err == "")] = "duplicate (conv_id, turn_idx)"
     group = group.copy()
@@ -91,8 +95,11 @@ def validate_transcripts(ds):
         mask = pc.is_null(batch["conv_id"])
         err = pc.if_else(mask, pa.scalar("null conv_id"), pa.scalar(""))
         if "_error" in batch.column_names:
+            # compose with an upstream pass: first error wins
+            prev = pc.fill_null(batch["_error"], "")
+            err = pc.if_else(pc.not_equal(prev, pa.scalar("")), prev, err)
             batch = batch.drop_columns(["_error"])
-        return batch.append_column("_error", err)
+        return batch.append_column("_error", pc.cast(err, pa.string()))
 
     marked = ds.map_batches(null_conv, batch_format="pyarrow")
     good = marked.filter(expr="_error == ''")
