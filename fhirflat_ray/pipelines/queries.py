@@ -846,6 +846,19 @@ def knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def knn_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe = n_centroids: every cell probed, so the result must
+    EQUAL exact brute force — this puts the whole IVF machinery (centroid
+    build, assignment, cell pruning, scoring, global top-k) under the same
+    DuckDB oracle as ``knn_bruteforce`` instead of a rows-only check."""
+    from fhirflat_ray.functions.similarity import knn_ivf as knn
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids, vecs = _load_queries(sf_dir)
+    out = knn(ds, ids, vecs, k=10, n_centroids=8, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def flatten_props(sf_dir: str):
     """M1/M8 struct-flatten on live data: parse the ``props`` JSON column
     into a struct, run the real ``flatten_batch`` (dotted names), aggregate
@@ -939,6 +952,7 @@ QUERIES = {
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "validate_errors": validate_errors,
     "flatten_props": flatten_props,
 }
@@ -970,6 +984,7 @@ ORACLE_SQL = {
     "fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)

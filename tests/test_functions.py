@@ -421,3 +421,12 @@ def test_validate_schema_type_and_missing_column(ray_session):
         rd.from_arrow(t), {"turn_idx": {"type": "int32"}, "conv_id": {}}
     ).take_all()
     assert all("type" in r["_error"] or "missing" in r["_error"] for r in marked)
+
+
+def test_fingerprint_fast_vectorized():
+    t = pa.table({"text": pa.array(["a", "a", "b", None], pa.string())})
+    out = tx.fingerprint_fast_batch(t)["fingerprint64"].to_pylist()
+    assert out[0] == out[1] != out[2]
+    assert out[3] is None
+    again = tx.fingerprint_fast_batch(t)["fingerprint64"].to_pylist()
+    assert out == again
