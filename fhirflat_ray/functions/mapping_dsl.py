@@ -212,10 +212,15 @@ def pivot_assignments(assign_ds, id_column: str):
     reference's snippet-merge, ingest.py:181-226). Conflicting duplicate
     assignments keep the first value, mirroring duplicate-key merge."""
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        out = {id_column: [g[id_column].iloc[0]]}
-        for col, vals in g.groupby("target_column")["value"]:
-            out[str(col)] = [vals.iloc[0]]
-        return pd.DataFrame(out)
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
-    return assign_ds.groupby(id_column).map_groups(widen, batch_format="pandas")
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pivot per BUCKET (first-wins on duplicate keys),
+        # not Python per id — ids in the bucket share the unioned column set
+        p = g.pivot_table(
+            index=id_column, columns="target_column", values="value", aggfunc="first"
+        ).reset_index()
+        p.columns = [str(c) for c in p.columns]
+        return p
+
+    return bucketed_map_groups(assign_ds, [id_column], widen)

@@ -65,7 +65,9 @@ def verify_roundtrip(source_ds, decoded_ds, columns: list[str] | None = None) ->
 
 
 def _mark_errors(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-conversation validation (runs inside groupby(conv_id))."""
+    """Key-contract validation, vectorized across EVERY conversation in a
+    co-partitioned bucket (duplicate detection keys on (conv_id, turn_idx),
+    so it needs no per-conversation loop)."""
     if "_error" in group.columns:
         # compose with an upstream pass (e.g. validate_schema): first error wins
         err = group["_error"].fillna("").to_numpy(dtype=object)
@@ -75,7 +77,7 @@ def _mark_errors(group: pd.DataFrame) -> pd.DataFrame:
         tidx = group["turn_idx"]
         err[tidx.isna().to_numpy() & (err == "")] = "null turn_idx"
         err[(tidx.fillna(0) < 0).to_numpy() & (err == "")] = "negative turn_idx"
-        dup = group.duplicated(subset=["turn_idx"], keep="first").to_numpy()
+        dup = group.duplicated(subset=["conv_id", "turn_idx"], keep="first").to_numpy()
         err[dup & (err == "")] = "duplicate (conv_id, turn_idx)"
     group = group.copy()
     group["_error"] = err
@@ -101,10 +103,14 @@ def validate_transcripts(ds):
             batch = batch.drop_columns(["_error"])
         return batch.append_column("_error", pc.cast(err, pa.string()))
 
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
     marked = ds.map_batches(null_conv, batch_format="pyarrow")
     good = marked.filter(expr="_error == ''")
     bad = marked.filter(expr="_error != ''")
-    validated = good.groupby("conv_id").map_groups(_mark_errors, batch_format="pandas")
+    # coarse-bucket shuffle on conv_id (whole conversations co-partitioned);
+    # one vectorized validation pass per bucket, Python per bucket not per conv
+    validated = bucketed_map_groups(good, ["conv_id"], _mark_errors)
     return validated.union(bad)
 
 
@@ -199,24 +205,28 @@ def condense_one_to_one(ds, key: str, columns: list[str] | None = None):
     conflicting non-null values for the same column
     (/root/reference/fhirflat/ingest.py:319-348); here conflicting subjects
     are routed to the errors side (``_error`` column) instead of failing the
-    job. One shuffle on ``key``."""
+    job. One coarse-bucket shuffle on ``key``; inside each bucket EVERY
+    subject condenses in one vectorized pandas groupby (first-non-null +
+    nunique conflict scan), Python per bucket not per subject."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
     def condense(g: pd.DataFrame) -> pd.DataFrame:
-        out: dict[str, list] = {key: [g[key].iloc[0]]}
-        err = ""
-        for col in g.columns:
-            if col == key or (columns and col not in columns):
-                continue
-            vals = g[col].dropna().unique()
-            if len(vals) > 1:
-                err = f"conflicting values for {col!r}"
-                out[col] = [vals[0]]
-            else:
-                out[col] = [vals[0] if len(vals) else None]
-        out["_error"] = [err]
-        return pd.DataFrame(out)
+        cols = [
+            c for c in g.columns if c != key and (not columns or c in columns)
+        ]
+        grouped = g.groupby(key, sort=False)
+        out = grouped[cols].first().reset_index()  # first non-null per column
+        nun = grouped[cols].nunique(dropna=True)
+        err = np.full(len(out), "", dtype=object)
+        # scan columns in order: the LAST conflicting column wins the message
+        # (matches round-1 per-group loop semantics)
+        for col in cols:
+            conflict = (nun[col] > 1).to_numpy()
+            err[conflict] = f"conflicting values for {col!r}"
+        out["_error"] = err
+        return out
 
-    return ds.groupby(key).map_groups(condense, batch_format="pandas")
+    return bucketed_map_groups(ds, [key], condense)
 
 
 def split_valid(marked_ds):
