@@ -132,6 +132,77 @@ def unflatten_batch(batch: pa.Table, config: TableConfig | None = None) -> pa.Ta
 # ------------------------------------------------------- system|code pair
 
 
+def flatten_extensions_batch(
+    batch: pa.Table, column: str = "extension", _depth: int = 0
+) -> pa.Table:
+    """URL-keyed extension flatten (M7 complete form).
+
+    A ``list<struct{url, value*}>`` column becomes one dotted column group
+    per DISTINCT url: ``[{"url": "relativeDay", "valueInteger": 2}]`` →
+    ``extension.relativeDay.valueInteger = 2`` — the engine's vectorized
+    analogue of the reference's per-row rename
+    (/root/reference/fhirflat/fhir2flat.py:202-246). Nested complex
+    extensions (an inner ``extension`` list) recurse one url level per pass.
+    First occurrence wins when a url repeats within a row; all-null value
+    leaves are dropped (an extension sets exactly one ``value[x]``)."""
+    import numpy as np
+
+    if column not in batch.column_names:
+        return batch
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if not (pa.types.is_list(t) or pa.types.is_large_list(t)) or not pa.types.is_struct(
+        t.value_type
+    ):
+        return batch
+    n = batch.num_rows
+    child = pc.list_flatten(arr)
+    lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(zero_copy_only=False)
+    own = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    urls = pc.struct_field(child, "url").to_numpy(zero_copy_only=False)
+
+    out = batch.drop_columns([column])
+    value_fields = [
+        f.name for f in t.value_type if f.name not in ("url",)
+    ]
+    for u in pd_unique_str(urls):
+        mask = urls == u
+        child_idx = np.nonzero(mask)[0]
+        rows = own[child_idx]
+        uniq_rows, first_pos = np.unique(rows, return_index=True)
+        take = np.full(n, -1, dtype=np.int64)
+        take[uniq_rows] = child_idx[first_pos]
+        idx_arr = pa.array(
+            np.where(take >= 0, take, 0), pa.int64(), mask=take < 0
+        )
+        taken = child.take(idx_arr)
+        for f in value_fields:
+            val = pc.struct_field(taken, f)
+            if val.null_count == len(val):
+                continue  # this url never sets this value[x]
+            name = f"{column}.{u}.{f}" if f != "extension" else f"{column}.{u}"
+            if f == "extension" and _depth < 4:
+                out = out.append_column(name, val)
+                out = flatten_extensions_batch(out, name, _depth + 1)
+            else:
+                for leaf, leaf_arr in _flatten_one(name, val):
+                    out = out.append_column(leaf, leaf_arr)
+    return out
+
+
+def pd_unique_str(values) -> list[str]:
+    """Distinct non-null strings in first-appearance order (tiny url vocab)."""
+    seen: list[str] = []
+    seen_set: set[str] = set()
+    for v in values:
+        if v is not None and v not in seen_set:
+            seen_set.add(v)
+            seen.append(v)
+    return seen
+
+
 def condense_system_code(batch: pa.Table, prefix: str) -> pa.Table:
     """``prefix.system`` + ``prefix.code`` → ``prefix.code = system|code``."""
     sys_col, code_col = f"{prefix}.system", f"{prefix}.code"

@@ -132,3 +132,56 @@ def test_finalizer_hook():
 
     out = unflatten_batch(pa.table({"id": pa.array([1])}), TableConfig(finalizer=add_kind))
     assert out["kind"].to_pylist() == ["patient"]
+
+
+def test_flatten_extensions_url_keyed():
+    """M7 complete form: list<struct{url, value*}> → one dotted column group
+    per distinct url; first occurrence wins; missing urls are null."""
+    import pyarrow as pa
+
+    from fhirflat_ray.stages.flatten import flatten_extensions_batch
+
+    ext_type = pa.list_(
+        pa.struct(
+            [
+                ("url", pa.string()),
+                ("valueInteger", pa.int64()),
+                ("valueDate", pa.string()),
+            ]
+        )
+    )
+    rows = [
+        [
+            {"url": "relativeDay", "valueInteger": 2, "valueDate": None},
+            {"url": "approximateDate", "valueInteger": None, "valueDate": "2012-09"},
+        ],
+        [{"url": "relativeDay", "valueInteger": 5, "valueDate": None}],
+        None,
+    ]
+    batch = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()), "extension": pa.array(rows, ext_type)}
+    )
+    out = flatten_extensions_batch(batch)
+    assert "extension" not in out.column_names
+    assert out["extension.relativeDay.valueInteger"].to_pylist() == [2, 5, None]
+    assert out["extension.approximateDate.valueDate"].to_pylist() == ["2012-09", None, None]
+    # valueDate never set for relativeDay → leaf dropped entirely
+    assert "extension.relativeDay.valueDate" not in out.column_names
+
+
+def test_flatten_extensions_nested_complex():
+    import pyarrow as pa
+
+    from fhirflat_ray.stages.flatten import flatten_extensions_batch
+
+    inner = pa.struct([("url", pa.string()), ("valueInteger", pa.int64())])
+    outer = pa.list_(
+        pa.struct([("url", pa.string()), ("extension", pa.list_(inner))])
+    )
+    rows = [
+        [{"url": "timingPhase", "extension": [{"url": "days", "valueInteger": 3}]}],
+        [],
+    ]
+    batch = pa.table({"id": pa.array([1, 2]), "extension": pa.array(rows, outer)})
+    out = flatten_extensions_batch(batch)
+    assert out["extension.timingPhase.days.valueInteger"].to_pylist() == [3, None]
