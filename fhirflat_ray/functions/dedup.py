@@ -760,6 +760,188 @@ def _bucket_edge_indices(n: int, clique_cap: int) -> tuple[np.ndarray, np.ndarra
     return np.zeros(n - 1, dtype=np.int64), np.arange(1, n, dtype=np.int64)
 
 
+# ------------------------------------------------------- embedding cosine
+
+
+def cosine_dedup_exact(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    threshold: float = 0.45,
+    num_partitions: int | None = None,
+):
+    """Exact embedding-cosine near-dedup: every pair with cosine >=
+    ``threshold`` is an edge; keep the min-id per connected component.
+
+    The normalized vector matrix is broadcast once (``ray.put``) and each
+    batch computes its rows' similarities against ALL vectors in one
+    matmul — the brute-force baseline, exact by construction. Broadcast
+    state is O(n x d); beyond broadcast scale use :func:`cosine_dedup_lsh`
+    (hyperplane-bucketed, no global state)."""
+    import ray
+
+    rows = ds.select_columns([id_column, vec_column]).take_all()
+    ids = np.fromiter((r[id_column] for r in rows), np.int64, count=len(rows))
+    mat = np.stack([np.asarray(r[vec_column], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    ref = ray.put({"ids": ids, "mat": mat})
+
+    class EdgeFinder:
+        def __init__(self, ref):
+            d = ray.get(ref)
+            self.all_ids = d["ids"]
+            self.mat = d["mat"]
+            self.pos = {int(i): p for p, i in enumerate(d["ids"])}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bid = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            rows_pos = np.fromiter((self.pos[int(i)] for i in bid), np.int64, len(bid))
+            sims = self.mat[rows_pos] @ self.mat.T  # (b, n)
+            bi, aj = np.nonzero(sims >= threshold)
+            u = bid[bi]
+            v = self.all_ids[aj]
+            keep = u < v  # dedupe + drop self pairs
+            return pa.table(
+                {
+                    "left_id": pa.array(u[keep], pa.int64()),
+                    "right_id": pa.array(v[keep], pa.int64()),
+                }
+            )
+
+    edges = ds.select_columns([id_column]).map_batches(
+        EdgeFinder, fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    )
+    return _keep_component_minima(ds, edges, id_column, num_partitions)
+
+
+class HyperplaneHasher:
+    """63-bit random-hyperplane signature per vector (sign bits of V @ R).
+
+    R is derived deterministically from the seed in ``__init__`` (once per
+    actor), so signatures are identical across batches, blocks and
+    processes — the same block-invariance requirement as MinHash/SimHash."""
+
+    def __init__(self, dim: int, vec_column: str = "embedding", seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, 63))
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.vec_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        bits = (mat @ self.planes > 0).astype(np.uint8)  # (n, 63)
+        packed = np.packbits(
+            np.concatenate([bits, np.zeros((len(bits), 1), np.uint8)], axis=1),
+            axis=1, bitorder="little",
+        )
+        sig = packed.reshape(-1).view("<i8").astype(np.int64)
+        return batch.append_column("hp_sig", pa.array(sig, pa.int64()))
+
+
+def cosine_dedup_lsh(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    threshold: float = 0.45,
+    k: int = 8,
+    clique_cap: int = DEFAULT_CLIQUE_CAP,
+    num_partitions: int | None = None,
+):
+    """Scale-path embedding-cosine near-dedup: random-hyperplane signatures
+    → pigeonhole Hamming-``k`` chunk buckets (same machinery as SimHash
+    near-dup) → exact cosine verify inside each bucket (vectors ride along
+    the narrow shuffle) → connected components → min-id survivors. No
+    global broadcast state; recall is probabilistic in the LSH stage
+    (P[sig bits agree] = 1 - angle/pi per plane)."""
+    import pandas.util as pdu
+    import ray
+
+    bounds = _simhash_chunk_bounds(k + 1)
+    # dim probed from one row (schema-level peek, not a data scan)
+    first = ds.select_columns([vec_column]).limit(1).take_all()
+    dim = len(first[0][vec_column]) if first else 0
+    if dim == 0:
+        return ds
+
+    hashed = ds.select_columns([id_column, vec_column]).map_batches(
+        HyperplaneHasher,
+        fn_constructor_kwargs={"dim": dim, "vec_column": vec_column},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    num_buckets = max(4, min(256, int(ray.cluster_resources().get("CPU", 4)) * 4))
+    n_chunks = np.int64(len(bounds))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = batch["hp_sig"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[vec_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(ids)
+        parts = []
+        for c, (s, w) in enumerate(bounds):
+            val = ((sig >> np.int64(s)) & np.int64((1 << w) - 1)) * n_chunks + c
+            parts.append(
+                pa.table(
+                    {
+                        "__key": pa.array(val, pa.int64()),
+                        "__bucket": pa.array(
+                            (pdu.hash_array(val) % np.uint64(num_buckets)).astype(
+                                np.int64
+                            )
+                        ),
+                        id_column: pa.array(ids, pa.int64()),
+                        vec_column: col,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["__key"].to_numpy()
+        ids = g[id_column].to_numpy()
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        vecs = g[vec_column].to_numpy()[order]
+        _, first_i, counts = np.unique(key, return_index=True, return_counts=True)
+        lefts, rights = [], []
+        for f, c in zip(first_i[counts >= 2], counts[counts >= 2]):
+            seg_ids = ids[f : f + c]
+            seg = np.stack([np.asarray(v, dtype=np.float64) for v in vecs[f : f + c]])
+            nrm = np.linalg.norm(seg, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            seg = seg / nrm
+            li, ri = _bucket_edge_indices(int(c), clique_cap)
+            sims = np.einsum("ij,ij->i", seg[li], seg[ri])
+            keep = sims >= threshold
+            if keep.any():
+                lefts.append(seg_ids[li[keep]])
+                rights.append(seg_ids[ri[keep]])
+        if not lefts:
+            return pd.DataFrame(
+                {"left_id": np.array([], np.int64), "right_id": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {"left_id": np.concatenate(lefts), "right_id": np.concatenate(rights)}
+        )
+
+    cand = (
+        hashed.map_batches(explode, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    edges = distinct_rows(cand, ["left_id", "right_id"])
+    return _keep_component_minima(ds, edges, id_column, num_partitions)
+
+
 def simhash_near_dedup(
     ds,
     id_column: str = "doc_id",

@@ -785,6 +785,43 @@ def dedup_near(sf_dir: str):
     )
 
 
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dedup, EXACT variant: every pair with cosine
+    >= 0.45 is an edge, keep min-id per connected component. Fully
+    oracle-checked — the DuckDB oracle computes the same components with a
+    recursive transitive-closure CTE."""
+    from fhirflat_ray.functions.dedup import cosine_dedup_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_dedup_exact(ds, threshold=0.45).select_columns(["vec_id"])
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS vec_id FROM reach GROUP BY node HAVING min(r) = node
+"""
+
+
+def dedup_embedding_lsh(sf_dir: str):
+    """Embedding-cosine near-dedup, LSH scale path (random-hyperplane
+    signatures, Hamming-k buckets, in-bucket exact cosine verify; rows-only
+    — LSH recall is probabilistic by construction)."""
+    from fhirflat_ray.functions.dedup import cosine_dedup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_dedup_lsh(ds, threshold=0.45, k=8).select_columns(["vec_id"])
+
+
 def dedup_simhash_near(sf_dir: str):
     """Hamming-k (k=3) SimHash near-dedup via pigeonhole chunk re-bucketing
     (rows-only check, same reasoning as dedup_near)."""
@@ -949,6 +986,8 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_near": dedup_near,
+    "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
@@ -983,6 +1022,7 @@ ORACLE_SQL = {
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,

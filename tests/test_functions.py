@@ -430,3 +430,34 @@ def test_fingerprint_fast_vectorized():
     assert out[3] is None
     again = tx.fingerprint_fast_batch(t)["fingerprint64"].to_pylist()
     assert out == again
+
+
+def test_cosine_dedup_exact_and_lsh(ray_session):
+    """Planted near-identical vectors collapse to the min id on both the
+    exact (broadcast) and LSH (hyperplane-bucketed) paths."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    # rows 0/1/2 nearly identical; rows 10/11 nearly identical
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)
+    base[2] = base[0] + 0.01 * rng.standard_normal(16)
+    base[11] = base[10] + 0.01 * rng.standard_normal(16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(base.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    exact = sorted(
+        r["vec_id"] for r in dd.cosine_dedup_exact(ds, threshold=0.99).take_all()
+    )
+    assert 1 not in exact and 2 not in exact and 11 not in exact
+    assert 0 in exact and 10 in exact and len(exact) == 37
+    lsh = sorted(
+        r["vec_id"]
+        for r in dd.cosine_dedup_lsh(ds, threshold=0.99, k=12).take_all()
+    )
+    assert 1 not in lsh and 2 not in lsh and 11 not in lsh
+    assert 0 in lsh and 10 in lsh
