@@ -22,7 +22,15 @@ import pandas as pd
 
 def _star_round(edges, large: bool):
     """One large-star (connect bigger neighbors to the min) or small-star
-    (connect smaller neighbors + self to the min) round."""
+    (connect smaller neighbors + self to the min) round.
+
+    Vectorized across EVERY node in a coarse hash bucket (nodes are
+    co-partitioned by ``hash(u)``, so each node's full neighborhood is in
+    one group): neighborhoods are ``np.unique`` segments of the
+    (u-sorted) edge list, per-node minima come from
+    ``np.minimum.reduceat`` — Python is paid per BUCKET, not per node
+    (a 160k-node round was 100x slower with per-node ``map_groups``)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
     def bidir(batch: pd.DataFrame) -> pd.DataFrame:
         u = batch["u"].to_numpy()
@@ -31,24 +39,31 @@ def _star_round(edges, large: bool):
             {"u": np.concatenate([u, v]), "v": np.concatenate([v, u])}
         )
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nb = g["v"].to_numpy()
-        m = int(min(u, nb.min()))
+    def star_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(dtype=np.int64)
+        v = g["v"].to_numpy(dtype=np.int64)
+        if len(u) == 0:
+            return pd.DataFrame({"u": u, "v": v})
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        uniq, first, counts = np.unique(u, return_index=True, return_counts=True)
+        nb_min = np.minimum.reduceat(v, first)
+        m_seg = np.minimum(uniq, nb_min)
+        m = np.repeat(m_seg, counts)
         if large:
-            out = nb[nb > u]
+            mask = v > u
+            out_u, out_v = v[mask], m[mask]
         else:
-            out = nb[(nb <= u) & (nb != m)]
-            if u != m:
-                out = np.append(out, u)
-        out = np.unique(out)
-        out = out[out != m]
-        return pd.DataFrame({"u": out, "v": np.full(len(out), m, dtype=np.int64)})
+            mask = (v <= u) & (v != m)
+            out_u, out_v = v[mask], m[mask]
+            self_mask = uniq != m_seg
+            out_u = np.concatenate([out_u, uniq[self_mask]])
+            out_v = np.concatenate([out_v, m_seg[self_mask]])
+        keep = out_u != out_v
+        return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
 
-    return (
-        edges.map_batches(bidir, batch_format="pandas")
-        .groupby("u")
-        .map_groups(star, batch_format="pandas")
+    return bucketed_map_groups(
+        edges.map_batches(bidir, batch_format="pandas"), ["u"], star_bucket
     )
 
 
@@ -108,9 +123,11 @@ def connected_components(
     SMALL_EDGES = 1_000_000
 
     def _edge_array(mat) -> np.ndarray:
-        rows = mat.take_all()
-        u = np.fromiter((r["u"] for r in rows), np.int64, count=len(rows))
-        v = np.fromiter((r["v"] for r in rows), np.int64, count=len(rows))
+        from fhirflat_ray.functions.util import collect_small_table
+
+        t = collect_small_table(mat)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((v, u))
         return np.stack([u[order], v[order]], axis=1)
 

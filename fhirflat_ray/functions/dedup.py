@@ -494,8 +494,10 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     if drops.count() <= 2_000_000:
         from fhirflat_ray.functions.joins import broadcast_semi_join
 
-        keys = [r["node"] for r in drops.take_all()]
-        if not keys:
+        from fhirflat_ray.functions.util import collect_small_table
+
+        keys = collect_small_table(drops)["node"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
             return ds
         return broadcast_semi_join(ds, keys, id_column, anti=True)
     # (hash_anti_join repartitions its key side, which also normalizes away
@@ -556,28 +558,29 @@ def near_dedup(
     if n_cand <= 50_000:
         from fhirflat_ray.functions.joins import broadcast_semi_join
 
-        pairs_rows = cand.take_all()
-        need = sorted(
-            {r["left_id"] for r in pairs_rows} | {r["right_id"] for r in pairs_rows}
+        from fhirflat_ray.functions.util import collect_small_table
+
+        pairs_t = collect_small_table(cand)
+        lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = np.unique(np.concatenate([lids, rids]))
+        txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
+        tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        torder = np.argsort(tid)
+        tid = tid[torder]
+        tvals = txt_t[column].combine_chunks().take(
+            pa.array(torder, pa.int64())
         )
-        texts = {
-            r[id_column]: r[column]
-            for r in broadcast_semi_join(txt, need, id_column).take_all()
-        }
-        left = pa.array([texts.get(r["left_id"], "") for r in pairs_rows], pa.string())
-        right = pa.array([texts.get(r["right_id"], "") for r in pairs_rows], pa.string())
+        left = tvals.take(pa.array(np.searchsorted(tid, lids), pa.int64()))
+        right = tvals.take(pa.array(np.searchsorted(tid, rids), pa.int64()))
         sims = JaccardVerifier(k=k, threshold=threshold).batch_jaccard(left, right)
         keep = sims >= threshold
         import ray.data as rd
 
         edge_tbl = pa.table(
             {
-                "left_id": pa.array(
-                    [r["left_id"] for r, m in zip(pairs_rows, keep) if m], pa.int64()
-                ),
-                "right_id": pa.array(
-                    [r["right_id"] for r, m in zip(pairs_rows, keep) if m], pa.int64()
-                ),
+                "left_id": pa.array(lids[keep], pa.int64()),
+                "right_id": pa.array(rids[keep], pa.int64()),
             }
         )
         return _keep_component_minima(
@@ -780,9 +783,12 @@ def cosine_dedup_exact(
     (hyperplane-bucketed, no global state)."""
     import ray
 
-    rows = ds.select_columns([id_column, vec_column]).take_all()
-    ids = np.fromiter((r[id_column] for r in rows), np.int64, count=len(rows))
-    mat = np.stack([np.asarray(r[vec_column], dtype=np.float64) for r in rows])
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(ds.select_columns([id_column, vec_column]))
+    ids = t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    vcol = t[vec_column].combine_chunks()
+    mat = np.asarray(vcol.flatten(), dtype=np.float64).reshape(len(ids), -1)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat = mat / norms

@@ -46,6 +46,28 @@ def distinct_rows(ds, keys: list[str], num_buckets: int | None = None):
     )
 
 
+def collect_small_table(ds) -> "pa.Table":
+    """Driver-side collection of a SMALL derived Dataset as one Arrow table.
+
+    ``Dataset.take_all`` converts row-by-row through Python dicts (measured
+    ~1k rows/s — 146 s for a 160k-row edge list); iterating pyarrow batches
+    stays columnar and is ~1000x faster. Only for bounded derived sets
+    (edge lists, drop-key sets, candidate pairs) — never the corpus."""
+    import pyarrow as pa
+
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    batches = [b for b in batches if b.num_rows > 0 and b.num_columns > 0]
+    if not batches:
+        sch = ds.schema()
+        fields = []
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                t = pa.from_numpy_dtype(t)
+            fields.append(pa.field(n, t))
+        return pa.schema(fields).empty_table()
+    return pa.concat_tables(batches, promote_options="default")
+
+
 def default_num_buckets() -> int:
     import ray
 
