@@ -439,9 +439,16 @@ def encode_dataset(
             ]
         )
 
-    ds.map_batches(
-        encode_block, batch_size=target_rows, batch_format="pyarrow", num_cpus=1
-    ).take_all()
+    from fhirflat_ray.functions.util import collect_small_table
+
+    # consume the summary stream columnar (one tiny row per block; row-wise
+    # take_all converts through Python dicts at ~1k rows/s, which matters
+    # at 100k+ partitions)
+    collect_small_table(
+        ds.map_batches(
+            encode_block, batch_size=target_rows, batch_format="pyarrow", num_cpus=1
+        )
+    )
     records = lin.collect_lineage(out_dir)
     return lin.write_manifest(
         out_dir,
@@ -580,8 +587,10 @@ def encode_files(
                 concurrency=concurrency,
                 num_cpus=1,
             )
-        # the reduce side is one tiny row per partition — safe to collect
-        result.take_all()
+        # the reduce side is one tiny row per partition — collect columnar
+        from fhirflat_ray.functions.util import collect_small_table
+
+        collect_small_table(result)
 
     records = lin.collect_lineage(out_dir)
     manifest = lin.write_manifest(
