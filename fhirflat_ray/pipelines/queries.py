@@ -932,6 +932,40 @@ FROM events GROUP BY event_type
 """
 
 
+def schema_check(sf_dir: str):
+    """Typed schema validation under a FULL SQL oracle: run the documents
+    table through ``validate_schema`` (enum + range rules chosen to produce
+    real violations) and return the error rows. First-error-wins column
+    order matches the oracle's CASE evaluation order exactly."""
+    from fhirflat_ray.pipelines.verify import validate_schema
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    spec = {
+        "doc_id": {"nullable": False, "min": 0},
+        "lang": {"enum": ["en", "de", "fr", "es"]},  # zh rows become errors
+        "n_chars": {"min": 100},
+    }
+    marked = validate_schema(ds, spec)
+    return marked.filter(expr="_error != ''").select_columns(["doc_id", "_error"])
+
+
+SCHEMA_CHECK_SQL = """
+SELECT doc_id, _error FROM (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id IS NULL THEN 'null doc_id'
+           WHEN doc_id < 0 THEN 'doc_id below min 0'
+           WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')
+             THEN 'lang not in enum'
+           WHEN n_chars IS NOT NULL AND n_chars < 100
+             THEN 'n_chars below min 100'
+           ELSE ''
+         END AS _error
+  FROM documents
+) WHERE _error != ''
+"""
+
+
 def validate_errors(sf_dir: str):
     """Valid/error routing over a transcript table with injected defects
     (duplicate (conv, turn) rows) — the reference's validation split
@@ -993,6 +1027,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "validate_errors": validate_errors,
+    "schema_check": schema_check,
     "flatten_props": flatten_props,
 }
 
@@ -1026,6 +1061,7 @@ ORACLE_SQL = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,
+    "schema_check": SCHEMA_CHECK_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
