@@ -731,13 +731,49 @@ FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
 
 
 def lang_id(sf_dir: str):
-    """Heuristic language ID (not SQL-expressible → rows-only check)."""
+    """Stopword-heuristic language ID — now under a FULL SQL oracle: the
+    DuckDB mirror counts the same stopword regex hits per language and
+    reproduces numpy argmax's first-max tie-break with a CASE cascade over
+    the alphabetically ordered languages."""
     from fhirflat_ray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4)
     ).select_columns(["doc_id", "lang_pred"])
+
+
+def _lang_id_sql() -> str:
+    from fhirflat_ray.functions.text import LangId
+
+    langs = sorted(LangId.STOPWORDS)
+    counts = ",\n    ".join(
+        "len(regexp_extract_all(lower(text), '\\b(?:"
+        + "|".join(sorted(LangId.STOPWORDS[lang]))
+        + ")\\b')) AS " + lang
+        for lang in langs
+    )
+    # numpy argmax keeps the FIRST maximum → >= cascade in lang order
+    cascade = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang} >= {o}" for o in langs[i + 1 :])
+        cascade.append(f"WHEN {conds} THEN '{lang}'")
+    all_langs = ", ".join(langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+    {counts}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest({all_langs}) = 0 THEN 'und'
+            {' '.join(cascade)}
+            ELSE '{langs[-1]}' END AS lang_pred
+FROM s
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
 
 
 # =====================================================================
@@ -1056,6 +1092,7 @@ ORACLE_SQL = {
     "token_count": TOKEN_COUNT_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
+    "lang_id": LANG_ID_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
