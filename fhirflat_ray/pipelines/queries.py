@@ -1005,8 +1005,9 @@ SELECT doc_id, _error FROM (
 def validate_errors(sf_dir: str):
     """Valid/error routing over a transcript table with injected defects
     (duplicate (conv, turn) rows) — the reference's validation split
-    (/root/reference/fhirflat/resources/base.py:89-149). Rows-only check:
-    returns the errors table."""
+    (/root/reference/fhirflat/resources/base.py:89-149). The injected rows
+    are the 10 SMALLEST (conv_id, turn_idx) keys (streaming top-k), so the
+    error set is deterministic and the check runs a FULL SQL oracle."""
     import ray.data as rd
 
     from fhirflat_ray.pipelines.verify import split_valid, validate_transcripts
@@ -1015,11 +1016,24 @@ def validate_errors(sf_dir: str):
     # inject defects via a streaming union: duplicate 10 rows (same
     # (conv_id, turn_idx)) — only those 10 rows ever touch the driver;
     # the built dataset itself streams through validate → split
-    dupes = built.limit(10).take_batch(10, batch_format="pyarrow")
+    dupes = built.sort(["conv_id", "turn_idx"]).limit(10).take_batch(
+        10, batch_format="pyarrow"
+    )
     defective = built.union(rd.from_arrow(dupes))
     marked = validate_transcripts(defective)
     _, errors = split_valid(marked)
     return errors.select_columns(["conv_id", "turn_idx", "_error"])
+
+
+VALIDATE_ERRORS_SQL = """
+WITH built AS (
+  SELECT 'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx
+  FROM events
+)
+SELECT conv_id, turn_idx, 'duplicate (conv_id, turn_idx)' AS _error
+FROM built ORDER BY conv_id, turn_idx LIMIT 10
+"""
 
 
 # =====================================================================
@@ -1099,6 +1113,7 @@ ORACLE_SQL = {
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,
     "schema_check": SCHEMA_CHECK_SQL,
+    "validate_errors": VALIDATE_ERRORS_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
