@@ -111,7 +111,17 @@ def eval_field_expr(
     out = resolve(expr)
     attr = target_attr.lower()
     if "date" in attr or "period" in attr:
-        out = out.map(lambda v: format_date_value(v, date_format, timezone))
+        # date values repeat heavily; format each DISTINCT value once and
+        # map back (identical semantics, per-unique instead of per-row cost)
+        def _is_null(v) -> bool:
+            return v is None or (isinstance(v, float) and np.isnan(v))
+
+        cache = {
+            v: format_date_value(v, date_format, timezone)
+            for v in pd.unique(out)
+            if not _is_null(v)
+        }
+        out = out.map(lambda v: None if _is_null(v) else cache[v])
     return out
 
 
