@@ -129,3 +129,88 @@ class FrameSampler:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64(), nullable=False),
+        pa.field("payload", pa.binary(), nullable=False),
+        pa.field("mime", pa.string(), nullable=False),
+        pa.field("meta_sample_rate", pa.int32()),
+        pa.field("meta_duration_ms", pa.int32()),
+    ]
+)
+
+
+def make_fake_audio(n: int = 64, seed: int = 43, payload_bytes: int = 8192) -> pa.Table:
+    """Deterministic opaque binary fixtures standing in for audio clips."""
+    rng = np.random.default_rng(seed)
+    payloads = [
+        rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/fake"] * n, pa.string()),
+            "meta_sample_rate": pa.array(
+                rng.choice([16000, 22050, 44100], n).astype(np.int32), pa.int32()
+            ),
+            "meta_duration_ms": pa.array(
+                rng.integers(500, 60_000, n).astype(np.int32), pa.int32()
+            ),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: audio payload → fixed-dim feature vector.
+
+    Same shape as :class:`ImageFeatureExtractor` (model load belongs in
+    ``__init__``); the byte decode is the deterministic fake — a production
+    deployment swaps in libav/torchaudio here."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not DETERMINISTIC_FAKE:  # pragma: no cover
+            raise NotImplementedError("real audio decode needs libav/torchaudio")
+        feats = [
+            _fake_decode_features(p, self.dim).tolist()
+            for p in batch["payload"].to_pylist()
+        ]
+        out = batch.drop_columns(["payload"])
+        return out.append_column("features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class AudioChunker:
+    """Actor-pool stage: audio payload → fixed-duration chunks (one row per
+    chunk) — the audio analogue of video frame sampling; keeps chunk-level
+    metadata so downstream stages can window/transcribe per chunk."""
+
+    def __init__(self, chunk_ms: int = 10_000):
+        self.chunk_ms = chunk_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, chunks, starts = [], [], [], []
+        payloads = batch["payload"].to_pylist()
+        durs = batch["meta_duration_ms"].to_pylist()
+        for mid, p, dur in zip(batch["media_id"].to_pylist(), payloads, durs):
+            n_chunks = max(1, -(-int(dur) // self.chunk_ms))
+            bytes_per = max(1, len(p) // n_chunks)
+            for i in range(n_chunks):
+                ids.append(mid)
+                idxs.append(i)
+                starts.append(i * self.chunk_ms)
+                chunks.append(p[i * bytes_per : (i + 1) * bytes_per])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int32()),
+                "chunk_start_ms": pa.array(starts, pa.int32()),
+                "chunk": pa.array(chunks, pa.binary()),
+            }
+        )

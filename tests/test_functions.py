@@ -461,3 +461,25 @@ def test_cosine_dedup_exact_and_lsh(ray_session):
     )
     assert 1 not in lsh and 2 not in lsh and 11 not in lsh
     assert 0 in lsh and 10 in lsh
+
+
+def test_audio_feature_and_chunking(ray_session):
+    import ray.data as rd
+
+    t = mm.make_fake_audio(8)
+    feats = mm.AudioFeatureExtractor(dim=12)(t)
+    assert "payload" not in feats.column_names
+    assert len(feats["features"].to_pylist()[0]) == 12
+    # deterministic
+    assert feats["features"].to_pylist() == mm.AudioFeatureExtractor(dim=12)(t)["features"].to_pylist()
+
+    chunks = mm.AudioChunker(chunk_ms=20_000)(t)
+    durs = t["meta_duration_ms"].to_pylist()
+    expected = sum(max(1, -(-d // 20_000)) for d in durs)
+    assert chunks.num_rows == expected
+    # actor-pool run over Ray
+    out = rd.from_arrow(t).map_batches(
+        mm.AudioChunker, fn_constructor_kwargs={"chunk_ms": 20_000},
+        batch_size=4, batch_format="pyarrow", concurrency=2,
+    ).count()
+    assert out == expected
