@@ -1,14 +1,27 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact, MinHash+LSH, SimHash (+Hamming-k),
+n-gram Jaccard, embedding-cosine — each with an END-TO-END dedup pipeline
+(candidates → verify → distributed connected components → min-id survivor
+per component → deduplicated Dataset).
 
-All are Ray-Data-first:
+All are Ray-Data-first and bounded-Python:
 
-- exact dedup = vectorized content hash per batch → ``groupby(hash)`` →
-  keep min-id per group (one shuffle on the hash key);
-- MinHash+LSH = per-batch shingling+minhash (numpy matrix ops) → explode to
-  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` → candidate
-  pairs → vectorized Jaccard verification (no driver-side loops);
-- SimHash = per-batch 64-bit simhash; near-dup candidates via identical
-  simhash bucket (Hamming-0 buckets; Hamming-k would re-bucket k rotations).
+- exact dedup = vectorized siphash content hash per batch → bucketed
+  keep-min-per-key (one narrow shuffle; Python per bucket, not per key);
+- MinHash+LSH = per-batch shingling+minhash (numpy matrix ops over the flat
+  token stream) → (band, band_hash, doc_id) rows → coarse-bucket shuffle →
+  clique edges for small buckets / star edges above ``DEFAULT_CLIQUE_CAP``
+  (degenerate buckets stay O(bucket)) → vectorized Jaccard verification →
+  components → survivors (``near_dedup``);
+- SimHash = per-batch 63-bit simhash; exact-bucket dedup plus Hamming-k
+  near-dup via pigeonhole chunk re-bucketing + popcount verify
+  (``simhash_near_dedup``);
+- embedding-cosine = exact all-pairs (broadcast matrix) or random-hyperplane
+  LSH with in-bucket exact cosine verify (``cosine_dedup_exact`` /
+  ``cosine_dedup_lsh``).
+
+Cross-block invariance rule: any hash feeding a shuffle key is derived with
+deterministic cross-process primitives (pandas siphash, fixed-seed
+projections) — batch-local ids would silently partition the candidate space.
 """
 
 from __future__ import annotations
@@ -863,7 +876,7 @@ def cosine_dedup_lsh(
     id_column: str = "vec_id",
     vec_column: str = "embedding",
     threshold: float = 0.45,
-    k: int = 8,
+    k: int = 3,
     clique_cap: int = DEFAULT_CLIQUE_CAP,
     num_partitions: int | None = None,
 ):
@@ -872,7 +885,15 @@ def cosine_dedup_lsh(
     near-dup) → exact cosine verify inside each bucket (vectors ride along
     the narrow shuffle) → connected components → min-id survivors. No
     global broadcast state; recall is probabilistic in the LSH stage
-    (P[sig bits agree] = 1 - angle/pi per plane)."""
+    (P[sig bits agree] = 1 - angle/pi per plane).
+
+    ``k`` trades recall against bucket selectivity: chunks carry
+    ``63 // (k+1)`` bits, so LARGE ``k`` makes buckets coarse — at k=8 the
+    7-bit chunks collide so heavily at 100k+ vectors that over-cap buckets
+    degrade to star edges and verified recall collapses (measured 7%).
+    Near-identical vectors flip very few signature bits (angle/pi per
+    plane), so the k=3 default (15-16-bit chunks) keeps both recall and
+    selectivity; raise ``clique_cap`` rather than ``k`` if buckets run hot."""
     import pandas.util as pdu
     import ray
 

@@ -855,7 +855,7 @@ def dedup_embedding_lsh(sf_dir: str):
     from fhirflat_ray.functions.dedup import cosine_dedup_lsh
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_dedup_lsh(ds, threshold=0.45, k=8).select_columns(["vec_id"])
+    return cosine_dedup_lsh(ds, threshold=0.45, k=3).select_columns(["vec_id"])
 
 
 def dedup_simhash_near(sf_dir: str):

@@ -483,3 +483,29 @@ def test_audio_feature_and_chunking(ray_session):
         batch_size=4, batch_format="pyarrow", concurrency=2,
     ).count()
     assert out == expected
+
+
+def test_cosine_lsh_recall_at_scale(ray_session):
+    """Chunk-selectivity regression: with k=3 (15-16-bit chunks) the LSH
+    path must recover essentially all planted near-identical pairs even
+    when buckets would overflow the clique cap at coarser chunking
+    (the k=8 default collapsed recall to 7% at 100k vectors)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n, d = 20_000, 64
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    planted = 1_000
+    for i in range(0, 2 * planted, 2):
+        mat[i + 1] = mat[i] + 0.02 * rng.standard_normal(d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    kept = dd.cosine_dedup_lsh(
+        rd.from_arrow(t).repartition(8), threshold=0.98, k=3
+    ).count()
+    dropped = n - kept
+    assert dropped >= 0.98 * planted, (dropped, planted)
