@@ -500,6 +500,8 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
 
     comps = connected_components(edges)
     drops = comps.filter(expr="node != component").select_columns(["node"]).materialize()
+    if drops.count() == 0:
+        return ds  # no duplicates found: the corpus passes through untouched
     # hybrid anti join: the drop set is proportional to DUPLICATES, so it is
     # usually broadcastable — a sorted-array membership filter per batch
     # (map-only, no shuffle) beats spinning up hash-join aggregators. The

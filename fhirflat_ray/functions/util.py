@@ -59,6 +59,8 @@ def collect_small_table(ds) -> "pa.Table":
     batches = [b for b in batches if b.num_rows > 0 and b.num_columns > 0]
     if not batches:
         sch = ds.schema()
+        if sch is None:  # fully empty dataset: Ray reports no schema at all
+            return pa.table({})
         fields = []
         for n, t in zip(sch.names, sch.types):
             if not isinstance(t, pa.DataType):

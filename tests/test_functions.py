@@ -509,3 +509,27 @@ def test_cosine_lsh_recall_at_scale(ray_session):
     ).count()
     dropped = n - kept
     assert dropped >= 0.98 * planted, (dropped, planted)
+
+
+def test_near_dedup_no_duplicates_passthrough(ray_session):
+    """Zero candidates / zero drops must pass the corpus through untouched
+    (regression: empty materialized datasets report schema=None)."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array([f"totally unique document {i} topic {i*31}" for i in range(20)]),
+        }
+    )
+    kept = dd.near_dedup(rd.from_arrow(t), threshold=0.9).count()
+    assert kept == 20
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    e = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    assert dd.cosine_dedup_lsh(rd.from_arrow(e), threshold=0.999, k=3).count() == 20
