@@ -697,6 +697,25 @@ FROM documents
 """
 
 
+def token_count_bpe(sf_dir: str):
+    """BPE-ish token counting (word/number/punct split regex compiled once
+    per actor) under the same-regex SQL oracle."""
+    from fhirflat_ray.functions.text import BpeishTokenCounter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeishTokenCounter, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+TOKEN_COUNT_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def text_quality(sf_dir: str):
     from fhirflat_ray.functions.text import quality_score_batch
 
@@ -1063,6 +1082,7 @@ QUERIES = {
     "asof_join": asof_join,
     "asof_join_bucketed": asof_join_bucketed,
     "token_count": token_count,
+    "token_count_bpe": token_count_bpe,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
     "lang_id": lang_id,
@@ -1104,6 +1124,7 @@ ORACLE_SQL = {
     "asof_join": ASOF_JOIN_SQL,
     "asof_join_bucketed": ASOF_JOIN_BUCKETED_SQL,
     "token_count": TOKEN_COUNT_SQL,
+    "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,
