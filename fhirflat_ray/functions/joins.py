@@ -3,12 +3,14 @@
 - ``broadcast_asof_join``: as-of (latest right row with right_ts <= left_ts
   per key) with the right side broadcast once via ``ray.put`` and a
   ``pd.merge_asof`` per batch — no shuffle. Partitioning assumption: the
-  right side fits in worker memory (dimension-table scale). For two large
-  sides, bucket both by ``hash(key) % B``, sort within buckets, and run the
-  same merge per bucket pair (documented scale path, see ray guide "As-of /
-  range join").
-- ``broadcast_semi_join`` / ``broadcast_anti_join``: key-set broadcast +
-  vectorized membership filter per batch.
+  right side fits in worker memory (dimension-table scale).
+- ``bucketed_asof_join``: the TWO-LARGE-SIDES path — both sides hash-bucket
+  on the join key (one narrow shuffle each), one vectorized ``merge_asof``
+  per bucket; nothing broadcasts or materializes.
+- ``broadcast_semi_join``: key-set broadcast + vectorized membership filter
+  per batch (``anti=True`` for the anti form).
+- ``hash_anti_join``: distributed anti join on ``Dataset.join`` left-outer +
+  match marker, for key sets too large to broadcast.
 """
 
 from __future__ import annotations
@@ -94,12 +96,12 @@ def hash_anti_join(ds, keys_ds, on: str, right_on: str, num_partitions: int = 16
             "__match", pa.array(np.ones(out.num_rows, dtype=np.int8))
         )
 
+    from fhirflat_ray.functions.util import distinct_rows
+
     marked = keys_ds.map_batches(mark, batch_format="pyarrow")
     # pre-dedupe keys so the left-outer join cannot fan out left rows
-    def first_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    marked = marked.groupby(right_on).map_groups(first_key, batch_format="pandas")
+    # (bucketed distinct: Python per bucket, not per key)
+    marked = distinct_rows(marked, [right_on])
 
     # groupby can emit schema-less empty blocks (e.g. when the key set is
     # empty or a partition holds no groups); the hash join requires every
