@@ -1,12 +1,12 @@
 """Windowed aggregates over ordered event streams (SURVEY.md §2.9).
 
 Ray Data has no event-time windows; the engine expresses them as
-(a) tumbling windows = a computed window key + partial-aggregate groupby
-(no per-row Python), and (b) session windows = ``groupby(key).map_groups``
-over the per-key ordered group (gap-based sessionization with vectorized
-pandas inside the group). Ordering assumption: within a key, rows are
-ordered by (ts, event_id) inside the group function — stated per the
-streaming guide; the oracle SQL uses the same window functions.
+(a) tumbling windows = a computed window key + Arrow partial aggregate per
+batch + bucketed vectorized combine, and (b) session windows = coarse-bucket
+shuffle on the key with ONE vectorized sessionization pass per bucket
+(boundary = gap exceeded OR key change under (key, ts, ...) order) — Python
+cost is per bucket in both, never per key or per row. The oracle SQL uses
+the equivalent window functions.
 """
 
 from __future__ import annotations
