@@ -118,7 +118,7 @@ def run_bench() -> dict:
     # is the standard way to see through scheduler noise
     t_encode = float("inf")
     manifest = None
-    for rep in range(2):
+    for rep in range(3):
         shutil.rmtree(seg_dir, ignore_errors=True)
         t0 = time.time()
         manifest = enc.encode_files(
@@ -127,7 +127,7 @@ def run_bench() -> dict:
         t_encode = min(t_encode, time.time() - t0)
 
     t_decode = float("inf")
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.time()
         n_decoded = dec.decode_dataset(seg_dir).count()
         t_decode = min(t_decode, time.time() - t0)
