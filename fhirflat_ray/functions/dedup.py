@@ -115,7 +115,11 @@ def _flat_shingle_stream(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarra
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    texts = pc.fill_null(texts, "")
+    # trim before splitting: split_pattern_regex emits an EMPTY leading/
+    # trailing token for whitespace-edged text, while the scalar reference
+    # tokenization (str.split) does not — without the trim, verified
+    # similarities diverge from ngram_jaccard for such inputs
+    texts = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
     n_docs = len(texts)
     parts = pc.split_pattern_regex(texts, r"\s+")
     counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -439,7 +443,8 @@ class SimHasher:
 
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        texts = pc.fill_null(texts, "")
+        # trim for str.split() parity (see _flat_shingle_stream)
+        texts = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
         n_docs = len(texts)
         parts = pc.split_pattern_regex(texts, r"\s+")
         counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)

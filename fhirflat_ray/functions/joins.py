@@ -260,6 +260,10 @@ def broadcast_semi_join(ds, keys, column: str, anti: bool = False):
     import ray
 
     arr = np.sort(np.asarray(list(keys), dtype=np.int64))
+    if len(arr) == 0:
+        # empty key set: semi join keeps nothing, anti join keeps everything
+        # (searchsorted against an empty array would index out of bounds)
+        return ds if anti else ds.filter(lambda row: False)
     ref = ray.put(arr)
 
     def f(batch: pa.Table) -> pa.Table:

@@ -6,6 +6,22 @@ import numpy as np
 import pandas as pd
 
 
+def agg_select(t, mapping: dict[str, str]):
+    """Select + rename pyarrow ``group_by().aggregate()`` output BY NAME.
+
+    ``TableGroupBy.aggregate`` column order (keys-first vs aggregates-first)
+    has differed across pyarrow versions; positional ``rename_columns`` after
+    it silently swaps keys and aggregates into each other's names on a
+    version where the order flips. ``mapping`` is {output_name: wanted_name}
+    in the wanted output order."""
+    import pyarrow as pa
+
+    missing = [c for c in mapping if c not in t.column_names]
+    if missing:
+        raise KeyError(f"aggregate output missing expected columns {missing}: {t.column_names}")
+    return pa.table({new: t[old] for old, new in mapping.items()})
+
+
 def distinct_rows(ds, keys: list[str], num_buckets: int | None = None):
     """Distributed DISTINCT over ``keys`` that stays vectorized at millions
     of distinct values.

@@ -34,7 +34,9 @@ def tumbling_aggregate(ds, ts_col: str, width_us: int, by: str | None = None):
         )
         keys = ["window"] + (["by"] if by else [])
         g = t.group_by(keys).aggregate([([], "count_all")])
-        return g.rename_columns(keys + ["n"])
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(g, {**{k: k for k in keys}, "count_all": "n"})
 
     keys = ["window"] + (["by"] if by else [])
 

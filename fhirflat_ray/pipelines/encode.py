@@ -284,16 +284,25 @@ def encode_partition_item(
 #: per-process memory-provisioning cold tax entirely.
 _WORKER_CACHE: dict[str, Any] = {}
 
-#: per-worker-process block ordinal for ``encode_dataset``: combined with the
-#: pid it salts each streamed block's segment identity, so (a) two
-#: byte-IDENTICAL blocks land in distinct segments (multiset semantics hold —
-#: no whole-block dedup footgun), and (b) two DIFFERENT blocks can never
-#: collide on a truncated digest and overwrite each other via ``os.replace``.
-#: Determinism across runs is not required here — ``encode_dataset`` is
-#: documented as non-resumable and clears ``out_dir`` up front.
+#: per-worker-process block ordinal for ``encode_dataset``: combined with
+#: ``_PROCESS_SALT`` it salts each streamed block's segment identity, so (a)
+#: two byte-IDENTICAL blocks land in distinct segments (multiset semantics
+#: hold — no whole-block dedup footgun), and (b) two DIFFERENT blocks can
+#: never collide on a truncated digest and overwrite each other via
+#: ``os.replace``. Determinism across runs is not required here —
+#: ``encode_dataset`` is documented as non-resumable and clears ``out_dir``
+#: up front.
 import itertools as _itertools
+import uuid as _uuid
 
 _BLOCK_ORDINAL = _itertools.count()
+
+#: random per-process component of the segment salt: a (pid, ordinal) pair is
+#: NOT unique across a multi-node cluster (two workers on different nodes can
+#: share both), which would let two byte-identical blocks silently collapse
+#: into one segment via os.replace — exactly the multiset-loss footgun the
+#: ordinal exists to prevent.
+_PROCESS_SALT = _uuid.uuid4().hex
 
 
 def _resolve_shared(shared_ref: Any) -> dict[str, tuple[str, pa.Array]]:
@@ -412,9 +421,10 @@ def encode_dataset(
                 table = table.sort_by([(k, "ascending") for k in keys])
         header, payload = seg.encode_table(table, sh)
         digest = seg.sha256_hex(payload)
-        # segment identity = payload digest salted with (pid, per-worker
-        # ordinal); full salted digest in the filename — see _BLOCK_ORDINAL
-        salt = f":{os.getpid()}:{next(_BLOCK_ORDINAL)}".encode()
+        # segment identity = payload digest salted with (per-process uuid,
+        # per-worker ordinal); full salted digest in the filename — see
+        # _BLOCK_ORDINAL / _PROCESS_SALT
+        salt = f":{_PROCESS_SALT}:{next(_BLOCK_ORDINAL)}".encode()
         uniq = seg.sha256_hex(payload + salt)
         record = lin.lineage_record(
             part_id=int(uniq[:15], 16),

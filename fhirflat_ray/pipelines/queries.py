@@ -174,7 +174,20 @@ def q1_lineitem(sf_dir: str):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("rev", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty", "sum_rev", "n"])
+        from fhirflat_ray.functions.util import agg_select
+
+        # select by the aggregate OUTPUT names, not position (pyarrow's
+        # keys-first vs aggregates-first order has flipped across versions)
+        return agg_select(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "l_linestatus": "l_linestatus",
+                "l_quantity_sum": "sum_qty",
+                "rev_sum": "sum_rev",
+                "count_all": "n",
+            },
+        )
 
     from ray.data.aggregate import Sum
 
@@ -223,7 +236,18 @@ def events_condense(sf_dir: str):
         g = batch.group_by("user_id").aggregate(
             [("ts", "min"), ("ts", "max"), ("value", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["user_id", "first_ts", "last_ts", "total_value", "n_events"])
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(
+            g,
+            {
+                "user_id": "user_id",
+                "ts_min": "first_ts",
+                "ts_max": "last_ts",
+                "value_sum": "total_value",
+                "count_all": "n_events",
+            },
+        )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -414,9 +438,11 @@ def date_format(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from fhirflat_ray.functions.util import agg_select
+
         day = pc.strftime(batch["ts"], format="%Y-%m-%d")
         g = pa.table({"day": day}).group_by("day").aggregate([([], "count_all")])
-        return g.rename_columns(["day", "n"])
+        return agg_select(g, {"day": "day", "count_all": "n"})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
