@@ -114,24 +114,46 @@ def run_bench() -> dict:
     dec.decode_dataset(warm_dir).count()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
-    # best-of-2: this host has multi-second CPU-steal bursts; min-of-repeats
-    # is the standard way to see through scheduler noise
-    t_encode = float("inf")
+    # Steal-robust protocol: this host has multi-second CPU-steal bursts that
+    # can inflate any single lap ~2x. Two defenses, both reported:
+    # (a) min/median over >=5 laps, and (b) a FIXED REFERENCE LAP (single-
+    # process pandas ``to_parquet`` + snappy — the reference engine's write
+    # path, /root/reference/fhirflat/ingest.py:543-545) interleaved in the
+    # same process, with the headline expressed as the median of PAIRED
+    # ratios ref_i/encode_i — adjacent-in-time laps see the same host noise,
+    # so the ratio cancels it.
+    import statistics
+
+    reps = 3 if SCALING_MODE else 5
+    ref_df = None
+    ref_path = "/tmp/fhirflat_ray_bench/ref_lap.parquet"
+    if not SCALING_MODE:
+        import pandas as pd
+
+        ref_df = pd.read_parquet(frag_dir)
+        ref_df.to_parquet(ref_path, compression="snappy", index=False)  # warm lap
+
+    ref_times: list[float] = []
+    enc_times: list[float] = []
+    dec_times: list[float] = []
     manifest = None
-    for rep in range(3):
+    for rep in range(reps):
+        if ref_df is not None:
+            t0 = time.time()
+            ref_df.to_parquet(ref_path, compression="snappy", index=False)
+            ref_times.append(time.time() - t0)
         shutil.rmtree(seg_dir, ignore_errors=True)
         t0 = time.time()
         manifest = enc.encode_files(
             frag_dir, seg_dir, shared_dict_columns=["role", "tool"], target_rows=TARGET_ROWS
         )
-        t_encode = min(t_encode, time.time() - t0)
-
-    t_decode = float("inf")
-    for rep in range(3):
+        enc_times.append(time.time() - t0)
         t0 = time.time()
         n_decoded = dec.decode_dataset(seg_dir).count()
-        t_decode = min(t_decode, time.time() - t0)
-    assert n_decoded == manifest["n_rows"], (n_decoded, manifest["n_rows"])
+        dec_times.append(time.time() - t0)
+        assert n_decoded == manifest["n_rows"], (n_decoded, manifest["n_rows"])
+    t_encode = min(enc_times)
+    t_decode = min(dec_times)
 
     raw = manifest["raw_bytes"]
     encoded = manifest["encoded_bytes"]
@@ -169,7 +191,26 @@ def run_bench() -> dict:
         "parquet_snappy_bytes": snappy,
         "compression_vs_raw": round(raw / encoded, 2),
         "encoded_vs_snappy": round(encoded / snappy, 3),
+        "encode_sec_median": round(statistics.median(enc_times), 3),
+        "decode_sec_median": round(statistics.median(dec_times), 3),
+        "n_laps": reps,
     }
+    if ref_times:
+        # paired ratios: lap i of the reference write vs lap i of the engine
+        # encode run back-to-back, so host noise hits both and cancels;
+        # >1.0 = the engine's full distributed encode beats the reference's
+        # single-process parquet write on the same table in the same instant
+        result["ref_write_sec"] = round(min(ref_times), 3)
+        result["ref_write_sec_median"] = round(statistics.median(ref_times), 3)
+        result["encode_speedup_vs_ref"] = round(
+            statistics.median(r / e for r, e in zip(ref_times, enc_times)), 3
+        )
+        result["roundtrip_speedup_vs_ref"] = round(
+            statistics.median(
+                r / (e + d) for r, e, d in zip(ref_times, enc_times, dec_times)
+            ),
+            3,
+        )
     ray.shutdown()
     return result
 

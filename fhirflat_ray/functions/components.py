@@ -19,6 +19,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+#: at or below this edge count components are solved on the driver in one
+#: vectorized pass (and, in the distributed loop, the convergence check
+#: compares driver-side arrays instead of distributed fingerprints) — two
+#: int64 columns at 1M rows is 16 MB, far cheaper than extra Ray executions
+SMALL_EDGES = 1_000_000
+
 
 def _star_round(edges, large: bool):
     """One large-star (connect bigger neighbors to the min) or small-star
@@ -91,14 +97,50 @@ def _fingerprint(edges) -> tuple[int, int]:
     return n, total
 
 
+def _label_propagation(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized in-memory connected components (min-label propagation with
+    pointer jumping): O(E) numpy work per round, O(log n) rounds. Node ids
+    map to compact indices via ``np.unique`` (sorted, so the minimum index
+    IS the minimum id) and labels propagate as indices."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u) :]
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        old = labels.copy()
+        m = np.minimum(labels[ui], labels[vi])
+        np.minimum.at(labels, ui, m)
+        np.minimum.at(labels, vi, m)
+        while True:  # pointer jumping: label chains collapse to roots
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, old):
+            break
+    return nodes, nodes[labels]
+
+
 def connected_components(
-    edges_ds, src: str = "left_id", dst: str = "right_id", max_iters: int = 32
+    edges_ds,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iters: int = 32,
+    small_edges: int | None = None,
 ):
     """(node, component) Dataset from an undirected edge Dataset.
 
     ``component`` is the minimum node id in the node's connected component.
     Only nodes that appear in at least one edge are returned — isolated
     nodes are their own components by definition and need no work.
+
+    Tiered execution: at or below ``small_edges`` edges (default
+    ``SMALL_EDGES`` = 1M, 16 MB of int64 pairs) the edge set is collected
+    columnar and solved with ONE vectorized driver pass
+    (:func:`_label_propagation`) — for dedup workloads the edge list is
+    proportional to duplicates, not the corpus, so this path covers all but
+    the most duplicate-saturated jobs and skips the ~1 s/round Ray execution
+    constant entirely. Above it, the alternating-star distributed loop runs
+    (the 100 TB path; pass ``small_edges=0`` to force it).
     """
 
     def canon(batch: pd.DataFrame) -> pd.DataFrame:
@@ -116,12 +158,6 @@ def connected_components(
             }
         )
 
-    #: below this edge count the convergence check collects the (tiny,
-    #: already-materialized) edge set to the driver and compares arrays
-    #: directly — two int64 columns at 1M rows is 16 MB, far cheaper than
-    #: two extra Ray executions of the distributed fingerprint
-    SMALL_EDGES = 1_000_000
-
     def _edge_array(mat) -> np.ndarray:
         from fhirflat_ray.functions.util import collect_small_table
 
@@ -131,7 +167,33 @@ def connected_components(
         order = np.lexsort((v, u))
         return np.stack([u[order], v[order]], axis=1)
 
+    if small_edges is None:
+        small_edges = SMALL_EDGES
+
     edges = edges_ds.map_batches(canon, batch_format="pandas")
+
+    edges = edges.materialize()
+    n_edges = edges.count()  # block metadata on the materialized set — free
+    if 0 < n_edges <= small_edges:
+        from fhirflat_ray.functions.util import collect_small_table
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        t = collect_small_table(edges)
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, comp = _label_propagation(u, v)
+        keep = nodes != comp  # minima are implicit, matching the star forest
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes[keep], pa.int64()),
+                    "component": pa.array(comp[keep], pa.int64()),
+                }
+            )
+        )
+
     prev_n: int | None = None
     prev_mat = None
     prev_arr: np.ndarray | None = None

@@ -866,6 +866,50 @@ def dedup_near(sf_dir: str):
     )
 
 
+def dedup_near_exhaustive(sf_dir: str):
+    """The flagship near-dedup's verify → components → survivor machinery
+    under a FULL SQL oracle: candidates are ALL pairs (LSH bypassed, the
+    same exhaustive-as-oracle trick ``knn_ivf_exhaustive`` plays), then the
+    REAL vectorized Jaccard verifier, connected components and min-id
+    survivor selection run unchanged. The DuckDB mirror builds the same
+    word-5-shingle sets with list ops and closes components with the
+    recursive transitive-closure CTE."""
+    from fhirflat_ray.functions.dedup import near_dedup_exhaustive
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dedup_exhaustive(
+        ds, id_column="doc_id", column="text", threshold=0.7
+    ).select_columns(["doc_id"])
+
+
+DEDUP_NEAR_EXHAUSTIVE_SQL = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) = node
+"""
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dedup, EXACT variant: every pair with cosine
     >= 0.45 is an edge, keep min-id per connected component. Fully
@@ -894,13 +938,25 @@ SELECT node AS vec_id FROM reach GROUP BY node HAVING min(r) = node
 
 
 def dedup_embedding_lsh(sf_dir: str):
-    """Embedding-cosine near-dedup, LSH scale path (random-hyperplane
-    signatures, Hamming-k buckets, in-bucket exact cosine verify; rows-only
-    — LSH recall is probabilistic by construction)."""
+    """Embedding-cosine near-dedup, LSH scale path: banded hyperplane
+    signatures sized from the threshold (OR-construction), ids-only
+    candidate shuffle, exact-cosine verification. Rows-only — LSH recall is
+    probabilistic by construction (deterministic under the fixed seed)."""
     from fhirflat_ray.functions.dedup import cosine_dedup_lsh
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return cosine_dedup_lsh(ds, threshold=0.45, k=3).select_columns(["vec_id"])
+    return cosine_dedup_lsh(ds, threshold=0.45).select_columns(["vec_id"])
+
+
+def dedup_embedding_auto(sf_dir: str):
+    """The single ``cosine_dedup`` entry point (size-dispatching: exact
+    below the broadcast cell cap, banded LSH above). At oracle scale it
+    takes the exact path, so the dispatcher sits under the SAME recursive
+    transitive-closure oracle as ``dedup_embedding``."""
+    from fhirflat_ray.functions.dedup import cosine_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_dedup(ds, threshold=0.45).select_columns(["vec_id"])
 
 
 def dedup_simhash_near(sf_dir: str):
@@ -1116,8 +1172,10 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_near": dedup_near,
+    "dedup_near_exhaustive": dedup_near_exhaustive,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
@@ -1155,7 +1213,9 @@ ORACLE_SQL = {
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,

@@ -326,12 +326,16 @@ def test_connected_components(ray_session):
             "right_id": pa.array([1, 2, 3, 11, 21, 22, 23, 24, 8, 4], pa.int64()),
         }
     )
-    out = connected_components(rd.from_arrow(edges)).take_all()
-    got = sorted((r["node"], r["component"]) for r in out)
-    assert got == [
+    want = [
         (2, 1), (3, 1), (4, 1), (8, 7), (11, 10),
         (21, 20), (22, 20), (23, 20), (24, 20),
     ]
+    # driver-vectorized fast path (default below SMALL_EDGES)...
+    out = connected_components(rd.from_arrow(edges)).take_all()
+    assert sorted((r["node"], r["component"]) for r in out) == want
+    # ...and the distributed star-rounds path, forced, must agree exactly
+    out = connected_components(rd.from_arrow(edges), small_edges=0).take_all()
+    assert sorted((r["node"], r["component"]) for r in out) == want
 
 
 def test_hash_anti_join_with_schemaless_empty_blocks(ray_session):
@@ -457,10 +461,15 @@ def test_cosine_dedup_exact_and_lsh(ray_session):
     assert 0 in exact and 10 in exact and len(exact) == 37
     lsh = sorted(
         r["vec_id"]
-        for r in dd.cosine_dedup_lsh(ds, threshold=0.99, k=12).take_all()
+        for r in dd.cosine_dedup_lsh(ds, threshold=0.99).take_all()
     )
     assert 1 not in lsh and 2 not in lsh and 11 not in lsh
     assert 0 in lsh and 10 in lsh
+    # unified entry point: below the cell cap it must take the exact path
+    auto = sorted(
+        r["vec_id"] for r in dd.cosine_dedup(ds, threshold=0.99).take_all()
+    )
+    assert auto == exact
 
 
 def test_audio_feature_and_chunking(ray_session):
@@ -486,10 +495,9 @@ def test_audio_feature_and_chunking(ray_session):
 
 
 def test_cosine_lsh_recall_at_scale(ray_session):
-    """Chunk-selectivity regression: with k=3 (15-16-bit chunks) the LSH
-    path must recover essentially all planted near-identical pairs even
-    when buckets would overflow the clique cap at coarser chunking
-    (the k=8 default collapsed recall to 7% at 100k vectors)."""
+    """Banded-OR recall regression: the auto band plan must recover
+    essentially all planted near-identical pairs at 20k vectors (the
+    round-2 pigeonhole chunking had ~zero recall below cosine ~0.95)."""
     import ray.data as rd
 
     rng = np.random.default_rng(9)
@@ -505,10 +513,55 @@ def test_cosine_lsh_recall_at_scale(ray_session):
         }
     )
     kept = dd.cosine_dedup_lsh(
-        rd.from_arrow(t).repartition(8), threshold=0.98, k=3
+        rd.from_arrow(t).repartition(8), threshold=0.98
     ).count()
     dropped = n - kept
     assert dropped >= 0.98 * planted, (dropped, planted)
+
+
+def test_cosine_lsh_band_plan_and_moderate_threshold_recall(ray_session):
+    """The band plan must size bands from the threshold so even MODERATE
+    thresholds (0.45 — where the round-2 Hamming-pigeonhole operator was a
+    silent no-op) keep real recall; and the exact-path cap must refuse
+    oversize inputs while cosine_dedup dispatches to LSH instead."""
+    import pytest
+    import ray.data as rd
+
+    b_low, t_low, recall_low = dd.lsh_band_plan(0.45)
+    b_high, t_high, recall_high = dd.lsh_band_plan(0.9)
+    assert recall_low >= 0.9 and recall_high >= 0.9
+    assert b_low < b_high  # looser threshold → narrower bands
+
+    rng = np.random.default_rng(5)
+    # d=128 keeps random-pair cosine (std 1/sqrt(d) ~ 0.09) far below the
+    # 0.45 threshold, so only planted pairs form edges
+    n, d = 2_000, 128
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    planted = 200
+    for i in range(0, 2 * planted, 2):
+        # moderate-similarity pair: cosine ~0.78, well below near-identical
+        mat[i + 1] = mat[i] + 0.8 * rng.standard_normal(d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    exact = {r["vec_id"] for r in dd.cosine_dedup_exact(ds, threshold=0.45).take_all()}
+    lsh = {r["vec_id"] for r in dd.cosine_dedup_lsh(ds, threshold=0.45).take_all()}
+    exact_dropped = n - len(exact)
+    lsh_dropped = n - len(lsh)
+    assert exact_dropped > 0
+    assert lsh_dropped >= 0.85 * exact_dropped, (lsh_dropped, exact_dropped)
+    # verification is exact, so LSH can only MISS candidates, never add junk
+    assert lsh >= exact  # survivors superset: every lsh drop is an exact drop
+
+    with pytest.raises(ValueError, match="cap"):
+        dd.cosine_dedup_exact(ds, threshold=0.45, max_cells=1_000)
+    # the dispatcher routes the same oversize input to LSH instead of raising
+    routed = dd.cosine_dedup(ds, threshold=0.45, max_cells=1_000)
+    assert routed.count() == len(lsh)
 
 
 def test_near_dedup_no_duplicates_passthrough(ray_session):
@@ -532,4 +585,4 @@ def test_near_dedup_no_duplicates_passthrough(ray_session):
             "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
         }
     )
-    assert dd.cosine_dedup_lsh(rd.from_arrow(e), threshold=0.999, k=3).count() == 20
+    assert dd.cosine_dedup_lsh(rd.from_arrow(e), threshold=0.999).count() == 20

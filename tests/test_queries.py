@@ -13,7 +13,14 @@ import pytest
 import __ray_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-FAST = ["condense_codes", "melt_events", "token_count", "dedup_exact", "stats_profile"]
+FAST = [
+    "condense_codes",
+    "melt_events",
+    "token_count",
+    "dedup_exact",
+    "stats_profile",
+    "dedup_near_exhaustive",
+]
 
 
 @pytest.fixture(scope="module")
