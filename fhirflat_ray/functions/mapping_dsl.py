@@ -82,20 +82,29 @@ def eval_field_expr(
         if m == "<FIELD>":
             return field.astype(object)
         if "+" in m:
+            # vectorized concat with the reference's rules (ingest.py:59-66):
+            # drop null parts, join with " " unless the FIRST KEPT part
+            # contains "/" (then join with ""). pyarrow's null_handling=
+            # "skip" drops nulls per row; pc.coalesce finds the first kept
+            # part; a per-row separator array carries the slash rule.
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
             parts = [resolve(p.strip()) for p in m.split("+")]
-            out = []
-            for vals in zip(*(p.tolist() for p in parts)):
-                kept = [
-                    str(v)
-                    for v in vals
-                    if not (v is None or (isinstance(v, float) and np.isnan(v)))
-                ]
-                if not kept:
-                    out.append(None)
-                else:
-                    sep = "" if "/" in kept[0] else " "
-                    out.append(sep.join(kept))
-            return pd.Series(out, index=idx, dtype=object)
+            arrs = []
+            for p in parts:
+                mask = p.isna().to_numpy()
+                vals = p.astype(str).to_numpy(dtype=object)
+                vals[mask] = None
+                arrs.append(_pa.array(vals, _pa.string()))
+            first_kept = _pc.coalesce(*arrs)
+            sep = _pc.if_else(
+                _pc.match_substring(first_kept, "/"),
+                _pa.scalar("", _pa.string()),
+                _pa.scalar(" ", _pa.string()),
+            )  # null first_kept (all parts null) → null sep → null result
+            joined = _pc.binary_join_element_wise(*arrs, sep, null_handling="skip")
+            return pd.Series(joined.to_pylist(), index=idx, dtype=object)
         if "if not" in m:
             x_m, y_m = (p.strip() for p in m.replace(" ", "").split("ifnot"))
             x, y = resolve(x_m), resolve(y_m)

@@ -86,6 +86,34 @@ def collect_small_table(ds) -> "pa.Table":
     return pa.concat_tables(batches, promote_options="default")
 
 
+def streaming_topk(ds, keys: list[str], k: int, descending: bool | list[bool] = False):
+    """Global top-``k`` rows under a lexicographic key WITHOUT a global sort.
+
+    ``ds.sort(keys).limit(k)`` is an all-to-all exchange of the whole corpus
+    to pick ``k`` rows. Here every block emits its LOCAL top-k (one
+    vectorized Arrow ``sort_by`` per batch — map-only plan), the surviving
+    ``k × blocks`` rows are collected columnar on the driver, and one final
+    tiny sort yields the exact same deterministic result. Returns a pyarrow
+    Table (sorted by ``keys``)."""
+    import pyarrow as pa
+
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    sort_keys = [
+        (c, "descending" if d else "ascending") for c, d in zip(keys, descending)
+    ]
+
+    def local(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows <= k:
+            return batch
+        return batch.sort_by(sort_keys).slice(0, k)
+
+    t = collect_small_table(ds.map_batches(local, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return t
+    return t.sort_by(sort_keys).slice(0, k)
+
+
 def default_num_buckets() -> int:
     import ray
 

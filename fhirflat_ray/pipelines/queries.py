@@ -575,9 +575,13 @@ WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 
 
 def top_docs(sf_dir: str):
-    """Sort + limit (top-k by n_chars, deterministic tie-break)."""
+    """Sort + limit (top-k by n_chars, deterministic tie-break) — via
+    ``streaming_topk``: per-block local top-k + driver merge, a map-only
+    plan instead of ``sort().limit()``'s corpus-wide all-to-all."""
+    from fhirflat_ray.functions.util import streaming_topk
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    return streaming_topk(ds, ["n_chars", "doc_id"], 10, descending=[True, False])
 
 
 TOP_DOCS_SQL = """
@@ -1113,13 +1117,15 @@ def validate_errors(sf_dir: str):
 
     from fhirflat_ray.pipelines.verify import split_valid, validate_transcripts
 
+    from fhirflat_ray.functions.util import streaming_topk
+
     built = transcript_build(sf_dir)
     # inject defects via a streaming union: duplicate 10 rows (same
-    # (conv_id, turn_idx)) — only those 10 rows ever touch the driver;
+    # (conv_id, turn_idx)) — only those 10 rows ever touch the driver, and
+    # picking them is per-block local top-k + driver merge (map-only; the
+    # round-2 sort().limit(10) here was a full-corpus all-to-all sort);
     # the built dataset itself streams through validate → split
-    dupes = built.sort(["conv_id", "turn_idx"]).limit(10).take_batch(
-        10, batch_format="pyarrow"
-    )
+    dupes = streaming_topk(built, ["conv_id", "turn_idx"], 10)
     defective = built.union(rd.from_arrow(dupes))
     marked = validate_transcripts(defective)
     _, errors = split_valid(marked)
