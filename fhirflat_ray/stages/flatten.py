@@ -71,13 +71,31 @@ def _flatten_one(name: str, arr: pa.Array) -> list[tuple[str, pa.Array]]:
     return [(name, arr)]
 
 
+def _is_excluded(flat_name: str, exclude: tuple[str, ...]) -> bool:
+    """Exclusions are ATTRIBUTE paths: excluding ``note`` drops ``note``,
+    every ``note.*`` leaf and the opaque ``note_dense`` form — mirroring the
+    reference nulling the whole attribute before flattening
+    (/root/reference/fhirflat/resources/base.py:346-348)."""
+    for e in exclude:
+        if (
+            flat_name == e
+            or flat_name.startswith(e + ".")
+            or flat_name == e + DENSE_SUFFIX
+        ):
+            return True
+    return False
+
+
 def flatten_batch(batch: pa.Table, config: TableConfig | None = None) -> pa.Table:
-    """Nested → flat with dotted names; drops ``config.exclude`` columns."""
+    """Nested → flat with dotted names; drops ``config.exclude`` attributes
+    (prefix semantics, see :func:`_is_excluded`)."""
     config = config or TableConfig()
     cols: list[tuple[str, pa.Array]] = []
     for name in batch.column_names:
+        if _is_excluded(name, config.exclude):
+            continue
         for flat_name, arr in _flatten_one(name, batch.column(name)):
-            if flat_name in config.exclude:
+            if _is_excluded(flat_name, config.exclude):
                 continue
             cols.append((flat_name, arr))
     return pa.table(dict(cols))
