@@ -138,7 +138,9 @@ def knn_ivf(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
     """IVF-bucketed ANN: probe only the ``nprobe`` closest cells per query.
 
     Scale path: the filter prunes (1 - nprobe/n_centroids) of the data before
-    the brute-force scorer runs."""
+    the brute-force scorer runs. The centroid build + full-corpus assignment
+    re-run on every call — for repeated queries build the index ONCE with
+    :func:`build_ivf_index` and query through :func:`knn_ivf_persisted`."""
     import ray
 
     cent = build_ivf_centroids(ds, vec_column, n_centroids)
@@ -156,4 +158,113 @@ def knn_ivf(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
     pruned = assigned.filter(
         expr=f"ivf_cell in {sorted(probe_cells)}"
     )
+    return knn_bruteforce(pruned, query_ids, query_vectors, k, id_column, vec_column)
+
+
+# --------------------------------------------------------- persisted IVF
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    sample_limit: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build AND PERSIST an IVF index: centroids as one tiny parquet file,
+    the corpus written cell-partitioned (``corpus/ivf_cell=<c>/``) so a
+    query reads ONLY its probed cells' files — pruning at the read, the
+    reusable form of the index (the in-memory path re-assigns the whole
+    corpus per call). Assignment streams through the actor pool once;
+    nothing materializes on the driver. Returns the centroid matrix."""
+    import os
+
+    import ray
+
+    os.makedirs(index_dir, exist_ok=True)
+    cent = build_ivf_centroids(ds, vec_column, n_centroids, sample_limit, seed=seed)
+    pa_cent = pa.table(
+        {
+            "cell": pa.array(range(len(cent)), pa.int32()),
+            "centroid": pa.array(cent.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa_cent, os.path.join(index_dir, "centroids.parquet"))
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_column": vec_column},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    assigned.write_parquet(
+        os.path.join(index_dir, "corpus"), partition_cols=["ivf_cell"]
+    )
+    return cent
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet")).sort_by("cell")
+    return np.stack(
+        [np.asarray(c, dtype=np.float32) for c in t["centroid"].to_pylist()]
+    )
+
+
+def knn_ivf_persisted(
+    index_dir: str,
+    query_ids: list[int],
+    query_vectors: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+):
+    """Query a persisted IVF index (:func:`build_ivf_index`): centroids load
+    from one tiny file, and ONLY the probed cells' partition directories are
+    read — no full-corpus scan, no assignment pass. ``nprobe`` = number of
+    centroids probed per query (set it to ``n_centroids`` for exact
+    results)."""
+    import os
+
+    import ray.data as rd
+
+    cent = load_ivf_centroids(index_dir)
+    qmat = _normalize(np.asarray(query_vectors, dtype=np.float32))
+    probe_cells = sorted(
+        set(
+            int(c)
+            for c in np.argsort(-(qmat @ cent.T), axis=1)[
+                :, : min(nprobe, len(cent))
+            ].ravel()
+        )
+    )
+    import glob as _glob
+
+    paths = [
+        f
+        for c in probe_cells
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "corpus", f"ivf_cell={c}", "*.parquet"))
+        )
+    ]  # empty cells write no dir; explicit files keep the read list exact
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    pruned = rd.read_parquet(paths, columns=[id_column, vec_column])
     return knn_bruteforce(pruned, query_ids, query_vectors, k, id_column, vec_column)

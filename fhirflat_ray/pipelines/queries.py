@@ -1037,6 +1037,29 @@ def knn_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def knn_ivf_persisted(sf_dir: str):
+    """Query the PERSISTED IVF index (centroids file + cell-partitioned
+    corpus, built once per sf_dir and cached): with nprobe = n_centroids
+    every cell is read, so the whole persisted path (partitioned write,
+    centroid reload, cell-pruned read, scoring, global top-k) sits under
+    the brute-force DuckDB oracle. Repeat queries skip the corpus scan
+    entirely — only the probed partition directories are read."""
+    from fhirflat_ray.functions.similarity import build_ivf_index, knn_ivf_persisted as knnp
+
+    index_dir = os.path.join(
+        "/tmp/fhirflat_ray_ivf", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    marker = os.path.join(index_dir, "_complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, n_centroids=8)
+        open(marker, "w").close()
+    ids, vecs = _load_queries(sf_dir)
+    out = knnp(index_dir, ids, vecs, k=10, nprobe=8)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def flatten_props(sf_dir: str):
     """M1/M8 struct-flatten on live data: parse the ``props`` JSON column
     into a struct, run the real ``flatten_batch`` (dotted names), aggregate
@@ -1186,6 +1209,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "knn_ivf_persisted": knn_ivf_persisted,
     "validate_errors": validate_errors,
     "schema_check": schema_check,
     "flatten_props": flatten_props,
@@ -1224,6 +1248,7 @@ ORACLE_SQL = {
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
+    "knn_ivf_persisted": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,
     "schema_check": SCHEMA_CHECK_SQL,
     "validate_errors": VALIDATE_ERRORS_SQL,

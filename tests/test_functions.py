@@ -586,3 +586,49 @@ def test_near_dedup_no_duplicates_passthrough(ray_session):
         }
     )
     assert dd.cosine_dedup_lsh(rd.from_arrow(e), threshold=0.999).count() == 20
+
+
+def test_ivf_persisted_index(ray_session, tmp_path):
+    """Persisted IVF: cell-partitioned corpus + centroid file; nprobe=all
+    must equal brute force exactly, nprobe=1 reads only the probed cell
+    dirs (no full-corpus assignment pass on the query path)."""
+    import os
+
+    import ray.data as rd
+
+    from fhirflat_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    n, d = 2_000, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(ds, idx, n_centroids=8)
+
+    qids, qv = [0, 1], mat[:2]
+    full = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in sim.knn_ivf_persisted(idx, qids, qv, k=5, nprobe=8).take_all()
+    )
+    bf = sorted(
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in sim.knn_bruteforce(ds, qids, qv, k=5).take_all()
+    )
+    assert full == bf
+
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in sim.knn_ivf_persisted(idx, qids, qv, k=1, nprobe=1).take_all()
+    }
+    assert top1 == {0: 0, 1: 1}  # each query's nearest neighbour is itself
+
+    cells = [
+        p for p in os.listdir(os.path.join(idx, "corpus")) if p.startswith("ivf_cell=")
+    ]
+    assert len(cells) > 1  # real partitioning → nprobe=1 reads a strict subset
