@@ -3,23 +3,185 @@
 Image/audio/video payloads are carried as Arrow ``binary`` columns with a
 metadata struct alongside (mime, width/height or sample rate, duration). The
 Ray-side plumbing — schemas, actor-pool signatures, small-batch sizing for
-large rows, output layout — is real and tested; the actual byte decoding is
-STUBBED behind ``DETERMINISTIC_FAKE`` (the image/audio libraries are not in
-this container): feature vectors are derived deterministically from the
-payload bytes so pipelines are reproducible end-to-end.
+large rows, output layout — is real and tested.
 
-A production deployment replaces ``_fake_decode_*`` with PIL/libav calls in
-the same actor ``__init__``/``__call__`` shape — nothing else changes.
+Byte decoding is REAL for the formats the standard library can handle:
+
+- WAV (PCM 8/16/32-bit) via ``wave`` → sample array → spectral features;
+- PPM (binary ``P6``) parsed by hand → pixel array → color/histogram
+  features and real nearest-neighbour resizing;
+- BMP (uncompressed 24-bit) parsed by hand → pixel array.
+
+Payloads in any OTHER format fall back to ``_fake_decode_features`` — a
+deterministic hash-seeded vector (``DETERMINISTIC_FAKE`` marks that path;
+PIL/libav are not in this container). A production deployment swaps the
+fallback for PIL/libav calls in the same actor ``__init__``/``__call__``
+shape — nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
 
+#: non-stdlib formats still decode to a deterministic hash-seeded stub
 DETERMINISTIC_FAKE = True
+
+
+# ------------------------------------------------------- real byte decode
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """(mono float64 samples in [-1, 1], sample_rate) from PCM WAV bytes."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixels from binary PPM (``P6``) bytes."""
+    # header = magic, width, height, maxval separated by whitespace/comments
+    pos = 0
+    fields: list[bytes] = []
+    while len(fields) < 4:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    if fields[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(fields[1]), int(fields[2]), int(fields[3])
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def _encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB pixels from an uncompressed 24-bit BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core headers not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    flipped = h > 0  # positive height → rows stored bottom-up
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _image_pixels(payload: bytes) -> np.ndarray | None:
+    """Real pixel decode for stdlib-decodable formats, else None."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    return None
+
+
+def _image_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic feature vector from real pixels: per-channel mean/std
+    plus a grayscale histogram, padded/truncated to ``dim``."""
+    f = pixels.astype(np.float64) / 255.0
+    gray = f.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=max(1, dim - 6), range=(0.0, 1.0))
+    hist = hist.astype(np.float64) / max(1, gray.size)
+    stats = np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1)), hist])
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(stats))] = stats[:dim]
+    return out
+
+
+def _audio_features(x: np.ndarray, rate: int, dim: int) -> np.ndarray:
+    """RMS + zero-crossing rate + log band energies from real samples."""
+    if len(x) == 0:
+        return np.zeros(dim, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    n_bands = max(1, dim - 2)
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, n_bands)
+    energy = np.log1p(np.array([b.sum() for b in bands], dtype=np.float64))
+    out = np.zeros(dim, dtype=np.float32)
+    out[0], out[1] = rms, zcr
+    out[2 : 2 + len(energy)] = energy[: dim - 2]
+    return out
+
+
+def make_wav_bytes(
+    freq_hz: float = 440.0, ms: int = 200, rate: int = 16_000, amplitude: float = 0.5
+) -> bytes:
+    """Real 16-bit mono PCM WAV bytes of a pure tone (stdlib only)."""
+    t = np.arange(int(rate * ms / 1000.0)) / rate
+    x = (amplitude * np.sin(2 * np.pi * freq_hz * t) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def make_ppm_bytes(width: int = 32, height: int = 24, seed: int = 42) -> bytes:
+    rng = np.random.default_rng(seed)
+    return _encode_ppm(rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8))
+
+
+def make_bmp_bytes(width: int = 16, height: int = 12, seed: int = 43) -> bytes:
+    """Uncompressed 24-bit BMP bytes (bottom-up rows, 4-byte padding)."""
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = rgb[::-1, :, ::-1].reshape(height, width * 3)  # bottom-up BGR
+    data = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + data
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -57,32 +219,47 @@ def _fake_decode_features(payload: bytes, dim: int) -> np.ndarray:
 class ImageFeatureExtractor:
     """Actor-pool stage: binary payload → feature vector (``list<float>``).
 
-    In production ``__init__`` loads the model once per actor; batches must be
-    small (large binary rows): pass ``batch_size=32..256`` to ``map_batches``.
+    PPM/BMP payloads decode to REAL pixels (stdlib parsers above) and yield
+    color/histogram features; other formats fall back to the deterministic
+    hash-seeded stub. In production ``__init__`` loads the model once per
+    actor; batches must be small (large binary rows): pass
+    ``batch_size=32..256`` to ``map_batches``.
     """
 
     def __init__(self, dim: int = 64):
-        if not DETERMINISTIC_FAKE:  # pragma: no cover
-            raise NotImplementedError("real image decode needs PIL/torch; not in container")
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            _fake_decode_features(p, self.dim).tolist()
-            for p in batch["payload"].to_pylist()
-        ]
+        feats = []
+        for p in batch["payload"].to_pylist():
+            pix = _image_pixels(p)
+            if pix is not None:
+                feats.append(_image_features(pix, self.dim).tolist())
+            else:
+                feats.append(_fake_decode_features(p, self.dim).tolist())
         out = batch.drop_columns(["payload"])  # features replace heavy bytes
         return out.append_column("features", pa.array(feats, pa.list_(pa.float32())))
 
 
 class ImageResizer:
-    """Actor-pool stage: 'resize' = rewrite payload + metadata (stub decode).
+    """Actor-pool stage: resize = rewrite payload + metadata.
 
-    Demonstrates the binary-in/binary-out layout with updated typed metadata.
+    PPM/BMP payloads get a REAL nearest-neighbour resample (numpy index
+    resampling on the decoded pixels; output re-encoded as binary PPM, the
+    canonical internal format). Unknown formats keep the proportional-
+    truncation stub. Binary-in/binary-out with updated typed metadata.
     """
 
     def __init__(self, max_side: int = 256):
         self.max_side = max_side
+
+    def _resize_real(self, pix: np.ndarray) -> np.ndarray:
+        h, w = pix.shape[:2]
+        scale = min(1.0, self.max_side / max(w, h))
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        yi = np.minimum((np.arange(nh) / scale).astype(np.int64), h - 1)
+        xi = np.minimum((np.arange(nw) / scale).astype(np.int64), w - 1)
+        return pix[yi][:, xi]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         w = batch["meta_width"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -90,15 +267,17 @@ class ImageResizer:
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
         new_w = np.maximum(1, (w * scale)).astype(np.int32)
         new_h = np.maximum(1, (h * scale)).astype(np.int32)
-        if DETERMINISTIC_FAKE:
-            # stub: payload truncated proportionally to pixel-count reduction
-            ratio = (new_w.astype(np.float64) * new_h) / np.maximum(1.0, w * h)
-            payloads = [
-                p[: max(1, int(len(p) * r))]
-                for p, r in zip(batch["payload"].to_pylist(), ratio)
-            ]
-        else:  # pragma: no cover
-            raise NotImplementedError("real resize needs PIL")
+        payloads = []
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            pix = _image_pixels(p)
+            if pix is not None:
+                resized = self._resize_real(pix)
+                new_h[i], new_w[i] = resized.shape[0], resized.shape[1]
+                payloads.append(_encode_ppm(resized))
+            else:
+                # stub: payload truncated proportionally to pixel-count cut
+                r = float(new_w[i]) * float(new_h[i]) / max(1.0, w[i] * h[i])
+                payloads.append(p[: max(1, int(len(p) * r))])
         out = batch.drop_columns(["payload", "meta_width", "meta_height"])
         out = out.append_column("payload", pa.array(payloads, pa.binary()))
         out = out.append_column("meta_width", pa.array(new_w, pa.int32()))
@@ -168,20 +347,23 @@ def make_fake_audio(n: int = 64, seed: int = 43, payload_bytes: int = 8192) -> p
 class AudioFeatureExtractor:
     """Actor-pool stage: audio payload → fixed-dim feature vector.
 
-    Same shape as :class:`ImageFeatureExtractor` (model load belongs in
-    ``__init__``); the byte decode is the deterministic fake — a production
-    deployment swaps in libav/torchaudio here."""
+    PCM WAV payloads (RIFF/WAVE magic) decode to REAL samples via the
+    stdlib ``wave`` module and yield RMS/zero-crossing/log-band-energy
+    features; other formats fall back to the deterministic fake — a
+    production deployment swaps in libav/torchaudio in the same actor
+    shape."""
 
     def __init__(self, dim: int = 32):
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not DETERMINISTIC_FAKE:  # pragma: no cover
-            raise NotImplementedError("real audio decode needs libav/torchaudio")
-        feats = [
-            _fake_decode_features(p, self.dim).tolist()
-            for p in batch["payload"].to_pylist()
-        ]
+        feats = []
+        for p in batch["payload"].to_pylist():
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                x, rate = _decode_wav(p)
+                feats.append(_audio_features(x, rate, self.dim).tolist())
+            else:
+                feats.append(_fake_decode_features(p, self.dim).tolist())
         out = batch.drop_columns(["payload"])
         return out.append_column("features", pa.array(feats, pa.list_(pa.float32())))
 

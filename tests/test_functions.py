@@ -632,3 +632,102 @@ def test_ivf_persisted_index(ray_session, tmp_path):
         p for p in os.listdir(os.path.join(idx, "corpus")) if p.startswith("ivf_cell=")
     ]
     assert len(cells) > 1  # real partitioning → nprobe=1 reads a strict subset
+
+
+def test_real_wav_decode_features(ray_session):
+    """Real PCM WAV bytes (stdlib wave) through the actor pool: a pure tone
+    concentrates spectral energy in its own band and the fake path is NOT
+    used (features differ from the hash-seeded stub)."""
+    import ray.data as rd
+
+    low = mm.make_wav_bytes(freq_hz=200.0, rate=16_000)
+    high = mm.make_wav_bytes(freq_hz=6_000.0, rate=16_000)
+    x, rate = mm._decode_wav(low)
+    assert rate == 16_000 and len(x) == 3_200
+    assert abs(float(np.sqrt(np.mean(x * x))) - 0.5 / np.sqrt(2)) < 0.01  # tone RMS
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([low, high], pa.binary()),
+            "mime": pa.array(["audio/wav"] * 2, pa.string()),
+            "meta_sample_rate": pa.array([16_000] * 2, pa.int32()),
+            "meta_duration_ms": pa.array([200] * 2, pa.int32()),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(
+        mm.AudioFeatureExtractor, fn_constructor_kwargs={"dim": 10},
+        batch_size=2, batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    f_low = np.array(out[0]["features"])
+    f_high = np.array(out[1]["features"])
+    # band energies occupy dims 2..9: the 200 Hz tone peaks in an earlier
+    # band than the 6 kHz tone
+    assert np.argmax(f_low[2:]) < np.argmax(f_high[2:])
+    fake = mm._fake_decode_features(low, 10)
+    assert not np.allclose(f_low, fake)
+
+
+def test_real_ppm_bmp_decode_and_resize(ray_session):
+    """PPM and BMP bytes decode to identical planted pixels; the resizer
+    really resamples PPM payloads (decodable output, halved dims)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+    ppm = mm._encode_ppm(rgb)
+    # build a BMP with the same pixels and check both decoders agree
+    import struct as _struct
+
+    h, w = rgb.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    bmp = (
+        _struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+        + _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+    assert np.array_equal(mm._decode_ppm(ppm), rgb)
+    assert np.array_equal(mm._decode_bmp(bmp), rgb)
+
+    # features from real pixels: channel means land in dims 0..2
+    feats = mm.ImageFeatureExtractor(dim=16)(
+        pa.table(
+            {
+                "media_id": pa.array([0, 1], pa.int64()),
+                "payload": pa.array([ppm, bmp], pa.binary()),
+                "mime": pa.array(["image/x-portable-pixmap", "image/bmp"]),
+                "meta_width": pa.array([w, w], pa.int32()),
+                "meta_height": pa.array([h, h], pa.int32()),
+            }
+        )
+    )
+    f = np.array(feats["features"].to_pylist())
+    want_means = rgb.astype(np.float64).mean(axis=(0, 1)) / 255.0
+    assert np.allclose(f[0][:3], want_means, atol=1e-4)
+    assert np.allclose(f[0], f[1], atol=1e-4)  # same pixels → same features
+
+    # real resize through the actor pool: dims halve, output stays decodable
+    out = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([0], pa.int64()),
+                "payload": pa.array([ppm], pa.binary()),
+                "mime": pa.array(["image/x-portable-pixmap"]),
+                "meta_width": pa.array([w], pa.int32()),
+                "meta_height": pa.array([h], pa.int32()),
+            }
+        )
+    ).map_batches(
+        mm.ImageResizer, fn_constructor_kwargs={"max_side": 8},
+        batch_size=1, batch_format="pyarrow", concurrency=1,
+    ).take_all()
+    r = out[0]
+    assert max(r["meta_width"], r["meta_height"]) == 8
+    resized = mm._decode_ppm(r["payload"])
+    assert resized.shape == (r["meta_height"], r["meta_width"], 3)
+    # nearest-neighbour: every resized pixel exists in the source image
+    src = {tuple(px) for px in rgb.reshape(-1, 3).tolist()}
+    assert all(tuple(px) in src for px in resized.reshape(-1, 3).tolist())
