@@ -184,15 +184,26 @@ def apply_mapping_long(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             long = melt_batch(batch, id_column, value_columns)
-            ids, cols, vals = [], [], []
-            for var, g in long.groupby("raw_variable"):
+            ids, cols, vals, snips = [], [], [], []
+            snippet_no = 0  # one snippet per (variable, raw_response) pair —
+            # all target columns a response maps to form ONE snippet, so
+            # pivot_assignments(duplicates="list_merge") can reconstruct the
+            # reference's snippet grouping (ingest.py:150-181). groupby
+            # sort=False keeps melt (value_columns) order, like the
+            # reference's per-row column order.
+            for var, g in long.groupby("raw_variable", sort=False):
                 rules = self.by_var.get(str(var))
                 if rules is None:
                     continue  # unmapped variable: warn-level skip
                 field = g["raw_response"]
                 row_cols = {c: g[c] for c in g.columns}
+                snippet_of: dict[str, int] = {}
                 for _, rule in rules.iterrows():
                     want = rule.get("raw_response")
+                    want_key = str(want)
+                    if want_key not in snippet_of:
+                        snippet_of[want_key] = snippet_no
+                        snippet_no += 1
                     if want is not None and not (isinstance(want, float) and np.isnan(want)):
                         sel = g[field.astype(str) == str(want)]
                     else:
@@ -210,11 +221,13 @@ def apply_mapping_long(
                     ids.extend(sel[id_column].tolist())
                     cols.extend([rule["target_column"]] * len(sel))
                     vals.extend(str(v) if v is not None else None for v in out.tolist())
+                    snips.extend([snippet_of[want_key]] * len(sel))
             return pa.table(
                 {
                     id_column: pa.array(ids),
                     "target_column": pa.array(cols, pa.string()),
                     "value": pa.array(vals, pa.string()),
+                    "snippet_idx": pa.array(snips, pa.int32()),
                 }
             )
 
@@ -226,20 +239,121 @@ def apply_mapping_long(
     )
 
 
-def pivot_assignments(assign_ds, id_column: str):
-    """Assignment rows → one wide row per id (``groupby(id).agg`` — the
-    reference's snippet-merge, ingest.py:181-226). Conflicting duplicate
-    assignments keep the first value, mirroring duplicate-key merge."""
+def group_keys(data_keys) -> dict[str, list[str]]:
+    """Dotted flat columns grouped by their first segment (the reference's
+    ``group_keys``, /root/reference/fhirflat/util.py:22-34)."""
+    from itertools import groupby as _groupby
 
+    ks = sorted(k for k in data_keys if "." in k)
+    return {k: list(g) for k, g in _groupby(ks, lambda x: x.split(".")[0])}
+
+
+def merge_snippets(snippets: list[dict]) -> dict:
+    """The reference's duplicate-key snippet merge (ingest.py:181-226),
+    applied snippet-by-snippet in order:
+
+    - no key overlap → union;
+    - overlapping keys all (stringified-)equal → the whole snippet is
+      skipped;
+    - overlapping keys all ``None`` in the accumulated result → replaced;
+    - otherwise conflicting keys grow into LISTS (append), keys new in this
+      snippet are front-padded with ``None`` to the list length, and any
+      dotted-prefix group containing every snippet key is end-padded so its
+      members stay index-aligned.
+    """
+    result: dict = {}
+    for snippet in snippets:
+        dup = set(result) & set(snippet)
+        if not dup:
+            result.update(snippet)
+            continue
+        if all(str(result[k]) == str(snippet[k]) for k in dup):
+            continue
+        if all(result[k] is None for k in dup):
+            result.update(snippet)
+            continue
+        for k in dup:
+            if isinstance(result[k], list):
+                result[k] = result[k] + [snippet[k]]
+            else:
+                result[k] = [result[k], snippet[k]]
+        remaining = set(snippet) - dup
+        if remaining:
+            key_length = max(
+                len(result[k]) for k in dup if isinstance(result[k], list)
+            )
+            for k in remaining:
+                result[k] = [None] * (key_length - 1) + [snippet[k]]
+        sk = set(snippet)
+        for k_list in group_keys(result).values():
+            if sk <= set(k_list):
+                rel = {
+                    k: result[k] if isinstance(result[k], list) else [result[k]]
+                    for k in k_list
+                }
+                lens = set(map(len, rel.values()))
+                if len(lens) > 1:
+                    target = max(lens)
+                    for k, v in rel.items():
+                        if len(v) < target:
+                            result[k] = v + [None] * (target - len(v))
+    return result
+
+
+def pivot_assignments(assign_ds, id_column: str, duplicates: str = "first"):
+    """Assignment rows → one wide row per id (the reference's snippet-merge,
+    ingest.py:181-226).
+
+    ``duplicates="first"`` (default): one vectorized pivot per BUCKET,
+    first value wins on duplicate keys — the fast path when rules don't
+    collide. ``duplicates="list_merge"``: full reference semantics via
+    :func:`merge_snippets` — rows sharing a ``snippet_idx`` form one
+    snippet, conflicting values grow into None-padded, group-aligned lists
+    (serialized as JSON strings in the Arrow output, since a column cannot
+    mix scalars and lists). The merge is per id (the reference pays the
+    same row-structured cost); the shuffle stays one coarse bucket pass."""
     from fhirflat_ray.functions.util import bucketed_map_groups
 
-    def widen(g: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pivot per BUCKET (first-wins on duplicate keys),
-        # not Python per id — ids in the bucket share the unioned column set
-        p = g.pivot_table(
-            index=id_column, columns="target_column", values="value", aggfunc="first"
-        ).reset_index()
-        p.columns = [str(c) for c in p.columns]
-        return p
+    if duplicates == "first":
 
-    return bucketed_map_groups(assign_ds, [id_column], widen)
+        def widen(g: pd.DataFrame) -> pd.DataFrame:
+            # one vectorized pivot per BUCKET (first-wins on duplicate keys),
+            # not Python per id — ids in the bucket share the unioned column set
+            p = g.pivot_table(
+                index=id_column, columns="target_column", values="value", aggfunc="first"
+            ).reset_index()
+            p.columns = [str(c) for c in p.columns]
+            return p
+
+        return bucketed_map_groups(assign_ds, [id_column], widen)
+
+    if duplicates != "list_merge":
+        raise ValueError(f"duplicates must be 'first' or 'list_merge', got {duplicates!r}")
+
+    def widen_merge(g: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        has_idx = "snippet_idx" in g.columns
+        order = ["snippet_idx"] if has_idx else []
+        rows: list[dict] = []
+        for rid, rg in g.groupby(id_column, sort=False):
+            if order:
+                rg = rg.sort_values(order, kind="mergesort")
+            snippets = []
+            if has_idx:
+                for _, sg in rg.groupby("snippet_idx", sort=True):
+                    snippets.append(
+                        dict(zip(sg["target_column"], sg["value"]))
+                    )
+            else:  # every row its own snippet, arrival order
+                snippets = [
+                    {c: v} for c, v in zip(rg["target_column"], rg["value"])
+                ]
+            merged = merge_snippets(snippets)
+            out = {id_column: rid}
+            for k, v in merged.items():
+                out[k] = json.dumps(v) if isinstance(v, list) else v
+            rows.append(out)
+        return pd.DataFrame(rows)
+
+    return bucketed_map_groups(assign_ds, [id_column], widen_merge)

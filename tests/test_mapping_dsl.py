@@ -100,3 +100,73 @@ def test_apply_mapping_long_end_to_end(ray_session):
     assert wide["period.start.date"].tolist() == ["2021-01-05", "2021-02-06", "2021-03-07"]
     # rid 3 has null sex → no gender assignment
     assert wide[wide["rid"] == 3]["gender"].isna().all()
+
+
+def test_merge_snippets_reference_semantics():
+    """The four duplicate-key branches of the reference merge
+    (/root/reference/fhirflat/ingest.py:181-226)."""
+    # equal values → snippet skipped entirely (its new keys too)
+    assert dsl.merge_snippets([{"a": "x"}, {"a": "x", "b": "new"}]) == {"a": "x"}
+    # existing None → replaced
+    assert dsl.merge_snippets([{"a": None}, {"a": "x"}]) == {"a": "x"}
+    # conflict → list append
+    assert dsl.merge_snippets([{"a": "x"}, {"a": "y"}, {"a": "z"}]) == {
+        "a": ["x", "y", "z"]
+    }
+    # new key arriving WITH a conflict → front-padded with None
+    assert dsl.merge_snippets([{"c.code": "x"}, {"c.code": "y", "c.text": "t"}]) == {
+        "c.code": ["x", "y"],
+        "c.text": [None, "t"],
+    }
+    # dotted-prefix group alignment: a later single-key snippet extends
+    # c.code, so c.text (same group) is end-padded to stay index-aligned
+    assert dsl.merge_snippets(
+        [{"c.code": "x", "c.text": "t"}, {"c.code": "y"}]
+    ) == {"c.code": ["x", "y"], "c.text": ["t", None]}
+
+
+def test_pivot_assignments_list_merge(ray_session):
+    """End-to-end: two rules mapping the same response to the same target
+    with different values → JSON list in the wide row; first-wins mode keeps
+    the first value only."""
+    import json
+
+    import ray.data as rd
+
+    raw = pa.table(
+        {
+            "rid": pa.array([1, 2], pa.int64()),
+            "dx": ["cough", "fever"],
+        }
+    )
+    mapping = pd.DataFrame(
+        [
+            {"raw_variable": "dx", "raw_response": "cough", "target_column": "code.code", "expr": "R05"},
+            {"raw_variable": "dx", "raw_response": "cough", "target_column": "code.text", "expr": "Cough"},
+            # a second snippet for the same response, conflicting code
+            {"raw_variable": "dx", "raw_response": None, "target_column": "code.code", "expr": "<FIELD>"},
+            {"raw_variable": "dx", "raw_response": "fever", "target_column": "code.code", "expr": "R50"},
+        ]
+    )
+    assigns = dsl.apply_mapping_long(rd.from_arrow(raw), mapping, "rid", ["dx"])
+    merged = (
+        dsl.pivot_assignments(assigns, "rid", duplicates="list_merge")
+        .to_pandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    # rid 1: snippet {code.code: R05, code.text: Cough} then {code.code: cough}
+    # → code.code becomes a list, code.text end-padded (group alignment)
+    assert json.loads(merged.loc[1, "code.code"]) == ["R05", "cough"]
+    assert json.loads(merged.loc[1, "code.text"]) == ["Cough", None]
+    # rid 2: snippets merge in RULE order — the wildcard <FIELD> rule
+    # precedes the fever rule in the mapping, so "fever" lands first
+    assert json.loads(merged.loc[2, "code.code"]) == ["fever", "R50"]
+
+    first = (
+        dsl.pivot_assignments(assigns, "rid", duplicates="first")
+        .to_pandas()
+        .sort_values("rid")
+        .set_index("rid")
+    )
+    assert first.loc[1, "code.code"] == "R05"
