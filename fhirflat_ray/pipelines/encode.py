@@ -167,12 +167,30 @@ def build_shared_dicts(
     if sample_fragments is not None and len(input_paths) >= 1:
         step = max(1, len(input_paths) // sample_fragments)
         paths = input_paths[::step][:sample_fragments]
-        for path in paths:
+
+        def sample_one(path: str) -> dict[str, list]:
             pf = pq.ParquetFile(path)
             t = pf.read_row_group(0, columns=columns)
-            for name in columns:
-                uniq = pc.unique(t.column(name).combine_chunks()).slice(0, max_card + 1)
-                merged[name] |= set(uniq.to_pylist())
+            return {
+                name: pc.unique(t.column(name).combine_chunks())
+                .slice(0, max_card + 1)
+                .to_pylist()
+                for name in columns
+            }
+
+        if len(paths) <= 4:
+            results = [sample_one(p) for p in paths]
+        else:
+            # many fragments: fan the row-group-0 reads out as Ray tasks
+            # (the round-2 version read them serially on the driver — fine
+            # at 16 files, a stall at 100k fragments)
+            import ray
+
+            sample_task = ray.remote(num_cpus=1)(sample_one)
+            results = ray.get([sample_task.remote(p) for p in paths])
+        for r in results:
+            for name, vals in r.items():
+                merged[name] |= set(vals)
     else:
         import ray.data as rd
 
