@@ -35,6 +35,14 @@ import pyarrow.compute as pc
 
 from fhirflat_ray.functions.util import distinct_rows
 
+#: hybrid-verify budgets: at or below BROADCAST_PAIR_BUDGET candidate pairs
+#: (and BROADCAST_BYTE_BUDGET of fetched payloads) verification runs as one
+#: driver-vectorized pass over broadcast-filtered rows; above either bound it
+#: runs as distributed hash joins. Module-level so tests can force the
+#: distributed path on small inputs.
+BROADCAST_PAIR_BUDGET = 500_000
+BROADCAST_BYTE_BUDGET = 512 * 1024 * 1024
+
 #: Mersenne prime 2^31-1: keeps (a*x + b) inside int64 (a, x < 2^31 →
 #: product < 2^62), so the universal-hash family evaluates as ONE vectorized
 #: numpy matrix op per document instead of a Python loop per hash function.
@@ -550,7 +558,7 @@ def _verify_edges_jaccard(
     n_cand = cand.count()  # metadata on the materialized set — free
     if n_cand == 0:
         return None
-    if n_cand <= 500_000:
+    if n_cand <= BROADCAST_PAIR_BUDGET:
         from fhirflat_ray.functions.joins import broadcast_semi_join
         from fhirflat_ray.functions.util import collect_small_table
 
@@ -559,7 +567,7 @@ def _verify_edges_jaccard(
         rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         need = np.unique(np.concatenate([lids, rids]))
         txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
-        if txt_t.nbytes <= 512 * 1024 * 1024:
+        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
             tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             torder = np.argsort(tid)
             tid = tid[torder]
@@ -1068,7 +1076,7 @@ def _verify_edges_cosine(
     n_cand = cand.count()
     if n_cand == 0:
         return None
-    if n_cand <= 500_000:
+    if n_cand <= BROADCAST_PAIR_BUDGET:
         from fhirflat_ray.functions.joins import broadcast_semi_join
         from fhirflat_ray.functions.util import collect_small_table
 
@@ -1077,7 +1085,7 @@ def _verify_edges_cosine(
         rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         need = np.unique(np.concatenate([lids, rids]))
         vec_t = collect_small_table(broadcast_semi_join(vecs_ds, need, id_column))
-        if vec_t.nbytes <= 512 * 1024 * 1024:
+        if vec_t.nbytes <= BROADCAST_BYTE_BUDGET:
             tid = vec_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             torder = np.argsort(tid)
             tid = tid[torder]

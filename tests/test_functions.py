@@ -535,9 +535,9 @@ def test_cosine_lsh_band_plan_and_moderate_threshold_recall(ray_session):
     rng = np.random.default_rng(5)
     # d=128 keeps random-pair cosine (std 1/sqrt(d) ~ 0.09) far below the
     # 0.45 threshold, so only planted pairs form edges
-    n, d = 2_000, 128
+    n, d = 800, 128
     mat = rng.standard_normal((n, d)).astype(np.float32)
-    planted = 200
+    planted = 80
     for i in range(0, 2 * planted, 2):
         # moderate-similarity pair: cosine ~0.78, well below near-identical
         mat[i + 1] = mat[i] + 0.8 * rng.standard_normal(d).astype(np.float32)
@@ -562,6 +562,49 @@ def test_cosine_lsh_band_plan_and_moderate_threshold_recall(ray_session):
     # the dispatcher routes the same oversize input to LSH instead of raising
     routed = dd.cosine_dedup(ds, threshold=0.45, max_cells=1_000)
     assert routed.count() == len(lsh)
+
+
+def test_verify_distributed_join_paths(ray_session, monkeypatch):
+    """Force the DISTRIBUTED hash-join verify paths (pair budget 0) on small
+    planted inputs: cosine verify must match the broadcast-path survivors,
+    and the Jaccard near-dedup must still collapse the planted family."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(12)
+    n, d = 200, 32
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[1] = mat[0] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    mat[11] = mat[10] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    want = sorted(
+        r["vec_id"] for r in dd.cosine_dedup_lsh(ds, threshold=0.99, num_partitions=2).take_all()
+    )
+    monkeypatch.setattr(dd, "BROADCAST_PAIR_BUDGET", 0)
+    got = sorted(
+        r["vec_id"] for r in dd.cosine_dedup_lsh(ds, threshold=0.99, num_partitions=2).take_all()
+    )
+    assert got == want and 1 not in got and 11 not in got
+
+    base = "the quick brown fox jumps over the lazy dog near the quiet river tonight again"
+    texts = [base, base, base + " ok"] + [
+        f"unique document {i} topic {i*13}" for i in range(3, 40)
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)}
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.near_dedup(
+            rd.from_arrow(docs).repartition(3), threshold=0.5, num_partitions=2
+        ).take_all()
+    )
+    assert kept == [0] + list(range(3, 40))
 
 
 def test_near_dedup_no_duplicates_passthrough(ray_session):
