@@ -33,7 +33,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fhirflat_ray.functions.util import distinct_rows
+from fhirflat_ray.functions.util import distinct_rows, worker_cached_stage
 
 #: hybrid-verify budgets: at or below BROADCAST_PAIR_BUDGET candidate pairs
 #: (and BROADCAST_BYTE_BUDGET of fetched payloads) verification runs as one
@@ -297,10 +297,8 @@ def minhash_lsh_candidates(
     larger than ``clique_cap`` emit star edges instead of the full clique
     (see :data:`DEFAULT_CLIQUE_CAP`)."""
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"n_hashes": n_hashes, "column": column},
+        worker_cached_stage(MinHasher, n_hashes=n_hashes, column=column),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     bands = sigs.select_columns([id_column, "minhash"]).map_batches(
         lambda b: explode_bands(b, n_bands, id_column), batch_format="pyarrow"
@@ -617,10 +615,8 @@ def _verify_edges_jaccard(
     # stays lazy: the downstream components materialize executes the
     # two-join verify plan exactly once
     return rt.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"k": k, "threshold": threshold},
+        worker_cached_stage(JaccardVerifier, k=k, threshold=threshold),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     ).select_columns(["left_id", "right_id"])
 
 
@@ -746,8 +742,7 @@ def simhash_dedup(ds, id_column: str = "doc_id", column: str = "text"):
     from fhirflat_ray.functions.util import keep_min_per_key
 
     hashed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"column": column},
-        batch_format="pyarrow", concurrency=(1, 8),
+        worker_cached_stage(SimHasher, column=column), batch_format="pyarrow"
     )
     return keep_min_per_key(hashed, "simhash", id_column)
 
@@ -788,8 +783,7 @@ def simhash_near_candidates(
     of the XOR verifies inside the bucket. (Round 1 shipped Hamming-0
     buckets only; this is the documented near-dup completion.)"""
     hashed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs={"column": column},
-        batch_format="pyarrow", concurrency=(1, 8),
+        worker_cached_stage(SimHasher, column=column), batch_format="pyarrow"
     ).select_columns([id_column, "simhash"])
     bounds = _simhash_chunk_bounds(k + 1)
 
@@ -957,8 +951,7 @@ def cosine_dedup_exact(
             )
 
     edges = ds.select_columns([id_column]).map_batches(
-        EdgeFinder, fn_constructor_kwargs={"ref": ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        worker_cached_stage(EdgeFinder, ref=ref), batch_format="pyarrow"
     )
     return _keep_component_minima(ds, edges, id_column, num_partitions)
 
@@ -1216,17 +1209,16 @@ def cosine_dedup_lsh(
         n_bands = n_bands if n_bands is not None else t
 
     bands = ds.select_columns([id_column, vec_column]).map_batches(
-        BandedHyperplaneHasher,
-        fn_constructor_kwargs={
-            "dim": dim,
-            "n_bands": n_bands,
-            "bits": bits_per_band,
-            "vec_column": vec_column,
-            "id_column": id_column,
-            "seed": seed,
-        },
+        worker_cached_stage(
+            BandedHyperplaneHasher,
+            dim=dim,
+            n_bands=n_bands,
+            bits=bits_per_band,
+            vec_column=vec_column,
+            id_column=id_column,
+            seed=seed,
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     cand = _grouped_bucket_edges(
         bands,

@@ -62,11 +62,10 @@ def broadcast_asof_join(
             merged = merged.iloc[np.argsort(order, kind="stable")]
             return pa.Table.from_pandas(merged, preserve_index=False)
 
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     return ds.map_batches(
-        AsofJoin,
-        fn_constructor_kwargs={"ref": right_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        worker_cached_stage(AsofJoin, ref=right_ref), batch_format="pyarrow"
     )
 
 

@@ -231,11 +231,10 @@ def apply_mapping_long(
                 }
             )
 
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     return ds.map_batches(
-        ApplyRules,
-        fn_constructor_kwargs={"ref": map_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        worker_cached_stage(ApplyRules, ref=map_ref), batch_format="pyarrow"
     )
 
 

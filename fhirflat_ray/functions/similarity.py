@@ -73,16 +73,17 @@ def knn_bruteforce(ds, query_ids: list[int], query_vectors: np.ndarray, k: int =
     import ray
 
     ref = ray.put({"ids": query_ids, "vectors": np.asarray(query_vectors)})
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     scored = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={
-            "queries_ref": ref,
-            "id_column": id_column,
-            "vec_column": vec_column,
-            "k": k,
-        },
+        worker_cached_stage(
+            BruteForceScorer,
+            queries_ref=ref,
+            id_column=id_column,
+            vec_column=vec_column,
+            k=k,
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -145,11 +146,11 @@ def knn_ivf(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
 
     cent = build_ivf_centroids(ds, vec_column, n_centroids)
     cent_ref = ray.put(cent)
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     assigned = ds.map_batches(
-        IvfAssigner,
-        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_column": vec_column},
+        worker_cached_stage(IvfAssigner, centroids_ref=cent_ref, vec_column=vec_column),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     qmat = _normalize(np.asarray(query_vectors, dtype=np.float32))
     probe_cells = set(
@@ -195,11 +196,11 @@ def build_ivf_index(
 
     pq.write_table(pa_cent, os.path.join(index_dir, "centroids.parquet"))
     cent_ref = ray.put(cent)
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     assigned = ds.map_batches(
-        IvfAssigner,
-        fn_constructor_kwargs={"centroids_ref": cent_ref, "vec_column": vec_column},
+        worker_cached_stage(IvfAssigner, centroids_ref=cent_ref, vec_column=vec_column),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     assigned.write_parquet(
         os.path.join(index_dir, "corpus"), partition_cols=["ivf_cell"]

@@ -484,9 +484,10 @@ def mapping_apply(sf_dir: str):
             cat = mapped.take(et.indices)
             return pa.table({"event_id": batch["event_id"], "category": cat})
 
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     return ds.map_batches(
-        Apply, fn_constructor_kwargs={"ref": map_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        worker_cached_stage(Apply, ref=map_ref), batch_format="pyarrow"
     )
 
 
@@ -561,9 +562,10 @@ def fk_anti_join(sf_dir: str):
             missing = self.keys[pos] != ck
             return pa.table({"n": pa.array([int(missing.sum())], pa.int64())})
 
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     total = orders.map_batches(
-        Anti, fn_constructor_kwargs={"ref": keys_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        worker_cached_stage(Anti, ref=keys_ref), batch_format="pyarrow"
     ).sum("n")
     return pa.table({"n_orphans": pa.array([int(total)], pa.int64())})
 
@@ -733,8 +735,10 @@ def token_count_bpe(sf_dir: str):
     from fhirflat_ray.functions.text import BpeishTokenCounter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     return ds.map_batches(
-        BpeishTokenCounter, batch_format="pyarrow", concurrency=(1, 4)
+        worker_cached_stage(BpeishTokenCounter), batch_format="pyarrow"
     ).select_columns(["doc_id", "n_bpe_tokens"])
 
 
@@ -787,8 +791,10 @@ def lang_id(sf_dir: str):
     from fhirflat_ray.functions.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from fhirflat_ray.functions.util import worker_cached_stage
+
     return ds.map_batches(
-        LangId, batch_format="pyarrow", concurrency=(1, 4)
+        worker_cached_stage(LangId), batch_format="pyarrow"
     ).select_columns(["doc_id", "lang_pred"])
 
 
