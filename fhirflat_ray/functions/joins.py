@@ -274,3 +274,71 @@ def broadcast_semi_join(ds, keys, column: str, anti: bool = False):
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def broadcast_range_join(
+    ds,
+    intervals: pa.Table,
+    ts_col: str,
+    interval_id_col: str = "interval_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    max_intervals: int = 4096,
+):
+    """Interval (range) join of a large Dataset against a SMALL broadcast
+    interval table: emit one output row per (row, interval) pair with
+    ``start <= ts < end``. Intervals MAY overlap — a row matching ``d``
+    intervals is emitted ``d`` times (this is what distinguishes a range
+    join from an as-of join, which picks exactly one match).
+
+    Scale shape: the interval table ships once via ``ray.put`` (no shuffle;
+    map-only plan); each batch evaluates one vectorized mask per interval,
+    so per-batch cost is O(n_intervals x batch_rows) vectorized — the right
+    trade below ``max_intervals`` intervals. For genuinely large interval
+    sets, bucket both sides on a time-range key and join per bucket (the
+    ``bucketed_asof_join`` pattern); the hard cap raises loudly instead of
+    silently degrading.
+
+    ``ts_col`` must be timestamp[us] or int64 microseconds; interval bounds
+    are int64 microseconds (``start_us`` inclusive, ``end_us`` exclusive).
+    """
+    import ray
+
+    if intervals.num_rows > max_intervals:
+        raise ValueError(
+            f"broadcast_range_join: {intervals.num_rows} intervals > cap "
+            f"{max_intervals}; use a bucketed time-range join instead"
+        )
+    ref = ray.put(
+        {
+            "id": intervals[interval_id_col].to_numpy(zero_copy_only=False),
+            "start": intervals[start_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            "end": intervals[end_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        }
+    )
+    id_type = intervals.schema.field(interval_id_col).type
+
+    def f(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        ts_us = ts.to_numpy(zero_copy_only=False)
+        take_idx: list[np.ndarray] = []
+        out_ids: list[np.ndarray] = []
+        for i in range(len(iv["id"])):
+            hit = np.nonzero((ts_us >= iv["start"][i]) & (ts_us < iv["end"][i]))[0]
+            if len(hit):
+                take_idx.append(hit)
+                out_ids.append(np.full(len(hit), i, dtype=np.int64))
+        if not take_idx:
+            return batch.slice(0, 0).append_column(
+                interval_id_col, pa.array([], id_type)
+            )
+        idx = np.concatenate(take_idx)
+        ids = iv["id"][np.concatenate(out_ids)]
+        return batch.take(pa.array(idx)).append_column(
+            interval_id_col, pa.array(ids, id_type)
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

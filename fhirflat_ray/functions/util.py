@@ -152,6 +152,40 @@ def streaming_topk(ds, keys: list[str], k: int, descending: bool | list[bool] = 
     return t.sort_by(sort_keys).slice(0, k)
 
 
+def topk_per_key(
+    ds,
+    key_cols: list[str],
+    k: int,
+    order_cols: list[str],
+    descending: bool | list[bool] = False,
+    num_buckets: int | None = None,
+):
+    """Exact top-``k`` rows PER KEY without a global sort.
+
+    Two-level prune, same scale shape as :func:`keep_min_per_key`: every
+    batch first reduces to its LOCAL top-k per key (one vectorized pandas
+    ``sort_values`` + ``groupby().head(k)`` — C engine across all keys at
+    once), so the shuffle moves at most ``k`` rows per (batch, key); the
+    coarse hash-bucket shuffle then co-partitions keys and one vectorized
+    pass per BUCKET finishes. Ties must be broken by including a unique
+    column in ``order_cols`` (standard deterministic-top-k requirement).
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    asc = [not d for d in descending]
+
+    def _prune(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(order_cols, ascending=asc, kind="mergesort")
+        return s.groupby(key_cols, sort=False).head(k)
+
+    return bucketed_map_groups(
+        ds.map_batches(_prune, batch_format="pandas"),
+        key_cols,
+        _prune,
+        num_buckets=num_buckets,
+    )
+
+
 def default_num_buckets() -> int:
     import ray
 

@@ -1173,6 +1173,158 @@ FROM built ORDER BY conv_id, turn_idx LIMIT 10
 
 
 # =====================================================================
+# Sampling / splitting / quantiles / range join / per-key top-k
+# (corpus-pipeline extensions past the reference surface — the reference
+# has no sampling, quantile or interval-join machinery at all)
+# =====================================================================
+
+
+def sample_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10 by multiplicative hash
+    of event_id — map-only, partition-independent), then per-split count +
+    value sum. The hash is int64-safe arithmetic shared verbatim with the
+    SQL oracle (see ``functions/sampling.py``)."""
+    from fhirflat_ray.functions.sampling import hash_split
+    from fhirflat_ray.functions.util import agg_select
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    ds = hash_split(ds, "event_id", [("train", 80), ("val", 10), ("test", 10)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["split", "value"]).group_by(["split"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return agg_select(g, {"split": "split", "value_sum": "sum_value", "count_all": "n"})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby("split").aggregate(
+        Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n")
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], ndigits=2),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _sample_split_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql, split_thresholds
+
+    th = split_thresholds([("train", 80), ("val", 10), ("test", 10)])
+    h = hash32_sql("event_id")
+    return f"""
+SELECT CASE WHEN {h} < {th[0][1]} THEN 'train'
+            WHEN {h} < {th[1][1]} THEN 'val'
+            ELSE 'test' END AS split,
+       round(sum(value), 2) AS sum_value,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def top_docs_per_lang(sf_dir: str):
+    """Top-3 longest documents PER language — exact per-key top-k via local
+    prune + coarse-bucket shuffle (``topk_per_key``), no global sort."""
+    from fhirflat_ray.functions.util import topk_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return topk_per_key(
+        ds, ["lang"], 3, ["n_chars", "doc_id"], descending=[True, False]
+    )
+
+
+TOP_DOCS_PER_LANG_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+
+def range_join_agg(sf_dir: str):
+    """Broadcast interval join: 25 deterministically-derived OVERLAPPING
+    time intervals (stride = span/25, width = 1.5x stride, so a third of
+    events match two intervals) joined against the events stream, then a
+    per-interval partial aggregate. Interval bounds are integer-us
+    arithmetic shared exactly with the SQL oracle."""
+    from fhirflat_ray.functions.joins import broadcast_range_join
+    from fhirflat_ray.functions.util import agg_select
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    tmin = int(pd.Timestamp(mm["min(ts)"]).value // 1000)
+    tmax = int(pd.Timestamp(mm["max(ts)"]).value // 1000)
+    width = (tmax - tmin) // 25
+    starts = np.array([tmin + i * width for i in range(25)], dtype=np.int64)
+    iv = pa.table(
+        {
+            "interval_id": pa.array(np.arange(25, dtype=np.int64)),
+            "start_us": pa.array(starts),
+            "end_us": pa.array(starts + (3 * width) // 2),
+        }
+    )
+    joined = broadcast_range_join(ds, iv, "ts")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["interval_id", "value"]).group_by(["interval_id"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return agg_select(
+            g, {"interval_id": "interval_id", "value_sum": "sum_value", "count_all": "n_events"}
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("interval_id")
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n_events", alias_name="n_events"))
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(batch["sum_value"], ndigits=2),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+RANGE_JOIN_AGG_SQL = """
+WITH b AS (SELECT epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax FROM events),
+     iv AS (SELECT i AS interval_id,
+                   tmin + i * ((tmax - tmin) // 25) AS s,
+                   tmin + i * ((tmax - tmin) // 25) + (3 * ((tmax - tmin) // 25)) // 2 AS e
+            FROM range(0, 25) t(i), b)
+SELECT iv.interval_id,
+       round(sum(e2.value), 2) AS sum_value,
+       count(*) AS n_events
+FROM iv JOIN events e2 ON epoch_us(e2.ts) >= iv.s AND epoch_us(e2.ts) < iv.e
+GROUP BY iv.interval_id
+"""
+
+
+def quantiles_qty(sf_dir: str):
+    """Exact discrete quantiles of l_quantity via distributed value counts
+    (one row per distinct value leaves each block; merge is O(distinct)).
+    Matches DuckDB ``quantile_disc`` semantics exactly."""
+    from fhirflat_ray.functions.quantiles import quantile_disc
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    return quantile_disc(ds, "l_quantity", [0.25, 0.5, 0.75, 0.9])
+
+
+QUANTILES_QTY_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS value FROM lineitem
+UNION ALL SELECT CAST(0.5 AS DOUBLE), CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) FROM lineitem
+UNION ALL SELECT CAST(0.75 AS DOUBLE), CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) FROM lineitem
+UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) FROM lineitem
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -1219,6 +1371,10 @@ QUERIES = {
     "validate_errors": validate_errors,
     "schema_check": schema_check,
     "flatten_props": flatten_props,
+    "sample_split": sample_split,
+    "top_docs_per_lang": top_docs_per_lang,
+    "range_join_agg": range_join_agg,
+    "quantiles_qty": quantiles_qty,
 }
 
 ORACLE_SQL = {
@@ -1258,6 +1414,10 @@ ORACLE_SQL = {
     "flatten_props": FLATTEN_PROPS_SQL,
     "schema_check": SCHEMA_CHECK_SQL,
     "validate_errors": VALIDATE_ERRORS_SQL,
+    "sample_split": _sample_split_sql(),
+    "top_docs_per_lang": TOP_DOCS_PER_LANG_SQL,
+    "range_join_agg": RANGE_JOIN_AGG_SQL,
+    "quantiles_qty": QUANTILES_QTY_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
