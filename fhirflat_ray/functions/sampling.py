@@ -58,13 +58,17 @@ def split_thresholds(ratios: list[tuple[str, int]]) -> list[tuple[str, int]]:
     return out
 
 
+def split_indices(ids: np.ndarray, ratios: list[tuple[str, int]]) -> np.ndarray:
+    """Vectorized split index per id (position into the ratio labels)."""
+    th = split_thresholds(ratios)
+    bounds = np.array([b for _, b in th[:-1]], dtype=np.int64)
+    return np.searchsorted(bounds, hash32(ids), side="right")
+
+
 def assign_split(ids: np.ndarray, ratios: list[tuple[str, int]]) -> np.ndarray:
     """Vectorized split label per id (object array of the ratio labels)."""
-    th = split_thresholds(ratios)
-    h = hash32(ids)
-    bounds = np.array([b for _, b in th[:-1]], dtype=np.int64)
-    labels = np.array([l for l, _ in th], dtype=object)
-    return labels[np.searchsorted(bounds, h, side="right")]
+    labels = np.array([l for l, _ in ratios], dtype=object)
+    return labels[split_indices(ids, ratios)]
 
 
 def hash_split(ds, id_column: str, ratios: list[tuple[str, int]],
@@ -73,13 +77,19 @@ def hash_split(ds, id_column: str, ratios: list[tuple[str, int]],
 
     Map-only (no shuffle): each batch hashes its own ids, so the assignment
     is independent of partitioning and cluster size — the property that
-    makes the split stable on a 256-node run of the same corpus.
+    makes the split stable on a 256-node run of the same corpus. The label
+    column is built as one Arrow ``take`` over the tiny label vector — no
+    per-row Python string materialization.
     """
+    import pyarrow.compute as pc
+
+    labels_pa = pa.array([l for l, _ in ratios], pa.string())
 
     def add(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
-        lab = assign_split(ids, ratios)
-        return batch.append_column(split_column, pa.array(lab, pa.string()))
+        idx = split_indices(ids, ratios)
+        col = pc.take(labels_pa, pa.array(idx, pa.int64()))
+        return batch.append_column(split_column, col)
 
     return ds.map_batches(add, batch_format="pyarrow")
 
