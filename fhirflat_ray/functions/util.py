@@ -186,6 +186,39 @@ def topk_per_key(
     )
 
 
+def intersect_keys(ds_a, ds_b, column: str, num_buckets: int | None = None):
+    """Distinct values of ``column`` present in BOTH datasets (SQL
+    ``INTERSECT``), without materializing either side.
+
+    Each side pre-reduces per batch to (value, side-bit) distincts — the
+    shuffle moves one row per (batch, distinct value) — then a coarse
+    hash-bucket shuffle co-partitions values and one vectorized OR + filter
+    per bucket keeps values seen from both sides. ``EXCEPT`` falls out of
+    the same machinery with ``bits == 1``.
+    """
+
+    def _tag(bit: int):
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[column]].drop_duplicates()
+            out = out.copy()
+            out["__bits"] = np.int64(bit)
+            return out
+
+        return tag
+
+    tagged = ds_a.map_batches(_tag(1), batch_format="pandas").union(
+        ds_b.map_batches(_tag(2), batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bits are 1 (side A) or 2 (side B); present-in-both == min==1 and
+        # max==2 — two C-engine aggregations, no Python per key
+        mm = g.groupby(column, sort=False)["__bits"].agg(["min", "max"])
+        return mm[(mm["min"] == 1) & (mm["max"] == 2)].index.to_frame(index=False)
+
+    return bucketed_map_groups(tagged, [column], per_bucket, num_buckets=num_buckets)
+
+
 def default_num_buckets() -> int:
     import ray
 

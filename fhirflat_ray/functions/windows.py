@@ -97,3 +97,45 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | N
         return out
 
     return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def hopping_aggregate(ds, ts_col: str, width_us: int, hop_us: int, value_col: str | None = None):
+    """Hopping (sliding) window count/sum: windows of ``width_us`` starting
+    every ``hop_us`` (``width_us`` must be a multiple of ``hop_us``); an
+    event at time t lands in ``width/hop`` consecutive windows.
+
+    Scale shape mirrors :func:`tumbling_aggregate`: each batch EXPANDS its
+    rows into one (window_start, partial) row per hop — the expansion is a
+    vectorized repeat, and a per-batch Arrow partial aggregate collapses it
+    back to one row per (batch, window) BEFORE the shuffle, so the
+    all-to-all moves window partials, never event rows x hops.
+    """
+    if width_us % hop_us != 0:
+        raise ValueError("width_us must be a multiple of hop_us")
+    fan = width_us // hop_us
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (epoch // hop_us) * hop_us
+        starts = np.concatenate([base - j * hop_us for j in range(fan)])
+        cols = {"ws": pa.array(starts, pa.int64())}
+        aggs = [([], "count_all")]
+        names = {"ws": "ws", "count_all": "n"}
+        if value_col is not None:
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            cols["v"] = pa.array(np.tile(v, fan))
+            aggs.append(("v", "sum"))
+            names["v_sum"] = "sum_v"
+        g = pa.table(cols).group_by(["ws"]).aggregate(aggs)
+        return agg_select(g, names)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"n": ("n", "sum")}
+        if value_col is not None:
+            spec["sum_v"] = ("sum_v", "sum")
+        return g.groupby(["ws"], sort=False).agg(**spec).reset_index()
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["ws"], combine
+    )

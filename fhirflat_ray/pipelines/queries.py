@@ -1324,6 +1324,55 @@ UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(l_quantity, 0.9) AS DOU
 """
 
 
+_HOP_US = 30 * 60 * 1_000_000  # 30-minute hop, 1-hour windows
+
+
+def hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time windows: 1-hour windows every 30 min,
+    per-window count + value sum. Expansion happens per batch and collapses
+    to window partials BEFORE the shuffle (see ``hopping_aggregate``)."""
+    from fhirflat_ray.functions.windows import hopping_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = hopping_aggregate(ds, "ts", 2 * _HOP_US, _HOP_US, value_col="value")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("sum_v"),
+            "sum_v",
+            pc.round(batch["sum_v"], ndigits=2),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+HOPPING_WINDOW_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) AS t, value FROM events),
+     w AS (SELECT (t // {_HOP_US}) * {_HOP_US} - i * {_HOP_US} AS ws, value
+           FROM e, range(0, 2) r(i))
+SELECT ws, count(*) AS n, round(sum(value), 2) AS sum_v
+FROM w GROUP BY ws
+"""
+
+
+def users_intersect(sf_dir: str):
+    """Distinct user_ids with BOTH a purchase and an error event — keyed
+    set intersection via per-batch distinct pre-reduce + bucketed OR."""
+    from fhirflat_ray.functions.util import intersect_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    a = ds.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    b = ds.filter(expr="event_type == 'error'").select_columns(["user_id"])
+    return intersect_keys(a, b, "user_id")
+
+
+USERS_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1375,6 +1424,8 @@ QUERIES = {
     "top_docs_per_lang": top_docs_per_lang,
     "range_join_agg": range_join_agg,
     "quantiles_qty": quantiles_qty,
+    "hopping_window": hopping_window,
+    "users_intersect": users_intersect,
 }
 
 ORACLE_SQL = {
@@ -1418,6 +1469,8 @@ ORACLE_SQL = {
     "top_docs_per_lang": TOP_DOCS_PER_LANG_SQL,
     "range_join_agg": RANGE_JOIN_AGG_SQL,
     "quantiles_qty": QUANTILES_QTY_SQL,
+    "hopping_window": HOPPING_WINDOW_SQL,
+    "users_intersect": USERS_INTERSECT_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -160,3 +160,42 @@ def test_quantile_disc_matches_duckdb(ray_session):
     for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
         want = con.sql(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
         assert v == float(want), (q, v, want)
+
+
+# ------------------------------------------------------------- windows/sets
+
+
+def test_hopping_aggregate_exact(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import hopping_aggregate
+
+    ts = np.array([0, 5, 10, 15, 25], dtype=np.int64)  # int64-us timeline
+    t = pa.table({"ts": ts, "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+    # windows width=20, hop=10: event at t lands in windows (t//10)*10 and -10
+    out = (
+        hopping_aggregate(rd.from_arrow(t).repartition(2), "ts", 20, 10, value_col="v")
+        .to_pandas()
+        .sort_values("ws")
+        .reset_index(drop=True)
+    )
+    want = {}
+    for tt, v in zip(ts, [1.0, 2.0, 3.0, 4.0, 5.0]):
+        for ws in ((tt // 10) * 10, (tt // 10) * 10 - 10):
+            n, s = want.get(ws, (0, 0.0))
+            want[ws] = (n + 1, s + v)
+    assert dict(zip(out["ws"], zip(out["n"], out["sum_v"]))) == want
+
+    with pytest.raises(ValueError):
+        hopping_aggregate(rd.from_arrow(t), "ts", 25, 10)
+
+
+def test_intersect_keys(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import intersect_keys
+
+    a = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4, 2], pa.int64())})).repartition(2)
+    b = rd.from_arrow(pa.table({"k": pa.array([3, 4, 5, 4], pa.int64())})).repartition(2)
+    got = sorted(intersect_keys(a, b, "k").to_pandas()["k"])
+    assert got == [3, 4]
