@@ -1373,6 +1373,39 @@ SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 
+def stratified_sample(sf_dir: str):
+    """Deterministic exact-n-per-stratum sample: the 10 documents with the
+    SMALLEST id-hash per language — a uniform-without-replacement sample
+    that is reproducible across runs and partitionings, computed as
+    per-key top-k on the hash (local prune + coarse-bucket shuffle)."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import topk_per_key
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column("h", pa.array(hash32(ids), pa.int64()))
+
+    sampled = topk_per_key(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        ["lang"],
+        10,
+        ["h", "doc_id"],
+        descending=False,
+    )
+    return sampled.select_columns(["doc_id", "lang"])
+
+
+def _stratified_sample_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    return f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {hash32_sql('doc_id')}, doc_id) <= 10
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1426,6 +1459,7 @@ QUERIES = {
     "quantiles_qty": quantiles_qty,
     "hopping_window": hopping_window,
     "users_intersect": users_intersect,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1471,6 +1505,7 @@ ORACLE_SQL = {
     "quantiles_qty": QUANTILES_QTY_SQL,
     "hopping_window": HOPPING_WINDOW_SQL,
     "users_intersect": USERS_INTERSECT_SQL,
+    "stratified_sample": _stratified_sample_sql(),
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
