@@ -1406,6 +1406,257 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {hash32_sql('doc_id')}, do
 """
 
 
+def _join_partitions() -> int:
+    """Hash-join partition count sized to the cluster (1 per CPU, floor 8):
+    partitions must grow with the cluster or each one holds 1/16th of
+    100 TB; they must not explode at test scale or the per-partition
+    framework constant dominates."""
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def q3_top_orders(sf_dir: str):
+    """TPC-H-Q3-shaped 3-way join + high-cardinality aggregate + top-k.
+
+    Scale shape: the two big sides (orders x lineitem) and the filtered
+    customer key set meet in distributed hash joins (``Dataset.join`` —
+    hash-partitioned, neither side materializes; at 100 TB even the
+    filtered customer set is not broadcastable). The per-ORDER revenue
+    aggregate is high-cardinality, so it is a per-batch Arrow partial
+    combine followed by a coarse-bucket final pass (Python per bucket, not
+    per key), and the top-10 is streaming per-block top-k + driver merge —
+    no global sort ever enters the plan."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        streaming_topk,
+    )
+
+    cutoff = pa.scalar(dt.datetime(1998, 1, 1), pa.timestamp("us"))
+    n_parts = _join_partitions()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        return keep.select(["c_custkey"])
+
+    cust = cust.map_batches(cust_filter, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater(b["l_shipdate"], cutoff))
+        rev = pc.multiply(
+            keep["l_extendedprice"], pc.subtract(pa.scalar(1.0), keep["l_discount"])
+        )
+        return pa.table({"l_orderkey": keep["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(li_filter, batch_format="pyarrow")
+
+    o_c = orders.join(cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",))
+    o_c = o_c.select_columns(["o_orderkey", "o_orderdate"])
+    j = li.join(o_c, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "o_orderdate": b["o_orderdate"],
+                    "rev": b["rev"],
+                }
+            )
+            .group_by(["l_orderkey", "o_orderdate"])
+            .aggregate([("rev", "sum")])
+        )
+        return agg_select(
+            g,
+            {
+                "l_orderkey": "l_orderkey",
+                "o_orderdate": "o_orderdate",
+                "rev_sum": "revenue",
+            },
+        )
+
+    partials = j.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_orderkey", "o_orderdate"], sort=False, as_index=False)[
+            "revenue"
+        ].sum()
+        # round to cents so the result is independent of combine order
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
+    agg = bucketed_map_groups(partials, ["l_orderkey"], final)
+    return streaming_topk(
+        agg, ["revenue", "l_orderkey"], 10, descending=[True, False]
+    )
+
+
+Q3_TOP_ORDERS_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped 6-way join: revenue by nation for one region/year.
+
+    Scale shape: the genuinely-fixed-size dims (region: 5 rows, nation: 25
+    rows in TPC-H at ANY scale factor) broadcast as a nationkey→name dict;
+    customer/orders/lineitem/supplier — all O(SF) tables — meet in three
+    distributed hash joins, with the extra Q5 constraint (customer and
+    supplier in the SAME nation) as a vectorized post-join filter. The
+    final aggregate has ≤25 groups: per-batch Arrow partial + one tiny
+    Ray groupby."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=asia.combine_chunks()))
+    nation_keys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    name_by_key = dict(
+        zip(nation_keys.tolist(), nat["n_name"].to_pylist())
+    )
+    key_set = pa.array(nation_keys, pa.int64())
+
+    import datetime as dt
+
+    lo = pa.scalar(dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    n_parts = _join_partitions()
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+            }
+        ).filter(pc.is_in(b["c_nationkey"].cast(pa.int64()), value_set=key_set)),
+        batch_format="pyarrow",
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    o_c = orders.join(cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",))
+    o_c = o_c.select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rev(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "rev": pc.multiply(
+                    b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                ),
+            }
+        )
+
+    li = li.map_batches(li_rev, batch_format="pyarrow")
+    j = li.join(o_c, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "s_nationkey": b["s_nationkey"].cast(pa.int64()),
+            }
+        ).filter(pc.is_in(b["s_nationkey"].cast(pa.int64()), value_set=key_set)),
+        batch_format="pyarrow",
+    )
+    # the nationkey filter can leave schema-less empty blocks; acero's hash
+    # join needs every right-side partition to carry the key column —
+    # repartition() concatenates blocks and drops the degenerate empties
+    # (same workaround as hash_anti_join)
+    supp = supp.repartition(max(2, n_parts // 2))
+    j2 = j.join(supp, "inner", n_parts, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        # Q5's local-supplier constraint: customer and supplier same nation
+        keep = b.filter(pc.equal(b["c_nationkey"], b["s_nationkey"]))
+        g = (
+            pa.table({"s_nationkey": keep["s_nationkey"], "rev": keep["rev"]})
+            .group_by(["s_nationkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return agg_select(g, {"s_nationkey": "s_nationkey", "rev_sum": "revenue"})
+
+    partials = j2.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("s_nationkey").aggregate(Sum("revenue", alias_name="revenue"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_name": pa.array([name_by_key[int(k)] for k in keys], pa.string()),
+                "revenue": pc.round(b["revenue"], ndigits=2),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q5_REGION_REVENUE_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1460,6 +1711,8 @@ QUERIES = {
     "hopping_window": hopping_window,
     "users_intersect": users_intersect,
     "stratified_sample": stratified_sample,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
 }
 
 ORACLE_SQL = {
@@ -1506,6 +1759,8 @@ ORACLE_SQL = {
     "hopping_window": HOPPING_WINDOW_SQL,
     "users_intersect": USERS_INTERSECT_SQL,
     "stratified_sample": _stratified_sample_sql(),
+    "q3_top_orders": Q3_TOP_ORDERS_SQL,
+    "q5_region_revenue": Q5_REGION_REVENUE_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
