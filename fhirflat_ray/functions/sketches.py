@@ -1,0 +1,139 @@
+"""Mergeable sketches for approximate corpus statistics at 100-TB scale.
+
+HyperLogLog distinct-count with a fully DETERMINISTIC, SQL-expressible
+construction: the register assignment uses the engine's shared int64-safe
+multiplicative hash (``sampling.hash32``) plus one xor-shift mix, and the
+estimator is the classic HLL harmonic mean with the small-range
+linear-counting correction (Flajolet et al. 2007). Because every step is
+exact integer math + a fixed float formula, the SAME sketch evaluates in
+numpy and in ANSI SQL — so unlike library HLLs the estimate itself is
+oracle-checkable against DuckDB bit-for-bit (modulo a final rounding).
+
+Scale shape: each batch reduces to at most ``M`` (register, max-rho) pairs
+— a 4096-row partial regardless of batch size — and register partials merge
+by elementwise max, so the shuffle moves O(M x blocks) tiny rows and the
+driver finish touches only the bounded register table. This is the A4/A5
+partial+final pattern (SURVEY.md §2.5) applied to a sketch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from fhirflat_ray.functions.sampling import hash32, hash32_sql
+
+P = 12
+M = 1 << P  # 4096 registers
+REST_BITS = 20
+REST_MASK = (1 << REST_BITS) - 1
+MAX_RHO = REST_BITS + 1
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+# exact powers of two for integer bit_length via searchsorted (no float log2:
+# correctly-rounded log2 of exact powers is not guaranteed by IEEE)
+_POW2 = (1 << np.arange(REST_BITS + 1)).astype(np.int64)
+
+
+_MIX1 = 2246822519  # murmur3-finalizer-style odd constants; every product
+_MIX2 = 3266489917  # is < 2^31 * 3.3e9 < 2^63, so the math stays int64-safe
+
+
+def hll_mix(ids: np.ndarray) -> np.ndarray:
+    """Shared 32-bit hash + a murmur-finalizer-style xorshift/multiply mix.
+
+    The bare multiplicative hash's low bits are structured (sequential ids
+    gave a +30-60% biased estimate); two xorshift+multiply rounds make rho
+    uniform — measured bias < 2.5% across id patterns at n=500..1e6. Every
+    step is int64-safe (< 2^32 values, < 2^63 products) so the IDENTICAL
+    expression runs in numpy and ANSI SQL."""
+    h = hash32(ids)
+    h = h ^ (h >> 16)
+    h = ((h % (1 << 31)) * _MIX1) % (1 << 32)
+    h = h ^ (h >> 13)
+    h = ((h % (1 << 31)) * _MIX2) % (1 << 32)
+    return h ^ (h >> 16)
+
+
+def hll_partial(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce an id array to its (register, max_rho) pairs (nonzero only)."""
+    h = hll_mix(np.asarray(ids, dtype=np.int64))
+    reg = h >> REST_BITS
+    rest = h & REST_MASK
+    bl = np.searchsorted(_POW2, rest, side="right")  # integer bit_length
+    rho = (MAX_RHO - bl).astype(np.int64)  # rest == 0 -> MAX_RHO
+    regs = np.zeros(M, dtype=np.int64)
+    np.maximum.at(regs, reg, rho)
+    nz = np.nonzero(regs)[0]
+    return nz, regs[nz]
+
+
+def hll_register_table(ds, column: str):
+    """Dataset of merged (reg, mx) register maxima for ``column``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[column].to_numpy(zero_copy_only=False)
+        reg, mx = hll_partial(ids)
+        return pa.table(
+            {"reg": pa.array(reg, pa.int64()), "mx": pa.array(mx, pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def _estimate_from_registers(regs: np.ndarray) -> float:
+    """The deterministic HLL estimator over a dense M-register array."""
+    sm = float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    e = ALPHA * M * M / sm
+    v = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * M and v > 0:
+        return M * math.log(M / v)
+    return e
+
+
+def hll_estimate(ds, column: str) -> float:
+    """Approximate distinct count of ``column`` (relative error ~1.04/sqrt(M)
+    ≈ 1.6% at M=4096). Partials are bounded (≤M rows per block); the merge
+    is an elementwise max over the collected register partials — the driver
+    never sees more than M x blocks tiny rows."""
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(hll_register_table(ds, column))
+    regs = np.zeros(M, dtype=np.int64)
+    if t.num_rows:
+        np.maximum.at(
+            regs,
+            t["reg"].to_numpy(zero_copy_only=False),
+            t["mx"].to_numpy(zero_copy_only=False),
+        )
+    return _estimate_from_registers(regs)
+
+
+def hll_estimate_sql(column_expr: str, table: str) -> str:
+    """The identical sketch as ANSI SQL (DuckDB): same hash, same mix, same
+    register/rho integer math (bit_length via binary printf — exact), same
+    estimator formula. Rounded to 3 decimals on both sides to absorb
+    sum-order float noise."""
+    h = hash32_sql(column_expr)
+    rest = f"(h % {REST_MASK + 1})"
+    return f"""
+WITH h0 AS (SELECT {h} AS h FROM {table}),
+h1 AS (SELECT ((xor(h, h >> 16) % {1 << 31}) * {_MIX1}) % {1 << 32} AS h FROM h0),
+h2 AS (SELECT ((xor(h, h >> 13) % {1 << 31}) * {_MIX2}) % {1 << 32} AS h FROM h1),
+hm AS (SELECT xor(h, h >> 16) AS h FROM h2),
+regs AS (SELECT h // {REST_MASK + 1} AS reg,
+                MAX(CASE WHEN {rest} = 0 THEN {MAX_RHO}
+                         ELSE {MAX_RHO} - length(printf('%b', {rest})) END) AS mx
+         FROM hm GROUP BY reg),
+s AS (SELECT sum(pow(2.0, -mx)) + ({M} - count(*)) AS sm,
+             {M} - count(*) AS v
+      FROM regs),
+e AS (SELECT CAST({ALPHA!r} AS DOUBLE) * {M} * {M} / sm AS raw, v FROM s)
+SELECT round(CASE WHEN raw <= 2.5 * {M} AND v > 0
+                  THEN {M} * ln(CAST({M} AS DOUBLE) / v)
+                  ELSE raw END, 3) AS approx_distinct
+FROM e
+"""

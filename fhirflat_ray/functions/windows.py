@@ -99,6 +99,54 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int, order_cols: list[str] | N
     return bucketed_map_groups(ds, [key], per_bucket)
 
 
+def keyed_window(ds, key: str, order_cols: list[str], specs: list[tuple]):
+    """Per-key ordered window calculations — the SQL
+    ``fn(x) OVER (PARTITION BY key ORDER BY ...)`` family — in ONE
+    coarse-bucket shuffle plus one vectorized pandas pass per bucket.
+
+    ``specs`` is a list of ``(op, value_col, param, out_col)`` with op in
+    ``{'lag','lead','cumsum','row_number','rolling_mean'}`` (``param`` =
+    shift periods / rolling width; ignored for cumsum/row_number, pass
+    ``value_col=None`` for row_number). All ops for all keys in a bucket run
+    through pandas' C groupby engine at once — Python cost is per bucket,
+    never per key or row. Deterministic output requires ``order_cols`` to be
+    a total order within each key (include a unique id column).
+
+    Scale shape: per-row window output necessarily ships every row through
+    the key shuffle exactly once; nothing is amplified and no side
+    materializes. Hash co-partitioning assumption: one key's rows fit in a
+    worker (any keyed window makes this assumption)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order_cols, kind="mergesort").reset_index(drop=True)
+        gb = g.groupby(key, sort=False)
+        out = {}
+        for op, col, param, out_col in specs:
+            if op == "lag":
+                out[out_col] = gb[col].shift(param)
+            elif op == "lead":
+                out[out_col] = gb[col].shift(-param)
+            elif op == "cumsum":
+                out[out_col] = gb[col].cumsum()
+            elif op == "row_number":
+                out[out_col] = (gb.cumcount() + 1).astype(np.int64)
+            elif op == "rolling_mean":
+                out[out_col] = (
+                    gb[col]
+                    .rolling(param, min_periods=1)
+                    .mean()
+                    .reset_index(level=0, drop=True)
+                )
+            else:
+                raise ValueError(f"unknown window op {op!r}")
+        for c, v in out.items():
+            g[c] = v
+        return g
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
 def hopping_aggregate(ds, ts_col: str, width_us: int, hop_us: int, value_col: str | None = None):
     """Hopping (sliding) window count/sum: windows of ``width_us`` starting
     every ``hop_us`` (``width_us`` must be a multiple of ``hop_us``); an

@@ -1657,6 +1657,148 @@ GROUP BY n_name
 """
 
 
+def user_event_windows(sf_dir: str):
+    """Per-key SQL window functions (lag / row_number / cumulative sum /
+    rolling mean) over the full event stream: one coarse-bucket shuffle on
+    the key, one vectorized pandas pass per bucket
+    (:func:`fhirflat_ray.functions.windows.keyed_window`). Per-row window
+    output ships each row exactly once — nothing amplifies."""
+    from fhirflat_ray.functions.windows import keyed_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = keyed_window(
+        ds,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("lag", "ts", 1, "prev_ts"),
+            ("row_number", None, None, "rn"),
+            ("cumsum", "value", None, "cum_value"),
+            ("rolling_mean", "value", 3, "roll_avg"),
+        ],
+    )
+
+    def rnd(b: pa.Table) -> pa.Table:
+        # windowed float accumulations are order/implementation dependent
+        # (DuckDB uses segment trees); round to fixed decimals on both sides
+        for c in ("cum_value", "roll_avg"):
+            b = b.set_column(
+                b.column_names.index(c), c, pc.round(b[c], ndigits=6)
+            )
+        return b.select(
+            ["event_id", "user_id", "prev_ts", "rn", "cum_value", "roll_avg"]
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+USER_EVENT_WINDOWS_SQL = """
+SELECT event_id, user_id,
+       lag(ts) OVER w AS prev_ts,
+       row_number() OVER w AS rn,
+       round(sum(value) OVER w, 6) AS cum_value,
+       round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def user_type_seq(sf_dir: str):
+    """Ordered string-agg implode (the M3 run-collapse analogue at the row
+    level): per user, the comma-joined event-type sequence under
+    (ts, event_id) order. One coarse-bucket shuffle; inside each bucket a
+    single-threaded Arrow group_by collects per-key LISTS in sorted order
+    (encounter order is only guaranteed with ``use_threads=False``) and one
+    vectorized ``binary_join`` flattens them — no Python per key."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(
+            g.sort_values(["user_id", "ts", "event_id"], kind="mergesort"),
+            preserve_index=False,
+        )
+        agg = t.select(["user_id", "event_type"]).group_by(
+            ["user_id"], use_threads=False
+        ).aggregate([("event_type", "list")])
+        joined = pc.binary_join(
+            agg["event_type_list"].combine_chunks(), pa.scalar(",")
+        )
+        return pa.table(
+            {"user_id": agg["user_id"], "type_seq": joined}
+        ).to_pandas()
+
+    return bucketed_map_groups(ds, ["user_id"], per_bucket)
+
+
+USER_TYPE_SEQ_SQL = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+FROM events GROUP BY user_id
+"""
+
+
+def weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006): rank = ln(u)/w with u a hash-derived uniform and w the
+    document length — the top-k ranks are a weighted sample, reproducible
+    across runs, partitionings and engines because u comes from the shared
+    integer hash, not RNG state. Map-only rank + streaming per-block top-k;
+    no global sort, no shuffle."""
+    from fhirflat_ray.functions.sampling import MOD32, hash32
+    from fhirflat_ray.functions.util import streaming_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        h = hash32(b["doc_id"].to_numpy(zero_copy_only=False))
+        u = (h.astype(np.float64) + 0.5) / MOD32
+        w = pc.utf8_length(b["text"]).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) + 1.0
+        return pa.table(
+            {"doc_id": b["doc_id"], "r": pa.array(np.log(u) / w, pa.float64())}
+        )
+
+    t = streaming_topk(
+        ds.map_batches(rank, batch_format="pyarrow"),
+        ["r", "doc_id"],
+        50,
+        descending=[True, False],
+    )
+    return t.select(["doc_id"])
+
+
+def _weighted_sample_sql() -> str:
+    from fhirflat_ray.functions.sampling import MOD32, hash32_sql
+
+    return f"""
+SELECT doc_id FROM documents
+ORDER BY ln((({hash32_sql('doc_id')}) + 0.5) / {MOD32}.0) / (length(text) + 1) DESC,
+         doc_id
+LIMIT 50
+"""
+
+
+def distinct_users_hll(sf_dir: str):
+    """Approximate distinct count via the deterministic shared-hash
+    HyperLogLog (``functions/sketches.py``): every batch reduces to ≤4096
+    (register, rho) rows, partials merge by elementwise max, and the SAME
+    integer construction + estimator runs in the SQL oracle — an
+    oracle-checked sketch, unlike library HLLs."""
+    from fhirflat_ray.functions.sketches import hll_estimate
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = round(hll_estimate(ds, "user_id"), 3)
+    return pa.table({"approx_distinct": pa.array([est], pa.float64())})
+
+
+def _distinct_users_hll_sql() -> str:
+    from fhirflat_ray.functions.sketches import hll_estimate_sql
+
+    return hll_estimate_sql("user_id", "events")
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1713,6 +1855,10 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
+    "user_event_windows": user_event_windows,
+    "user_type_seq": user_type_seq,
+    "weighted_sample": weighted_sample,
+    "distinct_users_hll": distinct_users_hll,
 }
 
 ORACLE_SQL = {
@@ -1761,6 +1907,10 @@ ORACLE_SQL = {
     "stratified_sample": _stratified_sample_sql(),
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
     "q5_region_revenue": Q5_REGION_REVENUE_SQL,
+    "user_event_windows": USER_EVENT_WINDOWS_SQL,
+    "user_type_seq": USER_TYPE_SEQ_SQL,
+    "weighted_sample": _weighted_sample_sql(),
+    "distinct_users_hll": _distinct_users_hll_sql(),
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -129,3 +129,65 @@ def test_bucketed_asof_join_matches_broadcast(ray_session):
     assert len(a) == len(b) == n_l
     for x, y in zip(a, b):
         assert x == y, (x, y)
+
+
+def test_keyed_window_ops(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import keyed_window
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "o": [3, 1, 2, 10, 11],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    out = (
+        keyed_window(
+            rd.from_pandas(df).repartition(3),
+            "k",
+            ["o"],
+            [
+                ("lead", "v", 1, "nxt"),
+                ("lag", "v", 1, "prev"),
+                ("cumsum", "v", None, "cs"),
+                ("row_number", None, None, "rn"),
+                ("rolling_mean", "v", 2, "rm"),
+            ],
+        )
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    # k=1 under o-order has v = 2, 3, 1; k=2 has v = 4, 5
+    assert out["nxt"].tolist()[:3] == [3.0, 1.0] + [None] or np.isnan(out["nxt"][2])
+    assert out["nxt"].tolist()[:2] == [3.0, 1.0]
+    assert np.isnan(out["prev"][0]) and out["prev"].tolist()[1:3] == [2.0, 3.0]
+    assert out["cs"].tolist() == [2.0, 5.0, 6.0, 4.0, 9.0]
+    assert out["rn"].tolist() == [1, 2, 3, 1, 2]
+    assert out["rm"].tolist() == [2.0, 2.5, 2.0, 4.0, 4.5]
+
+
+def test_hll_estimate_accuracy_and_merge_invariance():
+    import numpy as np
+
+    from fhirflat_ray.functions.sketches import (
+        M,
+        _estimate_from_registers,
+        hll_partial,
+    )
+
+    ids = np.arange(100_000, dtype=np.int64) * 7919 + 13
+    reg, mx = hll_partial(ids)
+    dense = np.zeros(M, dtype=np.int64)
+    dense[reg] = mx
+    est = _estimate_from_registers(dense)
+    assert abs(est - 100_000) / 100_000 < 0.05
+    # partial merge must be invariant to how the corpus is partitioned
+    dense2 = np.zeros(M, dtype=np.int64)
+    for chunk in np.array_split(ids, 7):
+        r, m_ = hll_partial(chunk)
+        np.maximum.at(dense2, r, m_)
+    assert np.array_equal(dense, dense2)
