@@ -1799,6 +1799,60 @@ def _distinct_users_hll_sql() -> str:
     return hll_estimate_sql("user_id", "events")
 
 
+def decontaminate_corpus(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter): drop
+    corpus documents sharing >= 3 distinct word 4-grams with the eval set
+    (here: every 20th document plays the eval set). Eval n-grams build once
+    and broadcast; the corpus pass is map-only — the shape that streams
+    100 TB untouched (``functions/decontam.py``)."""
+    from fhirflat_ray.functions.decontam import build_ngram_set, decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def is_eval(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    def is_corpus(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 != 0))
+
+    eval_grams = build_ngram_set(
+        docs.map_batches(is_eval, batch_format="pyarrow"), "text", 4
+    )
+    out = decontaminate(
+        docs.map_batches(is_corpus, batch_format="pyarrow"),
+        eval_grams,
+        text_col="text",
+        n=4,
+        min_hits=3,
+    )
+    return out.select_columns(["doc_id"])
+
+
+DECONTAMINATE_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                        i -> array_to_string(t[i:i+3], ' ')))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE [] END AS s
+  FROM tok
+),
+eval_ng AS (SELECT DISTINCT unnest(s) AS g FROM ng WHERE doc_id % 20 = 0),
+corpus AS (SELECT doc_id, s FROM ng WHERE doc_id % 20 <> 0),
+cg AS (SELECT doc_id, unnest(s) AS g FROM corpus),
+hits AS (SELECT cg.doc_id, count(*) AS h
+         FROM cg JOIN eval_ng USING (g) GROUP BY cg.doc_id)
+SELECT doc_id FROM corpus
+WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 3)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1859,6 +1913,7 @@ QUERIES = {
     "user_type_seq": user_type_seq,
     "weighted_sample": weighted_sample,
     "distinct_users_hll": distinct_users_hll,
+    "decontaminate": decontaminate_corpus,
 }
 
 ORACLE_SQL = {
@@ -1911,6 +1966,7 @@ ORACLE_SQL = {
     "user_type_seq": USER_TYPE_SEQ_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "distinct_users_hll": _distinct_users_hll_sql(),
+    "decontaminate": DECONTAMINATE_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -774,3 +774,48 @@ def test_real_ppm_bmp_decode_and_resize(ray_session):
     # nearest-neighbour: every resized pixel exists in the source image
     src = {tuple(px) for px in rgb.reshape(-1, 3).tolist()}
     assert all(tuple(px) in src for px in resized.reshape(-1, 3).tolist())
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.decontam import build_ngram_set, decontaminate
+
+    eval_text = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    # verbatim copy -> many shared 4-grams -> dropped
+                    eval_text,
+                    # shares exactly one 4-gram window -> below min_hits=3
+                    "completely different words except the quick brown fox here",
+                    "nothing in common with anything at all whatsoever",
+                    # short doc (< 4 tokens) cannot hit 3 distinct grams
+                    "quick brown fox",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    eval_ds = rd.from_arrow(
+        pa.table({"text": pa.array([eval_text], pa.string())})
+    )
+    grams = build_ngram_set(eval_ds, "text", 4)
+    kept = (
+        decontaminate(rd.from_arrow(corpus), grams, n=4, min_hits=3)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert sorted(kept) == [2, 3, 4]
+    dropped = (
+        decontaminate(
+            rd.from_arrow(corpus), grams, n=4, min_hits=3, keep_contaminated=True
+        )
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert dropped == [1]
