@@ -26,6 +26,49 @@ import numpy as np
 import pyarrow as pa
 
 
+def grouped_quantile_disc(ds, key: str, column: str, qs: list[float]):
+    """Exact discrete quantiles of ``column`` PER ``key`` group.
+
+    Same scale shape as :func:`quantile_disc` plus one coarse-bucket key
+    shuffle: each batch reduces to (key, value, count) partials, buckets
+    co-partition keys, and ONE vectorized pandas pass per bucket computes
+    every key's quantiles at once (cumsum + first-over-threshold per key —
+    no Python per key). Returns rows ``(key, q, value)``."""
+    import pandas as pd
+
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([key, column])
+            .group_by([key, column])
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(g, {key: key, column: "value", "count_all": "cnt"})
+
+    def per_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            g.groupby([key, "value"], as_index=False, sort=False)["cnt"]
+            .sum()
+            .sort_values([key, "value"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        cum = g.groupby(key, sort=False)["cnt"].cumsum().to_numpy()
+        tot = g.groupby(key, sort=False)["cnt"].transform("sum").to_numpy()
+        outs = []
+        for q in qs:
+            rank = np.minimum(tot, np.maximum(1, np.ceil(q * tot.astype(np.float64))))
+            sel = g.loc[cum >= rank, [key, "value"]]
+            first = sel.groupby(key, as_index=False, sort=False).first()
+            first.insert(1, "q", float(q))
+            outs.append(first)
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), [key], per_bucket
+    )
+
+
 def quantile_disc(ds, column: str, qs: list[float]):
     """Exact discrete quantiles of ``column`` at fractions ``qs``.
 

@@ -1853,6 +1853,25 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 3)
 """
 
 
+def quantiles_by_type(sf_dir: str):
+    """Per-group exact discrete quantiles (median + p90 of event value per
+    event type): distributed value counts + one vectorized per-bucket
+    cumsum/threshold pass — no per-key Python, no global sort."""
+    from fhirflat_ray.functions.quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile_disc(ds, "event_type", "value", [0.5, 0.9])
+
+
+QUANTILES_BY_TYPE_SQL = """
+SELECT event_type, 0.5 AS q, quantile_disc(value, 0.5) AS value
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9 AS q, quantile_disc(value, 0.9) AS value
+FROM events GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1914,6 +1933,7 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "distinct_users_hll": distinct_users_hll,
     "decontaminate": decontaminate_corpus,
+    "quantiles_by_type": quantiles_by_type,
 }
 
 ORACLE_SQL = {
@@ -1967,6 +1987,7 @@ ORACLE_SQL = {
     "weighted_sample": _weighted_sample_sql(),
     "distinct_users_hll": _distinct_users_hll_sql(),
     "decontaminate": DECONTAMINATE_SQL,
+    "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
