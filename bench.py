@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "tumbling_window",
     "asof_join",
     "asof_join_bucketed",
+    "q3_top_orders",
+    "decontaminate",
 ]
 
 

@@ -1872,6 +1872,75 @@ FROM events GROUP BY event_type
 """
 
 
+def revenue_rollup(sf_dir: str):
+    """ROLLUP (grouping-sets) aggregate: revenue by (returnflag, linestatus)
+    plus per-returnflag subtotals and the grand total. The heavy pass is the
+    ordinary distributed partial+final aggregate (6 groups); every rollup
+    level derives from that TINY result on the driver — subtotal levels
+    never rescan or reshuffle the corpus."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "rev": rev,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("rev", "sum")])
+        )
+        return agg_select(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "l_linestatus": "l_linestatus",
+                "rev_sum": "rev",
+            },
+        )
+
+    base = collect_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    ).to_pandas()
+
+    # rollup levels from unrounded base sums (matches SQL ROLLUP, which sums
+    # raw values per level); round each level once at the end
+    lvl1 = (
+        base.groupby("l_returnflag", as_index=False)["rev"]
+        .sum()
+        .assign(l_linestatus=None)
+    )
+    lvl2 = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "rev": [base["rev"].sum()]}
+    )
+    out = pd.concat([base, lvl1, lvl2], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "rev"]
+    ]
+    out["rev"] = out["rev"].round(2)
+    return out
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1934,6 +2003,7 @@ QUERIES = {
     "distinct_users_hll": distinct_users_hll,
     "decontaminate": decontaminate_corpus,
     "quantiles_by_type": quantiles_by_type,
+    "revenue_rollup": revenue_rollup,
 }
 
 ORACLE_SQL = {
@@ -1988,6 +2058,7 @@ ORACLE_SQL = {
     "distinct_users_hll": _distinct_users_hll_sql(),
     "decontaminate": DECONTAMINATE_SQL,
     "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
