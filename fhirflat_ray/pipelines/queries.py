@@ -1406,14 +1406,23 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY {hash32_sql('doc_id')}, do
 """
 
 
-def _join_partitions() -> int:
-    """Hash-join partition count sized to the cluster (1 per CPU, floor 8):
-    partitions must grow with the cluster or each one holds 1/16th of
-    100 TB; they must not explode at test scale or the per-partition
-    framework constant dominates."""
+def _join_partitions(sf_dir: str, tables: list[str]) -> int:
+    """Hash-join partition count sized by DATA bytes, not CPU count.
+
+    Ray's hash-shuffle join provisions one aggregator actor per partition,
+    so the partition count is a real cost: at test scale a 25 MB join with
+    32 partitions spends 15 s provisioning actors to do 2 s of work
+    (measured on this host). Size partitions at ~128 MB of the largest
+    input — a handful at test scale, thousands at 100 TB — capped at 4x
+    cluster CPUs (the shuffle's useful parallelism) and floored at 4."""
     import ray
 
-    return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    biggest = max(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    by_bytes = -(-biggest // (128 << 20))  # ceil
+    return int(min(max(4, by_bytes), max(8, cpus * 4)))
 
 
 def q3_top_orders(sf_dir: str):
@@ -1436,7 +1445,7 @@ def q3_top_orders(sf_dir: str):
     )
 
     cutoff = pa.scalar(dt.datetime(1998, 1, 1), pa.timestamp("us"))
-    n_parts = _join_partitions()
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem"])
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
@@ -1553,7 +1562,7 @@ def q5_region_revenue(sf_dir: str):
 
     lo = pa.scalar(dt.datetime(1996, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
-    n_parts = _join_partitions()
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem", "supplier"])
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     cust = cust.map_batches(
@@ -1941,6 +1950,120 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def corpus_prep(sf_dir: str):
+    """FLAGSHIP training-data prep composition, end to end in ONE streaming
+    pipeline: language + quality filter (map-only Arrow kernels) → exact
+    dedup (keep min doc_id per text — narrow bucketed shuffle) →
+    benchmark decontamination (broadcast eval n-gram set, map-only) →
+    deterministic train/val/test split + token counts (map-only). The only
+    all-to-all is the dedup key shuffle; every other stage streams.
+    Fully SQL-expressible, so the whole composition sits under one oracle.
+    """
+    from fhirflat_ray.functions.decontam import build_ngram_set, decontaminate
+    from fhirflat_ray.functions.sampling import assign_split
+    from fhirflat_ray.functions.text import BpeishTokenCounter
+    from fhirflat_ray.functions.util import keep_min_per_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def is_eval(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 20 == 0))
+
+    eval_grams = build_ngram_set(
+        docs.map_batches(is_eval, batch_format="pyarrow"), "text", 4
+    )
+
+    def qual(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        n_tokens = pc.cast(pc.count_substring_regex(b["text"], r"\S+"), pa.int64())
+        n_alpha = pc.count_substring_regex(b["text"], "[A-Za-z]")
+        safe = pc.max_element_wise(
+            pc.cast(pc.utf8_length(b["text"]), pa.int64()), pa.scalar(1, pa.int64())
+        )
+        alpha_ratio = pc.divide(
+            pc.cast(n_alpha, pa.float64()), pc.cast(safe, pa.float64())
+        )
+        keep = (
+            (ids % 20 != 0)
+            & pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False)
+            & (n_tokens.to_numpy() >= 25)
+            & (alpha_ratio.to_numpy() >= 0.81)
+        )
+        return b.append_column("n_tokens", n_tokens).filter(pa.array(keep))
+
+    kept = docs.map_batches(qual, batch_format="pyarrow")
+    # exact dedup keyed on the text itself (rows must ship through a key
+    # shuffle once regardless; exactness keeps the oracle collision-free)
+    deduped = keep_min_per_key(kept, key="text", id_column="doc_id")
+    clean = decontaminate(deduped, eval_grams, text_col="text", n=4, min_hits=3)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        split = assign_split(ids, [("train", 90), ("val", 5), ("test", 5)])
+        n_bpe = pc.cast(
+            pc.count_substring_regex(b["text"], BpeishTokenCounter.PATTERN),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "split": pa.array(split, pa.string()),
+                "n_tokens": b["n_tokens"],
+                "n_bpe_tokens": n_bpe,
+            }
+        )
+
+    return clean.map_batches(finish, batch_format="pyarrow")
+
+
+def _corpus_prep_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql, split_thresholds
+
+    th = split_thresholds([("train", 90), ("val", 5), ("test", 5)])
+    h = hash32_sql("doc_id")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 4 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 3),
+                                        i -> array_to_string(t[i:i+3], ' ')))
+         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+         ELSE [] END AS s
+  FROM tok
+),
+eval_ng AS (SELECT DISTINCT unnest(s) AS g FROM ng WHERE doc_id % 20 = 0),
+quality AS (
+  SELECT doc_id, lang, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id % 20 <> 0 AND lang = 'en'
+    AND len(regexp_extract_all(text, '\\S+')) >= 25
+    AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+        / greatest(length(text), 1) >= 0.81
+),
+dedup AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+surv AS (SELECT q.* FROM quality q JOIN dedup USING (doc_id)),
+cg AS (SELECT surv.doc_id, unnest(ng.s) AS g
+       FROM surv JOIN ng ON ng.doc_id = surv.doc_id),
+hits AS (SELECT cg.doc_id, count(*) AS h
+         FROM cg JOIN eval_ng USING (g) GROUP BY cg.doc_id)
+SELECT doc_id, lang,
+       CASE WHEN {h} < {th[0][1]} THEN 'train'
+            WHEN {h} < {th[1][1]} THEN 'val'
+            ELSE 'test' END AS split,
+       n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         AS n_bpe_tokens
+FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 3)
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2004,6 +2127,7 @@ QUERIES = {
     "decontaminate": decontaminate_corpus,
     "quantiles_by_type": quantiles_by_type,
     "revenue_rollup": revenue_rollup,
+    "corpus_prep": corpus_prep,
 }
 
 ORACLE_SQL = {
@@ -2059,6 +2183,7 @@ ORACLE_SQL = {
     "decontaminate": DECONTAMINATE_SQL,
     "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "corpus_prep": _corpus_prep_sql(),
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
