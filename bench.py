@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "asof_join_bucketed",
     "q3_top_orders",
     "decontaminate",
+    "corpus_prep",
 ]
 
 

@@ -147,6 +147,56 @@ def keyed_window(ds, key: str, order_cols: list[str], specs: list[tuple]):
     return bucketed_map_groups(ds, [key], per_bucket)
 
 
+def rolling_time_sum(ds, key: str, ts_col: str, value_col: str, window_us: int, out_col: str = "roll_sum"):
+    """Trailing time-RANGE window sum per key — the SQL
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN <w> PRECEDING
+    AND CURRENT ROW)`` analogue, including the RANGE peer rule (rows with
+    equal ts share one frame).
+
+    One coarse-bucket key shuffle; inside each bucket EVERY key's windows
+    resolve in one vectorized pass: per-key timestamps shift into disjoint
+    numeric ranges (gap > window), making the bucket's ts array globally
+    monotonic so a single ``searchsorted`` pair finds every row's frame
+    bounds, and frame sums are prefix-sum differences. No Python per key
+    or per row."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        ts_raw = g[ts_col].to_numpy()
+        if np.issubdtype(ts_raw.dtype, np.datetime64):
+            ts = ts_raw.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = ts_raw.astype(np.int64)
+        if len(ts) == 0:
+            g[out_col] = np.array([], dtype=np.float64)
+            return g
+        gb = g.groupby(key, sort=False)
+        kmin = gb[ts_col].transform("min").to_numpy()
+        kmax = gb[ts_col].transform("max").to_numpy()
+        if np.issubdtype(kmin.dtype, np.datetime64):
+            kmin = kmin.astype("datetime64[us]").astype(np.int64)
+            kmax = kmax.astype("datetime64[us]").astype(np.int64)
+        # one row per key segment, in encounter order
+        seg_first = np.concatenate(
+            [[True], g[key].to_numpy()[1:] != g[key].to_numpy()[:-1]]
+        )
+        spans = (kmax - kmin)[seg_first]
+        base = np.concatenate([[0], np.cumsum(spans + window_us + 1)[:-1]])
+        # broadcast each segment's base back to its rows
+        seg_id = np.cumsum(seg_first) - 1
+        shifted = ts - kmin + base[seg_id]
+        v = g[value_col].to_numpy().astype(np.float64)
+        cum = np.cumsum(v)
+        lo = np.searchsorted(shifted, shifted - window_us, side="left")
+        hi = np.searchsorted(shifted, shifted, side="right") - 1  # last peer
+        roll = cum[hi] - np.where(lo > 0, cum[lo - 1], 0.0)
+        g[out_col] = roll
+        return g
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
 def hopping_aggregate(ds, ts_col: str, width_us: int, hop_us: int, value_col: str | None = None):
     """Hopping (sliding) window count/sum: windows of ``width_us`` starting
     every ``hop_us`` (``width_us`` must be a multiple of ``hop_us``); an

@@ -2064,6 +2064,39 @@ WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE h >= 3)
 """
 
 
+def rolling_hour_sum(sf_dir: str):
+    """Trailing 1-hour RANGE-frame window sum per user (incl. the SQL peer
+    rule for tied timestamps): one key shuffle, one vectorized
+    searchsorted/prefix-sum pass per bucket
+    (:func:`fhirflat_ray.functions.windows.rolling_time_sum`)."""
+    from fhirflat_ray.functions.windows import rolling_time_sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_time_sum(ds, "user_id", "ts", "value", 3_600_000_000)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                # prefix-sum differences vs segment-tree sums: round on both
+                # sides so float association order cannot flip the hash
+                "roll_sum": pc.round(b["roll_sum"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+ROLLING_HOUR_SUM_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW), 4) AS roll_sum
+FROM events
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2128,6 +2161,7 @@ QUERIES = {
     "quantiles_by_type": quantiles_by_type,
     "revenue_rollup": revenue_rollup,
     "corpus_prep": corpus_prep,
+    "rolling_hour_sum": rolling_hour_sum,
 }
 
 ORACLE_SQL = {
@@ -2184,6 +2218,7 @@ ORACLE_SQL = {
     "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "corpus_prep": _corpus_prep_sql(),
+    "rolling_hour_sum": ROLLING_HOUR_SUM_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -191,3 +191,39 @@ def test_hll_estimate_accuracy_and_merge_invariance():
         r, m_ = hll_partial(chunk)
         np.maximum.at(dense2, r, m_)
     assert np.array_equal(dense, dense2)
+
+
+def test_rolling_time_sum_peer_rule(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import rolling_time_sum
+
+    # tied timestamps within a key: the SQL RANGE frame includes ALL peers
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2],
+            "ts": [0, 100, 100, 250, 0, 90],  # int64 "microseconds"
+            "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+        }
+    )
+    got = (
+        rolling_time_sum(rd.from_pandas(df).repartition(3), "k", "ts", "v", 100)
+        .to_pandas()
+        .sort_values(["k", "ts", "v"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT k, ts, v,
+               sum(v) OVER (PARTITION BY k ORDER BY ts
+                            RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS roll_sum
+        FROM t ORDER BY k, ts, v
+        """
+    ).df()
+    assert np.allclose(got["roll_sum"].to_numpy(), want["roll_sum"].to_numpy())
+    # row at ts=100 (either peer) must include both peers + ts=0 row
+    assert got.loc[(got.k == 1) & (got.ts == 100), "roll_sum"].tolist() == [7.0, 7.0]
