@@ -2097,6 +2097,67 @@ FROM events
 """
 
 
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (the mean vector a clustering / ANN
+    index build starts from): each batch reduces to one (label, sum-vector,
+    count) partial via a single ``np.add.at`` over the zero-copy (n, dim)
+    float block — the shuffle moves one 64-float row per (batch, label) —
+    and the bounded label set merges on the driver. Output exploded as
+    (label, idx, mean_v) rows for the SQL oracle."""
+    from fhirflat_ray.functions.util import collect_small_table
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    DIM = 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        vecs = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+            -1, DIM
+        )
+        labels = b["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), DIM), dtype=np.float64)
+        np.add.at(sums, inv, vecs)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq.astype(np.int64), pa.int64()),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.float64()), DIM
+                ),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    t = collect_small_table(ds.map_batches(partial, batch_format="pyarrow"))
+    labels = t["label"].to_numpy(zero_copy_only=False)
+    sums = np.asarray(
+        t["sums"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, DIM)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(labels, return_inverse=True)
+    tot = np.zeros((len(uniq), DIM), dtype=np.float64)
+    np.add.at(tot, inv, sums)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, n)
+    mean = np.round(tot / cnt[:, None], 6)
+    return pa.table(
+        {
+            "label": pa.array(np.repeat(uniq, DIM), pa.int64()),
+            "idx": pa.array(np.tile(np.arange(1, DIM + 1), len(uniq)), pa.int64()),
+            "mean_v": pa.array(mean.ravel(), pa.float64()),
+        }
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, i AS idx,
+       round(sum(embedding[i]) / count(*), 6) AS mean_v
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2162,6 +2223,7 @@ QUERIES = {
     "revenue_rollup": revenue_rollup,
     "corpus_prep": corpus_prep,
     "rolling_hour_sum": rolling_hour_sum,
+    "label_centroids": label_centroids,
 }
 
 ORACLE_SQL = {
@@ -2219,6 +2281,7 @@ ORACLE_SQL = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "corpus_prep": _corpus_prep_sql(),
     "rolling_hour_sum": ROLLING_HOUR_SUM_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
