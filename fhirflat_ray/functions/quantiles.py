@@ -69,6 +69,56 @@ def grouped_quantile_disc(ds, key: str, column: str, qs: list[float]):
     )
 
 
+def quantile_cont(ds, column: str, qs: list[float]):
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` semantics:
+    position ``q*(n-1)`` in the sorted multiset, linear interpolation
+    between the two straddling values). Same distributed value-count scale
+    shape as :func:`quantile_disc`; the straddling values resolve from the
+    merged count table via two searchsorteds — never by expanding rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([column]).group_by([column]).aggregate([([], "count_all")])
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(g, {column: "value", "count_all": "cnt"})
+
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    t = collect_small_table(counts)
+    vals = np.asarray(t["value"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    cnts = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(float(q))
+        if n == 0:
+            out_v.append(None)
+            continue
+        pos = q * (n - 1)  # zero-based fractional position
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        # value at zero-based rank r = smallest value with cum > r
+        v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
+        if frac == 0.0:
+            out_v.append(v_lo)
+            continue
+        v_hi = float(vals[np.searchsorted(cum, lo + 1, side="right")])
+        out_v.append(v_lo + frac * (v_hi - v_lo))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )
+
+
 def quantile_disc(ds, column: str, qs: list[float]):
     """Exact discrete quantiles of ``column`` at fractions ``qs``.
 

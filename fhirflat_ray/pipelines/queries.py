@@ -1324,6 +1324,27 @@ UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(l_quantity, 0.9) AS DOU
 """
 
 
+def quantiles_cont_value(sf_dir: str):
+    """Exact INTERPOLATED quantiles of the continuous event value column
+    (``quantile_cont`` semantics: position q*(n-1), linear interpolation) —
+    same distributed value-count shape as the discrete variant."""
+    from fhirflat_ray.functions.quantiles import quantile_cont
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    t = quantile_cont(ds, "value", [0.25, 0.5, 0.75, 0.99])
+    return t.set_column(
+        t.column_names.index("value"), "value", pc.round(t["value"], ndigits=6)
+    )
+
+
+QUANTILES_CONT_VALUE_SQL = """
+SELECT CAST(0.25 AS DOUBLE) AS q, round(quantile_cont(value, 0.25), 6) AS value FROM events
+UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(value, 0.5), 6) FROM events
+UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(value, 0.75), 6) FROM events
+UNION ALL SELECT CAST(0.99 AS DOUBLE), round(quantile_cont(value, 0.99), 6) FROM events
+"""
+
+
 _HOP_US = 30 * 60 * 1_000_000  # 30-minute hop, 1-hour windows
 
 
@@ -2158,6 +2179,65 @@ GROUP BY label, i
 """
 
 
+def media_features(sf_dir: str):
+    """Multimodal plumbing end to end through the driver gate (rows-only:
+    no SQL can decode image bytes): synthesize a deterministic PPM image
+    per document (pixels = the text's own bytes tiled to 16x12 RGB), run
+    the REAL stdlib PPM decode + color-feature extraction in the
+    actor-pool stage (``multimodal.ImageFeatureExtractor``, small batches —
+    binary rows are heavy), and return (doc_id, n_payload_bytes, f0) with
+    f0 the first real feature (mean red channel). Covers the binary-column
+    schema, the actor decode path, and the feature layout at query level;
+    `test_media_*` assert the decode math itself."""
+    from fhirflat_ray.functions.multimodal import _encode_ppm
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H = 16, 12
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            need = W * H * 3
+            buf = (raw * (need // len(raw) + 1))[:need]
+            px = np.frombuffer(buf, dtype=np.uint8).reshape(H, W, 3)
+            payloads.append(_encode_ppm(px))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "n_payload_bytes": pa.array(
+                    [len(p) for p in payloads], pa.int64()
+                ),
+            }
+        )
+
+    from fhirflat_ray.functions.multimodal import ImageFeatureExtractor
+
+    media = docs.map_batches(to_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        worker_cached_stage(ImageFeatureExtractor, dim=8),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_payload_bytes": b["n_payload_bytes"],
+                "f0": f0,
+            }
+        )
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2224,6 +2304,8 @@ QUERIES = {
     "corpus_prep": corpus_prep,
     "rolling_hour_sum": rolling_hour_sum,
     "label_centroids": label_centroids,
+    "quantiles_cont_value": quantiles_cont_value,
+    "media_features": media_features,
 }
 
 ORACLE_SQL = {
@@ -2282,6 +2364,7 @@ ORACLE_SQL = {
     "corpus_prep": _corpus_prep_sql(),
     "rolling_hour_sum": ROLLING_HOUR_SUM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "quantiles_cont_value": QUANTILES_CONT_VALUE_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
