@@ -20,6 +20,10 @@ FAST = [
     "dedup_exact",
     "stats_profile",
     "dedup_near_exhaustive",
+    "weighted_sample",
+    "distinct_users_hll",
+    "revenue_rollup",
+    "corpus_prep",
 ]
 
 
@@ -32,8 +36,16 @@ def con():
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
-    df = df[sorted(df.columns)]
-    return sorted(df.itertuples(index=False, name=None))
+    # repr-tuples, same canonical form as the driver harness — plain tuples
+    # would fail to sort rows with None keys (e.g. ROLLUP subtotal rows)
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+    return sorted(
+        tuple(repr(v) for v in rec)
+        for rec in df.itertuples(index=False, name=None)
+    )
 
 
 @pytest.mark.parametrize("name", FAST)
