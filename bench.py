@@ -69,6 +69,18 @@ def _transcript_fragments(rows: int) -> str:
     return cache
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — host CPU-steal bursts are
+    the dominant noise on this VM; recording per-lap steal lets any reader
+    of the bench JSON separate host weather from engine speed."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:
+        return 0, 0
+
+
 def _parquet_snappy_bytes(frag_dir: str) -> int:
     return sum(
         os.path.getsize(os.path.join(frag_dir, f))
@@ -80,6 +92,7 @@ def _parquet_snappy_bytes(frag_dir: str) -> int:
 def run_bench() -> dict:
     import ray
 
+    _run_t0, _run_s0 = _cpu_ticks()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -171,25 +184,39 @@ def run_bench() -> dict:
     snappy = _parquet_snappy_bytes(frag_dir)
 
     query_secs: dict[str, float] = {}
+    query_steal: dict[str, float] = {}
     for name in ([] if SCALING_MODE else BENCH_QUERIES):
         fn = q.QUERIES[name]
         # best-of-2, same reasoning as the encode timing: this host has
         # multi-second CPU-steal bursts and min-of-repeats is the standard
-        # way to see the engine through the scheduler noise
+        # way to see the engine through the scheduler noise; the best lap's
+        # observed steal%% is recorded so the number can be read in context
+        # (measured: dedup_near 4.2 s at 0.3%% steal vs 12.6 s at 14%%)
         best = float("inf")
+        best_steal = 0.0
         for _ in range(2):
+            ta, sa = _cpu_ticks()
             t0 = time.time()
             res = fn(SF_DIR)
             if hasattr(res, "materialize"):
                 res.materialize()
-            best = min(best, time.time() - t0)
+            lap = time.time() - t0
+            tb, sb = _cpu_ticks()
+            if lap < best:
+                best = lap
+                best_steal = 100.0 * (sb - sa) / max(1, tb - ta)
         query_secs[name] = round(best, 3)
+        query_steal[name] = round(best_steal, 1)
 
     result = {
         "metric": "transcript_encode_decode_sec",
         "value": round(t_encode + t_decode, 3),
         "unit": "sec",
         "queries": query_secs,
+        "query_best_lap_steal_pct": query_steal,
+        "run_steal_pct": (
+            lambda tb, sb: round(100.0 * (sb - _run_s0) / max(1, tb - _run_t0), 1)
+        )(*_cpu_ticks()),
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_rows": BENCH_ROWS,

@@ -269,3 +269,73 @@ def knn_ivf_persisted(
         )
     pruned = rd.read_parquet(paths, columns=[id_column, vec_column])
     return knn_bruteforce(pruned, query_ids, query_vectors, k, id_column, vec_column)
+
+
+# ------------------------------------------------- nearest-neighbour join
+
+
+class _NearestJoin:
+    """Actor-pool stage: per batch, one float64 matmul against the
+    broadcast reference matrix; argmax picks the nearest reference row
+    (reference sorted by id, so numpy's first-max rule breaks ties toward
+    the smallest id — same order the SQL oracle uses)."""
+
+    def __init__(self, ref, id_column: str, vec_column: str):
+        import ray
+
+        d = ray.get(ref)
+        self.ids = d["ids"]
+        self.mat = d["mat"]  # already L2-normalized, sorted by id
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_column: pa.array([], pa.int64()),
+                    "nn_vec_id": pa.array([], pa.int64()),
+                    "nn_cosine": pa.array([], pa.float64()),
+                }
+            )
+        emb = batch[self.vec_column].combine_chunks()
+        dim = self.mat.shape[1]
+        vecs = np.asarray(
+            emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64
+        ).reshape(-1, dim)
+        vecs = _normalize(vecs)
+        scores = vecs @ self.mat.T
+        j = np.argmax(scores, axis=1)
+        sims = scores[np.arange(len(j)), j]
+        return pa.table(
+            {
+                self.id_column: batch[self.id_column],
+                "nn_vec_id": pa.array(self.ids[j], pa.int64()),
+                "nn_cosine": pa.array(np.round(sims, 6), pa.float64()),
+            }
+        )
+
+
+def nearest_neighbor_join(ds, ref_ids: np.ndarray, ref_vectors: np.ndarray,
+                          id_column: str = "vec_id", vec_column: str = "embedding"):
+    """Cross-corpus 1-nearest-neighbour join: for every row of ``ds``, the
+    id + cosine of its nearest vector in a BOUNDED reference set (eval set,
+    centroid table, ...). The reference matrix normalizes and broadcasts
+    once via ``ray.put``; the corpus pass is MAP-ONLY (one matmul per
+    batch) — 100 TB of corpus streams through with no shuffle. For
+    unbounded reference sets use the IVF path instead (prune at the read
+    via the persisted cell index)."""
+    import ray
+
+    order = np.argsort(np.asarray(ref_ids), kind="stable")
+    ids = np.asarray(ref_ids, dtype=np.int64)[order]
+    mat = _normalize(np.asarray(ref_vectors, dtype=np.float64)[order])
+    ref = ray.put({"ids": ids, "mat": mat})
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    return ds.map_batches(
+        worker_cached_stage(
+            _NearestJoin, ref=ref, id_column=id_column, vec_column=vec_column
+        ),
+        batch_format="pyarrow",
+    )

@@ -2238,6 +2238,53 @@ def media_features(sf_dir: str):
     return feats.map_batches(finish, batch_format="pyarrow")
 
 
+def nearest_eval_vec(sf_dir: str):
+    """Cross-corpus 1-NN join (embedding decontamination / attribute
+    transfer): for every corpus vector, the id + cosine of its nearest
+    EVAL-set vector (every 10th id plays the eval set). Eval matrix
+    broadcasts once; the corpus pass is map-only
+    (:func:`fhirflat_ray.functions.similarity.nearest_neighbor_join`)."""
+    from fhirflat_ray.functions.similarity import nearest_neighbor_join
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def split(b: pa.Table, keep_eval: bool) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 10 == 0
+        return b.filter(pa.array(mask if keep_eval else ~mask))
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    ev = collect_small_table(
+        ds.map_batches(lambda b: split(b, True), batch_format="pyarrow")
+    )
+    DIM = 64
+    ref_ids = ev["vec_id"].to_numpy(zero_copy_only=False)
+    ref_vecs = np.asarray(
+        ev["embedding"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    ).reshape(-1, DIM)
+    corpus = ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    return nearest_neighbor_join(corpus, ref_ids, ref_vecs)
+
+
+NEAREST_EVAL_VEC_SQL = """
+WITH eval AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+pairs AS (
+  SELECT c.vec_id, e.vec_id AS nn_vec_id,
+         -- DOUBLE[] cast: on FLOAT lists list_cosine_similarity computes
+         -- in float32 (~1e-6 error), which 6dp rounding cannot absorb
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM corpus c CROSS JOIN eval e
+)
+SELECT vec_id, nn_vec_id, round(sim, 6) AS nn_cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_vec_id) = 1
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2306,6 +2353,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "quantiles_cont_value": quantiles_cont_value,
     "media_features": media_features,
+    "nearest_eval_vec": nearest_eval_vec,
 }
 
 ORACLE_SQL = {
@@ -2365,6 +2413,7 @@ ORACLE_SQL = {
     "rolling_hour_sum": ROLLING_HOUR_SUM_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "quantiles_cont_value": QUANTILES_CONT_VALUE_SQL,
+    "nearest_eval_vec": NEAREST_EVAL_VEC_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
