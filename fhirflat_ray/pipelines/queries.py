@@ -2285,6 +2285,49 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_vec_id) = 1
 """
 
 
+def props_extract(sf_dir: str):
+    """Semi-structured column handling: extract the integer ``k`` field
+    from the JSON ``props`` string per event and aggregate it per event
+    type — vectorized Arrow regex extraction (no per-row JSON parser in
+    the hot path; the reference flattens nested payloads the same
+    field-at-a-time way, fhir2flat's dotted-column expansion), partial
+    combine before the tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        extracted = pc.extract_regex(
+            b["props"], r'"k":\s*(?P<k>-?\d+)'
+        ).combine_chunks()
+        k = extracted.field("k").cast(pa.int64())
+        g = (
+            pa.table({"event_type": b["event_type"], "k": k})
+            .group_by(["event_type"])
+            .aggregate([("k", "sum"), ([], "count_all")])
+        )
+        return agg_select(
+            g, {"event_type": "event_type", "k_sum": "sum_k", "count_all": "n"}
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+    return out
+
+
+PROPS_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2354,6 +2397,7 @@ QUERIES = {
     "quantiles_cont_value": quantiles_cont_value,
     "media_features": media_features,
     "nearest_eval_vec": nearest_eval_vec,
+    "props_extract": props_extract,
 }
 
 ORACLE_SQL = {
@@ -2414,6 +2458,7 @@ ORACLE_SQL = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "quantiles_cont_value": QUANTILES_CONT_VALUE_SQL,
     "nearest_eval_vec": NEAREST_EVAL_VEC_SQL,
+    "props_extract": PROPS_EXTRACT_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
