@@ -532,6 +532,41 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
+class _BroadcastAttachVerify:
+    """Worker stage for the broadcast verify path: the candidate documents'
+    texts ship ONCE via ``ray.put``; each batch of (left_id, right_id)
+    pairs attaches its texts by searchsorted and runs the REAL
+    :class:`JaccardVerifier` — verification parallelizes across the
+    candidate set instead of serializing on the driver (the exhaustive
+    all-pairs oracle variant was 75 s of single-core driver time at 125k
+    pairs; distributed it is bounded by cores)."""
+
+    def __init__(self, ref, k: int, threshold: float):
+        import ray
+
+        d = ray.get(ref)
+        self.tid = d["tid"]
+        self.tvals = d["tvals"]
+        self.ver = JaccardVerifier(k=k, threshold=threshold)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        lids = b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rids = b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "left_id": b["left_id"],
+                "right_id": b["right_id"],
+                "left_text": self.tvals.take(
+                    pa.array(np.searchsorted(self.tid, lids), pa.int64())
+                ),
+                "right_text": self.tvals.take(
+                    pa.array(np.searchsorted(self.tid, rids), pa.int64())
+                ),
+            }
+        )
+        return self.ver(t)
+
+
 def _verify_edges_jaccard(
     ds,
     cand,
@@ -566,32 +601,32 @@ def _verify_edges_jaccard(
         need = np.unique(np.concatenate([lids, rids]))
         txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
         if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
+            import ray
+
             tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             torder = np.argsort(tid)
             tid = tid[torder]
             tvals = txt_t[column].combine_chunks().take(
                 pa.array(torder, pa.int64())
             )
-            left = tvals.take(pa.array(np.searchsorted(tid, lids), pa.int64()))
-            right = tvals.take(pa.array(np.searchsorted(tid, rids), pa.int64()))
-            ver = JaccardVerifier(k=k, threshold=threshold)
-            sims = np.empty(len(lids), dtype=np.float64)
-            chunk = 100_000  # bounds the shingle-stream working set
-            for s0 in range(0, len(lids), chunk):
-                s1 = min(s0 + chunk, len(lids))
-                sims[s0:s1] = ver.batch_jaccard(
-                    left.slice(s0, s1 - s0), right.slice(s0, s1 - s0)
+            texts_ref = ray.put({"tid": tid, "tvals": tvals})
+            # spread the (possibly single-block) candidate set so the
+            # verify parallelizes; ~20k pairs per batch bounds the
+            # shingle-stream working set
+            n_blocks = max(2, min(num_partitions, n_cand // 10_000 + 1))
+            return (
+                cand.repartition(n_blocks)
+                .map_batches(
+                    worker_cached_stage(
+                        _BroadcastAttachVerify,
+                        ref=texts_ref,
+                        k=k,
+                        threshold=threshold,
+                    ),
+                    batch_format="pyarrow",
+                    batch_size=20_000,
                 )
-            keep = sims >= threshold
-            import ray.data as rd
-
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        "left_id": pa.array(lids[keep], pa.int64()),
-                        "right_id": pa.array(rids[keep], pa.int64()),
-                    }
-                )
+                .select_columns(["left_id", "right_id"])
             )
 
     # attach both texts via distributed hash joins (no driver collect)
