@@ -819,3 +819,50 @@ def test_decontaminate_planted_overlap(ray_session):
         .tolist()
     )
     assert dropped == [1]
+
+
+def test_bucketed_ops_under_heavy_key_skew(ray_session):
+    """50% of all rows share ONE key: the coarse-bucket shuffle must stay
+    correct (co-partitioning holds trivially) and the hot bucket's single
+    vectorized pass must handle the whole hot key at once."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import keep_min_per_key, topk_per_key
+
+    n = 200_000
+    rng = np.random.default_rng(7)
+    keys = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 5_000, n))
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(8)
+
+    got = keep_min_per_key(ds, "k", "id").to_pandas().sort_values("k")
+    want = (
+        t.to_pandas().groupby("k", as_index=False)["id"].min().sort_values("k")
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["id"].tolist() == want["id"].tolist()
+
+    got2 = (
+        topk_per_key(ds, ["k"], 3, ["id"], descending=False)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    want2 = (
+        t.to_pandas()
+        .sort_values(["k", "id"])
+        .groupby("k", sort=False)
+        .head(3)
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    assert got2.equals(want2[["k", "id"]])

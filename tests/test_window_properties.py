@@ -1,0 +1,88 @@
+"""Property-based checks for the window/quantile operators against
+brute-force references — boundary cases (tied timestamps, gaps exactly at
+the window edge, negative values, single-row keys) that fixed fixtures and
+the synthetic driver tables rarely produce."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _frames(draw, n_max=40):
+    n = draw(st.integers(1, n_max))
+    keys = draw(
+        st.lists(st.integers(0, 3), min_size=n, max_size=n)
+    )
+    ts = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    vals = draw(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return pd.DataFrame({"k": keys, "ts": ts, "v": np.asarray(vals, dtype=np.float64)})
+
+
+@st.composite
+def frames(draw):
+    return _frames(draw)
+
+
+def _brute_rolling(df: pd.DataFrame, window: int) -> pd.DataFrame:
+    """O(n^2) RANGE-frame reference incl. the SQL peer rule."""
+    out = []
+    for _, g in df.groupby("k"):
+        g = g.sort_values(["ts", "v"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        v = g["v"].to_numpy()
+        roll = [
+            v[(ts >= t - window) & (ts <= t)].sum()  # peers of t included
+            for t in ts
+        ]
+        out.append(g.assign(roll_ref=roll))
+    return pd.concat(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(frames(), st.integers(0, 20))
+def test_rolling_time_sum_matches_bruteforce(ray_session, df, window):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import rolling_time_sum
+
+    got = (
+        rolling_time_sum(rd.from_pandas(df).repartition(2), "k", "ts", "v", window)
+        .to_pandas()
+        .sort_values(["k", "ts", "v"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ref = (
+        _brute_rolling(df, window)
+        .sort_values(["k", "ts", "v"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["roll_sum"].to_numpy(), ref["roll_ref"].to_numpy())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(-1000, 1000, allow_nan=False, width=32), min_size=1, max_size=60),
+    st.floats(0, 1),
+)
+def test_quantile_cont_matches_numpy(ray_session, vals, q):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.quantiles import quantile_cont
+
+    df = pd.DataFrame({"x": np.asarray(vals, dtype=np.float64)})
+    got = quantile_cont(rd.from_pandas(df).repartition(2), "x", [q]).to_pandas()
+    # numpy's 'linear' interpolation == SQL quantile_cont semantics
+    want = float(np.quantile(np.asarray(vals, dtype=np.float64), q))
+    assert math.isclose(got["value"][0], want, rel_tol=1e-9, abs_tol=1e-9)
