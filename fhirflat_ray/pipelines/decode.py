@@ -87,24 +87,151 @@ def segment_paths(seg_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
 
 
+#: predicate ops supported by zone pruning + residual filtering
+_PRED_OPS = {"==", "<", "<=", ">", ">="}
+
+
+def _zone_may_match(zone: tuple, op: str, val) -> bool:
+    lo, hi = zone
+    if op == "==":
+        return lo <= val <= hi
+    if op == ">=":
+        return hi >= val
+    if op == ">":
+        return hi > val
+    if op == "<=":
+        return lo <= val
+    return lo < val  # "<"
+
+
+def _norm_pred(predicate) -> list[tuple[str, str, object]]:
+    import datetime as _dt
+
+    out = []
+    for col, op, val in predicate:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        if isinstance(val, _dt.datetime):
+            val = int(val.timestamp() * 1_000_000)
+        out.append((col, op, val))
+    return out
+
+
+def prune_segments(seg_dir: str, predicate) -> list[str]:
+    """Paths of segments whose ZONE MAPS may satisfy every conjunct.
+
+    Each segment header (a few hundred bytes at a fixed offset) carries
+    min/max per orderable column; a segment is skipped only when some
+    conjunct PROVABLY cannot hold — columns without zones keep the segment.
+    The header scan is a tiny read per segment; above ~256 segments it runs
+    as a Ray task fan-out (at 100k+ segments the manifest's ``zones``
+    records are the catalog-level plan path)."""
+    preds = _norm_pred(predicate)
+    paths = segment_paths(seg_dir)
+
+    def keep(path: str) -> bool:
+        hdr, _ = seg.read_segment_header(path)
+        zones = seg.zones_of_header(hdr)
+        for col, op, val in preds:
+            z = zones.get(col)
+            if z is not None and not _zone_may_match(z, op, val):
+                return False
+        return True
+
+    if len(paths) <= 256:
+        return [p for p in paths if keep(p)]
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def _keep_chunk(chunk: list[str]) -> list[str]:
+        return [p for p in chunk if keep(p)]
+
+    chunks = [paths[i : i + 256] for i in range(0, len(paths), 256)]
+    out: list[str] = []
+    for part in ray.get([_keep_chunk.remote(c) for c in chunks]):
+        out.extend(part)
+    return out
+
+
+def _residual_filter(preds: list[tuple[str, str, object]]):
+    """Exact vectorized post-decode filter for the pruned scan."""
+    import pyarrow.compute as pc
+
+    ops = {
+        "==": pc.equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, val in preds:
+            c = batch[col]
+            if pa.types.is_timestamp(c.type) and isinstance(val, int):
+                c = c.cast(pa.int64())
+            m = ops[op](c, val)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
+
+    return f
+
+
 def decode_dataset(
     seg_dir: str,
     columns: list[str] | None = None,
     concurrency: int | tuple[int, int] | None = None,
     verify_checksums: bool = False,
     compute: str = "tasks",
+    predicate: list[tuple[str, str, object]] | None = None,
 ):
     """Lazy Dataset over all segments in ``seg_dir``.
 
     ``compute="tasks"`` (default) decodes in stateless tasks with a
     worker-local dictionary-store cache; ``"actors"`` uses the
-    ``DecodeSegment`` pool. Identical output either way."""
+    ``DecodeSegment`` pool. Identical output either way.
+
+    ``predicate`` is a conjunction of ``(column, op, value)`` with op in
+    ``== < <= > >=``: zone maps skip whole segments that provably cannot
+    match (header-only reads — see :func:`prune_segments`), and the exact
+    vectorized residual filter runs after decode, so the result equals a
+    full decode + filter while reading only the surviving segments."""
     import ray
     import ray.data as rd
+
+    if predicate is not None:
+        preds = _norm_pred(predicate)
+        kept = prune_segments(seg_dir, preds)
+        if not kept:
+            # nothing can match: decode ONE segment and let the residual
+            # filter empty it — preserves the output schema (an empty
+            # from_arrow Dataset loses its columns through to_pandas)
+            all_paths = segment_paths(seg_dir)
+            if not all_paths:
+                raise FileNotFoundError(f"no segments under {seg_dir!r}")
+            kept = all_paths[:1]
+        inner = _decode_paths(
+            seg_dir, kept, columns, concurrency, verify_checksums, compute
+        )
+        return inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
 
     paths = segment_paths(seg_dir)
     if not paths:
         raise FileNotFoundError(f"no segments under {seg_dir!r}")
+    return _decode_paths(seg_dir, paths, columns, concurrency, verify_checksums, compute)
+
+
+def _decode_paths(
+    seg_dir: str,
+    paths: list[str],
+    columns: list[str] | None,
+    concurrency,
+    verify_checksums: bool,
+    compute: str,
+):
+    import ray
+    import ray.data as rd
 
     if columns is not None:
         # ranged pruned reads: only the requested columns' byte ranges leave

@@ -2328,6 +2328,50 @@ FROM events GROUP BY event_type
 """
 
 
+def pruned_scan(sf_dir: str):
+    """Zone-map predicate pushdown through the engine's OWN format: encode
+    the (ts-sorted) events table into many small segments — row-range
+    partitions of a sorted source give tight disjoint per-segment ts zones
+    — then decode with ``ts >= cutoff``. Header-only zone checks skip the
+    earlier segments entirely (``pipelines/decode.py:prune_segments``) and
+    the exact vectorized residual filter runs on the survivors, so the
+    result equals a full scan + WHERE while reading only matching
+    segments — the engine-format analogue of Parquet row-group pruning."""
+    import datetime as dt
+
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_zm", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    # re-shard the (single-row-group) source into ordered fragments first —
+    # at real scale data arrives as many fragments anyway; row-range blocks
+    # of a ts-sorted source keep per-fragment ts ranges disjoint
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("ts",), target_rows=1024)
+    cutoff = dt.datetime(2024, 1, 22)
+    out = dec.decode_dataset(
+        seg_dir,
+        columns=["event_id", "user_id", "ts"],
+        predicate=[("ts", ">=", cutoff)],
+    )
+    return out
+
+
+PRUNED_SCAN_SQL = """
+SELECT event_id, user_id, ts FROM events
+WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2398,6 +2442,7 @@ QUERIES = {
     "media_features": media_features,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
+    "pruned_scan": pruned_scan,
 }
 
 ORACLE_SQL = {
@@ -2459,6 +2504,7 @@ ORACLE_SQL = {
     "quantiles_cont_value": QUANTILES_CONT_VALUE_SQL,
     "nearest_eval_vec": NEAREST_EVAL_VEC_SQL,
     "props_extract": PROPS_EXTRACT_SQL,
+    "pruned_scan": PRUNED_SCAN_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -50,6 +50,9 @@ def lineage_record(
         "codecs": {
             c["name"]: _codec_label(c["hdr"]) for c in columns
         },
+        # zone maps surface in the manifest too: a catalog-level reader can
+        # plan a pruned scan without touching any segment header
+        "zones": {c["name"]: c["zone"] for c in columns if "zone" in c},
         "column_sha256": {c["name"]: c["sha256"] for c in columns},
         "payload_sha256": payload_sha256,
     }

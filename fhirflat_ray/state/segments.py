@@ -31,6 +31,37 @@ def sha256_hex(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+def _zone_of(arr) -> list | None:
+    """Per-segment zone map (min/max) for orderable scalar columns —
+    the same file-level statistics Parquet/Iceberg keep, attached to the
+    segment header (a few bytes) so a predicate scan can skip whole
+    segments from the header alone. Timestamps normalize to int64
+    microseconds (JSON-safe, comparable on both the prune and residual
+    paths); strings/nested types carry no zone (kept conservatively)."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        arr = arr.cast(pa.int64())
+    elif not (pa.types.is_integer(t) or pa.types.is_floating(t)):
+        return None
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return None  # all-null: no zone, segment kept conservatively
+    if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
+        return None
+    return [lo, hi]
+
+
+def zones_of_header(header: dict[str, Any]) -> dict[str, tuple]:
+    return {
+        c["name"]: (c["zone"][0], c["zone"][1])
+        for c in header.get("columns", [])
+        if "zone" in c
+    }
+
+
 def encode_table(
     table: pa.Table,
     shared_dicts: dict[str, tuple[str, pa.Array]] | None = None,
@@ -49,16 +80,18 @@ def encode_table(
         hdr, blob = encode_column(
             arr, shared_vocab=sv[1] if sv else None, shared_hash=sv[0] if sv else None
         )
-        columns.append(
-            {
-                "name": name,
-                "hdr": hdr,
-                "off": off,
-                "len": len(blob),
-                "sha256": sha256_hex(blob),
-                "nullable": table.schema.field(name).nullable,
-            }
-        )
+        col = {
+            "name": name,
+            "hdr": hdr,
+            "off": off,
+            "len": len(blob),
+            "sha256": sha256_hex(blob),
+            "nullable": table.schema.field(name).nullable,
+        }
+        zone = _zone_of(arr)
+        if zone is not None:
+            col["zone"] = zone
+        columns.append(col)
         blobs.append(blob)
         off += len(blob)
     header = {

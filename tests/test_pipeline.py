@@ -324,3 +324,61 @@ def test_resume_reencodes_in_place_rewrite(ray_session, tmp_path):
 
     verdict = ver.verify_roundtrip(rd.read_parquet(path), dec.decode_dataset(out))
     assert verdict["equal"], verdict
+
+
+def test_zone_map_predicate_pushdown(ray_session, tmp_path):
+    """Zone maps skip whole segments from header-only reads, and the pruned
+    scan's result equals a full decode + filter exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fhirflat_ray.pipelines.decode import decode_dataset, prune_segments
+    from fhirflat_ray.pipelines.encode import encode_files
+    from fhirflat_ray.state.lineage import read_manifest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 4 fragments with DISJOINT ts ranges -> each segment gets a tight zone
+    for f in range(4):
+        n = 500
+        ts = np.arange(n, dtype=np.int64) + f * 10_000
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(ts, pa.int64()),
+                    "v": pa.array(np.arange(n, dtype=np.float64) + f),
+                }
+            ),
+            str(src / f"frag{f}.parquet"),
+        )
+    seg_dir = str(tmp_path / "segs")
+    encode_files(str(src), seg_dir, sort_keys=("ts",), target_rows=1_000)
+
+    # manifest carries zones for catalog-level planning
+    man = read_manifest(seg_dir)
+    assert all("ts" in p["zones"] for p in man["partitions"])
+
+    pred = [("ts", ">=", 25_000)]
+    kept = prune_segments(seg_dir, pred)
+    all_paths = prune_segments(seg_dir, [("ts", ">=", -1)])
+    assert 0 < len(kept) < len(all_paths)  # real segments skipped
+
+    got = (
+        decode_dataset(seg_dir, predicate=pred)
+        .to_pandas()
+        .sort_values(["ts"])
+        .reset_index(drop=True)
+    )
+    full = decode_dataset(seg_dir).to_pandas()
+    want = (
+        full[full["ts"] >= 25_000].sort_values(["ts"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # predicate selecting nothing: empty result, Dataset schema intact
+    # (an all-rows-filtered Dataset's to_pandas drops columns — a generic
+    # Ray quirk for ANY empty filter result, so assert on Dataset.schema())
+    empty_ds = decode_dataset(seg_dir, predicate=[("ts", ">", 10**9)])
+    assert empty_ds.count() == 0
+    assert set(empty_ds.schema().names) == set(full.columns)
