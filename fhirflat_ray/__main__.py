@@ -63,9 +63,14 @@ def cmd_encode(args: argparse.Namespace) -> int:
 
 def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
-    from fhirflat_ray.pipelines.decode import decode_to_parquet
+    from fhirflat_ray.pipelines.decode import decode_to_parquet, parse_predicate
 
-    decode_to_parquet(args.input, args.output, columns=args.columns.split(",") if args.columns else None)
+    decode_to_parquet(
+        args.input,
+        args.output,
+        columns=args.columns.split(",") if args.columns else None,
+        predicate=parse_predicate(args.where) if args.where else None,
+    )
     print(json.dumps({"decoded_to": args.output}))
     return 0
 
@@ -200,6 +205,11 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("input")
     pd_.add_argument("output")
     pd_.add_argument("--columns", default=None)
+    pd_.add_argument(
+        "--where",
+        default=None,
+        help="zone-map pruned scan: conjuncts like 'ts>=2024-01-22,v<10'",
+    )
     pd_.set_defaults(fn=cmd_decode)
 
     pv = sub.add_parser("verify", help="decoded == source round-trip check")

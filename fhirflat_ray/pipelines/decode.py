@@ -278,6 +278,40 @@ def _decode_paths(
     )
 
 
-def decode_to_parquet(seg_dir: str, dest_dir: str, columns: list[str] | None = None) -> None:
+def parse_predicate(spec: str) -> list[tuple[str, str, object]]:
+    """Parse a CLI predicate string ``"col>=123,col2==abc"`` into the
+    conjunct list :func:`decode_dataset` takes. Numeric literals become
+    int/float; ISO timestamps (``2024-01-22`` / ``2024-01-22T06:00:00``)
+    become int64 microseconds; everything else stays a string."""
+    import datetime as _dt
+    import re
+
+    out: list[tuple[str, str, object]] = []
+    for part in spec.split(","):
+        m = re.match(r"^\s*(\w+)\s*(==|<=|>=|<|>)\s*(.+?)\s*$", part)
+        if not m:
+            raise ValueError(f"bad predicate conjunct {part!r}")
+        col, op, raw = m.groups()
+        val: object
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                try:
+                    val = _dt.datetime.fromisoformat(raw)
+                except ValueError:
+                    val = raw
+        out.append((col, op, val))
+    return out
+
+
+def decode_to_parquet(
+    seg_dir: str,
+    dest_dir: str,
+    columns: list[str] | None = None,
+    predicate: list[tuple[str, str, object]] | None = None,
+) -> None:
     """Stream segments back out as a partitioned parquet directory."""
-    decode_dataset(seg_dir, columns).write_parquet(dest_dir)
+    decode_dataset(seg_dir, columns, predicate=predicate).write_parquet(dest_dir)
