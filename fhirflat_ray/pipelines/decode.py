@@ -132,10 +132,16 @@ def prune_segments(seg_dir: str, predicate) -> list[str]:
     def keep(path: str) -> bool:
         hdr, _ = seg.read_segment_header(path)
         zones = seg.zones_of_header(hdr)
+        blooms = seg.blooms_of_header(hdr)
         for col, op, val in preds:
             z = zones.get(col)
             if z is not None and not _zone_may_match(z, op, val):
                 return False
+            # string point lookups: the per-segment bloom can prove absence
+            if op == "==" and isinstance(val, str):
+                b = blooms.get(col)
+                if b is not None and not seg.bloom_may_contain(b, val):
+                    return False
         return True
 
     if len(paths) <= 256:

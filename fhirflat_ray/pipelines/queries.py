@@ -2372,6 +2372,34 @@ WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
 """
 
 
+def conv_lookup(sf_dir: str):
+    """Point lookup through the engine format: fetch ONE conversation from
+    encoded transcript segments. Per-segment string BLOOM filters (built at
+    encode over each segment's distinct values) prove absence from the
+    header alone, so only segments that may hold the conversation are
+    decoded — the transcript-serving access pattern ('show me conv X')
+    without any full scan."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_cl", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    transcript_build(sf_dir).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(
+        src_dir, seg_dir, shared_dict_columns=["role", "tool"], target_rows=256
+    )
+    return dec.decode_dataset(seg_dir, predicate=[("conv_id", "==", "conv-7")])
+
+
+def _conv_lookup_sql() -> str:
+    return f"SELECT * FROM ({TRANSCRIPT_BUILD_SQL}) WHERE conv_id = 'conv-7'"
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2443,6 +2471,7 @@ QUERIES = {
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
+    "conv_lookup": conv_lookup,
 }
 
 ORACLE_SQL = {
@@ -2505,6 +2534,7 @@ ORACLE_SQL = {
     "nearest_eval_vec": NEAREST_EVAL_VEC_SQL,
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
+    "conv_lookup": _conv_lookup_sql(),
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

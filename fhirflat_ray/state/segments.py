@@ -19,6 +19,7 @@ import os
 import tempfile
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 from fhirflat_ray.codecs import decode_column, encode_column
@@ -52,6 +53,62 @@ def _zone_of(arr) -> list | None:
     if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
         return None
     return [lo, hi]
+
+
+#: bloom parameters: 8192 bits (1 KiB) / 4 probes; built only when the
+#: segment's distinct count is ≤ _BLOOM_MAX_DISTINCT, keeping the false-
+#: positive rate ~1e-4 and the header growth bounded
+_BLOOM_BITS = 8192
+_BLOOM_K = 4
+_BLOOM_MAX_DISTINCT = 4096
+
+
+def _bloom_hashes(values) -> np.ndarray:
+    """(n, k) probe positions via stable double hashing (pandas siphash is
+    key-stable across processes — the same property the shingle machinery
+    relies on)."""
+    import pandas.util as pdu
+
+    h = pdu.hash_array(np.asarray(values, dtype=object)).astype(np.int64)
+    h1 = (h >> np.int64(32)) & np.int64(0xFFFFFFFF)
+    h2 = (h & np.int64(0xFFFFFFFF)) | np.int64(1)  # odd step
+    probes = [(h1 + np.int64(i) * h2) % np.int64(_BLOOM_BITS) for i in range(_BLOOM_K)]
+    return np.stack(probes, axis=1)
+
+
+def _bloom_of(arr) -> str | None:
+    """Hex bloom filter over a string column's distinct values (point-lookup
+    pushdown: ``==`` predicates skip segments whose bloom provably lacks
+    the value). None when the type isn't string-like or the segment's
+    distinct count exceeds the cap."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        return None
+    vals = pc.unique(pc.drop_null(
+        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    ))
+    if len(vals) == 0 or len(vals) > _BLOOM_MAX_DISTINCT:
+        return None
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits[_bloom_hashes(vals.to_numpy(zero_copy_only=False)).ravel()] = True
+    return np.packbits(bits).tobytes().hex()
+
+
+def bloom_may_contain(bloom_hex: str, value: str) -> bool:
+    bits = np.unpackbits(np.frombuffer(bytes.fromhex(bloom_hex), dtype=np.uint8))
+    return bool(bits[_bloom_hashes([value]).ravel()].all())
+
+
+def blooms_of_header(header: dict[str, Any]) -> dict[str, str]:
+    return {
+        c["name"]: c["bloom"]
+        for c in header.get("columns", [])
+        if "bloom" in c
+    }
 
 
 def zones_of_header(header: dict[str, Any]) -> dict[str, tuple]:
@@ -91,6 +148,9 @@ def encode_table(
         zone = _zone_of(arr)
         if zone is not None:
             col["zone"] = zone
+        bloom = _bloom_of(arr)
+        if bloom is not None:
+            col["bloom"] = bloom
         columns.append(col)
         blobs.append(blob)
         off += len(blob)

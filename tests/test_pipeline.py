@@ -382,3 +382,44 @@ def test_zone_map_predicate_pushdown(ray_session, tmp_path):
     empty_ds = decode_dataset(seg_dir, predicate=[("ts", ">", 10**9)])
     assert empty_ds.count() == 0
     assert set(empty_ds.schema().names) == set(full.columns)
+
+
+def test_bloom_point_lookup_prunes_segments(ray_session, tmp_path):
+    """String == predicates skip segments via the per-segment bloom."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fhirflat_ray.pipelines.decode import decode_dataset, prune_segments
+    from fhirflat_ray.pipelines.encode import encode_files
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # 4 fragments, DISJOINT conv-id universes
+    for f in range(4):
+        convs = [f"conv-{f}-{i}" for i in range(20) for _ in range(25)]
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array(convs, pa.string()),
+                    "v": pa.array(np.arange(len(convs), dtype=np.int64)),
+                }
+            ),
+            str(src / f"frag{f}.parquet"),
+        )
+    seg_dir = str(tmp_path / "segs")
+    encode_files(str(src), seg_dir, sort_keys=None, target_rows=1_000)
+
+    kept = prune_segments(seg_dir, [("conv_id", "==", "conv-2-7")])
+    allp = prune_segments(seg_dir, [("v", ">=", -1)])
+    assert 0 < len(kept) < len(allp)
+
+    got = decode_dataset(
+        seg_dir, predicate=[("conv_id", "==", "conv-2-7")]
+    ).to_pandas()
+    assert len(got) == 25 and set(got["conv_id"]) == {"conv-2-7"}
+
+    # absent value: bloom proves absence everywhere
+    assert (
+        decode_dataset(seg_dir, predicate=[("conv_id", "==", "nope")]).count() == 0
+    )
