@@ -187,3 +187,114 @@ def rolling_hash_batch(batch: pa.Table, column: str = "text", window: int = 16) 
     return batch.append_column(
         "rolling_fp", pa.array(np.where(null_mask, None, out), pa.int64(), mask=null_mask)
     )
+
+
+# ------------------------------------------------------------- PII scrub
+
+
+#: applied in order; counts are over the ORIGINAL text per pattern (a digit
+#: run inside a phone number is counted by both the phone and number
+#: patterns — deterministic and mirrored exactly by the SQL oracle)
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d+\b", "<NUM>"),
+]
+
+
+def pii_scrub_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Redact emails / phone numbers / standalone digit runs — the map-only
+    scrubbing pass a corpus goes through before training. Both pyarrow and
+    the DuckDB oracle run RE2, so the patterns behave identically on both
+    sides. Adds ``clean_<column>`` and ``n_redactions``."""
+    text = batch[column]
+    clean = text
+    n_red = pa.chunked_array([pa.array(np.zeros(len(text), np.int64))])
+    for pat, rep in PII_PATTERNS:
+        n_red = pc.add(n_red, pc.cast(pc.count_substring_regex(text, pat), pa.int64()))
+        clean = pc.replace_substring_regex(clean, pat, rep)
+    out = batch.append_column(f"clean_{column}", clean)
+    return out.append_column("n_redactions", n_red)
+
+
+# ------------------------------------------------------------- repetition
+
+
+def repetition_metrics_batch(
+    batch: pa.Table,
+    column: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> pa.Table:
+    """Gopher/C4-style repetition signal: the count of a document's single
+    most frequent token vs its total tokens. Docs where
+    ``top_word_n / n_words > threshold_num / threshold_den`` are flagged
+    for removal — the comparison is exact integer math
+    (``top_word_n * den > n_words * num``) so the oracle can mirror it with
+    no float-rounding ambiguity. Map-only (each document is one row, so the
+    whole computation is per-batch): Arrow regex split -> offsets ->
+    one pandas C-engine groupby across ALL documents in the batch."""
+    import pandas as pd
+
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy()
+    vals = words.values.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))
+    nonempty = vals != ""  # trim+split leaves [""] for all-whitespace docs
+    vals, parent = vals[nonempty], parent[nonempty]
+
+    n_docs = len(batch)
+    mx = np.zeros(n_docs, np.int64)
+    tot = np.zeros(n_docs, np.int64)
+    if len(vals):
+        counts = (
+            pd.DataFrame({"d": parent, "w": vals})
+            .groupby(["d", "w"], sort=False)
+            .size()
+        )
+        per_doc = counts.groupby(level="d", sort=False)
+        mx_s, tot_s = per_doc.max(), per_doc.sum()
+        mx[mx_s.index.to_numpy()] = mx_s.to_numpy()
+        tot[tot_s.index.to_numpy()] = tot_s.to_numpy()
+
+    out = batch.append_column("n_words", pa.array(tot, pa.int64()))
+    out = out.append_column("top_word_n", pa.array(mx, pa.int64()))
+    return out.append_column(
+        "flagged", pa.array(mx * threshold_den > tot * threshold_num, pa.bool_())
+    )
+
+
+# ------------------------------------------------------------- n-grams
+
+
+def bigram_counts_partial(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-batch partial bigram counts (the A5 combiner pattern: shrink the
+    shuffle to one row per in-batch distinct bigram before any groupby).
+    Consecutive-token pairing is pure numpy over the Arrow list offsets."""
+    import pandas as pd
+
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy()
+    vals = words.values.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))
+    nonempty = vals != ""
+    vals, parent = vals[nonempty], parent[nonempty]
+    if len(vals) < 2:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    same = parent[1:] == parent[:-1]
+    big = pd.Series(vals[:-1][same]).str.cat(pd.Series(vals[1:][same]), sep=" ")
+    c = big.value_counts(sort=False)
+    return pa.table(
+        {"bigram": pa.array(c.index, pa.string()), "n": pa.array(c.to_numpy(np.int64))}
+    )

@@ -1,0 +1,158 @@
+"""Transcript-shaped operators: context-window packing, truncation and
+turn-pair mining over (conv_id, turn_idx)-keyed tables.
+
+These are the serving/training access patterns a transcript store exists
+for: chunk a conversation into model-context-sized windows, keep the most
+recent N tokens, and mine (prompt, response) pairs for SFT. All three are
+one coarse-bucket shuffle on the conversation key plus a vectorized pass
+per bucket (the keyed_window discipline — Python cost per bucket, never
+per conversation or per row). Parity targets are window-function /
+recursive-CTE SQL (see the oracles in ``pipelines/queries.py``); the
+reference's analogous grouped-reshape machinery is the melt/implode family
+(``/root/reference/fhirflat/ingest.py:181-226``).
+
+Scale shape: each operator ships every transcript row through the key
+shuffle exactly once (no amplification, no materialized side). The packing
+pass builds a dense (conversations x max_turns) int64 matrix per bucket —
+the standard jagged-transpose trick that turns the inherently sequential
+reset-cumsum into ``max_turns`` numpy steps vectorized across all
+conversations in the bucket. Assumption (same as any keyed window): one
+conversation's rows fit in a worker; matrix size is bounded by the bucket's
+row count times the skew of the longest conversation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = r"\S+"
+
+
+def _whitespace_tokens(texts: pd.Series) -> np.ndarray:
+    """Whitespace token counts, C-vectorized; parity with DuckDB
+    ``len(regexp_extract_all(text, '\\S+'))`` (nulls count 0)."""
+    return texts.fillna("").str.count(_TOKEN_RE).to_numpy(np.int64)
+
+
+def pack_context_windows(
+    ds,
+    key: str,
+    order_col: str,
+    text_col: str,
+    budget: int,
+    out_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+):
+    """Greedy context-window packing: within each ``key`` (ordered by
+    ``order_col``) assign every row a chunk id such that a chunk's token
+    total never exceeds ``budget`` unless a single row alone does.
+
+    Semantics (must match the recursive-CTE oracle exactly): the first row
+    of a conversation opens chunk 0 with ``cum = tokens`` even when it
+    already exceeds the budget; each later row starts a new chunk iff
+    ``cum + tokens > budget`` (resetting ``cum`` to its own token count),
+    else joins the current chunk.
+
+    The reset-cumsum is sequential per conversation, so the per-bucket pass
+    iterates over within-conversation POSITIONS (max_turns numpy steps),
+    each step vectorized across every conversation in the bucket — the
+    Python loop length is the longest conversation, not the row count.
+    """
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
+        tok = _whitespace_tokens(g[text_col])
+        codes, _ = pd.factorize(g[key], sort=False)
+        pos = g.groupby(key, sort=False).cumcount().to_numpy(np.int64)
+        n_conv = int(codes.max()) + 1 if len(codes) else 0
+        max_pos = int(pos.max()) + 1 if len(pos) else 0
+
+        tokm = np.zeros((n_conv, max_pos), np.int64)
+        valid = np.zeros((n_conv, max_pos), bool)
+        tokm[codes, pos] = tok
+        valid[codes, pos] = True
+
+        chunkm = np.zeros((n_conv, max_pos), np.int64)
+        cum = np.zeros(n_conv, np.int64)
+        chunk = np.zeros(n_conv, np.int64)
+        for t in range(max_pos):
+            tk = tokm[:, t]
+            if t == 0:
+                cum = tk.copy()
+            else:
+                over = valid[:, t] & (cum + tk > budget)
+                chunk = chunk + over
+                cum = np.where(over, tk, cum + tk)
+            chunkm[:, t] = chunk
+
+        g[tokens_col] = tok
+        g[out_col] = chunkm[codes, pos]
+        return g
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def truncate_context(
+    ds,
+    key: str,
+    order_col: str,
+    text_col: str,
+    budget: int,
+):
+    """Keep each conversation's most recent suffix whose token total fits
+    ``budget`` — the context-window truncation a serving path applies
+    before prompting. The newest row always survives even when it alone
+    exceeds the budget. One shuffle + one vectorized reverse-cumsum per
+    bucket (pandas C groupby engine)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key, order_col], ascending=[True, False], kind="mergesort"
+        ).reset_index(drop=True)
+        tok = _whitespace_tokens(g[text_col])
+        gb = g.groupby(key, sort=False)
+        revcum = (
+            pd.Series(tok, index=g.index).groupby(g[key], sort=False).cumsum()
+        ).to_numpy(np.int64)
+        newest = gb.cumcount().to_numpy(np.int64) == 0
+        return g[(revcum <= budget) | newest]
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def turn_pairs(
+    ds,
+    key: str,
+    order_col: str,
+    role_col: str,
+    text_col: str,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+):
+    """Mine adjacent (prompt, response) turn pairs: rows where this turn's
+    role is ``prompt_role`` and the NEXT turn (by ``order_col`` within the
+    conversation) is ``response_role`` — the SFT-pair extraction pass.
+    LEAD() via the shared keyed_window machinery, then a vectorized
+    filter."""
+    from fhirflat_ray.functions.windows import keyed_window
+
+    w = keyed_window(
+        ds,
+        key,
+        [order_col],
+        [
+            ("lead", text_col, 1, "__next_text"),
+            ("lead", role_col, 1, "__next_role"),
+        ],
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g[role_col] == prompt_role) & (g["__next_role"] == response_role)
+        out = g.loc[m, [key, order_col, text_col, "__next_text"]].copy()
+        out.columns = [key, order_col, "prompt", "response"]
+        return out
+
+    return w.map_batches(finish, batch_format="pandas")

@@ -2401,6 +2401,198 @@ def _conv_lookup_sql() -> str:
 
 
 # =====================================================================
+# Transcript training/serving operators
+# =====================================================================
+
+
+_PACK_BUDGET = 64
+
+
+def context_pack(sf_dir: str):
+    """Greedy context-window packing: chunk every conversation's turns into
+    <=64-token windows (a single over-budget turn gets its own chunk) — the
+    training-data chunking pass. The per-conversation reset-cumsum is
+    inherently sequential, so the engine runs it as max_turns vectorized
+    numpy steps across all conversations per bucket (jagged-transpose); the
+    oracle is a recursive CTE stepping the same recurrence."""
+    from fhirflat_ray.functions.transcripts import pack_context_windows
+
+    ds = pack_context_windows(
+        transcript_build(sf_dir), "conv_id", "turn_idx", "text", _PACK_BUDGET
+    )
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "n_tokens", "chunk_id"]),
+        batch_format="pyarrow",
+    )
+
+
+CONTEXT_PACK_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos
+  FROM ({TRANSCRIPT_BUILD_SQL})
+), rec AS (
+  SELECT conv_id, turn_idx, pos, n_tokens,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS cum
+  FROM base WHERE pos = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.pos, b.n_tokens,
+         CASE WHEN r.cum + b.n_tokens > {_PACK_BUDGET}
+              THEN r.chunk_id + 1 ELSE r.chunk_id END,
+         CASE WHEN r.cum + b.n_tokens > {_PACK_BUDGET}
+              THEN b.n_tokens ELSE r.cum + b.n_tokens END
+  FROM rec r JOIN base b ON b.conv_id = r.conv_id AND b.pos = r.pos + 1
+)
+SELECT conv_id, turn_idx, n_tokens, chunk_id FROM rec
+"""
+
+
+_TRUNC_BUDGET = 128
+
+
+def context_truncate(sf_dir: str):
+    """Serving-side context truncation: keep each conversation's most
+    recent turns whose running token total fits the budget (the newest turn
+    always survives). One key shuffle + a vectorized reverse cumsum per
+    bucket."""
+    from fhirflat_ray.functions.transcripts import truncate_context
+
+    ds = truncate_context(
+        transcript_build(sf_dir), "conv_id", "turn_idx", "text", _TRUNC_BUDGET
+    )
+    return ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+    )
+
+
+CONTEXT_TRUNCATE_SQL = f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM ({TRANSCRIPT_BUILD_SQL})
+), r AS (
+  SELECT conv_id, turn_idx, role, text,
+         SUM(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revcum,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+  FROM base
+)
+SELECT conv_id, turn_idx, role, text FROM r
+WHERE revcum <= {_TRUNC_BUDGET} OR rn = 1
+"""
+
+
+def turn_pairs(sf_dir: str):
+    """SFT-pair mining: adjacent (user -> assistant) turns become
+    (prompt, response) rows — LEAD() through the shared keyed-window
+    machinery, then a vectorized filter."""
+    from fhirflat_ray.functions.transcripts import turn_pairs as _tp
+
+    return _tp(transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text")
+
+
+TURN_PAIRS_SQL = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text AS prompt,
+         LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS response,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM ({TRANSCRIPT_BUILD_SQL})
+)
+SELECT conv_id, turn_idx, prompt, response
+FROM w WHERE role = 'user' AND next_role = 'assistant'
+"""
+
+
+def pii_scrub(sf_dir: str):
+    """Map-only PII scrub over the raw event payloads: emails, phone
+    numbers and standalone digit runs redacted with vectorized RE2 kernels;
+    n_redactions counts matches on the original text per pattern. Both
+    sides (pyarrow, DuckDB) execute RE2, so the patterns are portable."""
+    from fhirflat_ray.functions.text import pii_scrub_batch
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    return ds.map_batches(
+        lambda b: pii_scrub_batch(b, column="props"), batch_format="pyarrow"
+    ).select_columns(["event_id", "clean_props", "n_redactions"])
+
+
+PII_SCRUB_SQL = r"""
+SELECT event_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(props,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d+\b', '<NUM>', 'g') AS clean_props,
+       CAST(len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(props, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+          + len(regexp_extract_all(props, '\b\d+\b')) AS BIGINT) AS n_redactions
+FROM events
+"""
+
+
+def repetition_flags(sf_dir: str):
+    """C4/Gopher repetition filter signal: most-frequent-token count vs
+    total tokens per document; flagged when top_word_n/n_words > 1/5
+    (exact integer comparison on both sides)."""
+    from fhirflat_ray.functions.text import repetition_metrics_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        repetition_metrics_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_words", "top_word_n", "flagged"])
+
+
+REPETITION_FLAGS_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word
+), a AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words, CAST(max(n) AS BIGINT) AS top_word_n
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.top_word_n, 0) AS top_word_n,
+       COALESCE(a.top_word_n * 5 > a.n_words * 1, FALSE) AS flagged
+FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+"""
+
+
+def bigram_top(sf_dir: str):
+    """Corpus-wide top-20 bigrams: per-batch partial counts (one row per
+    in-batch distinct bigram leaves the map stage), a coarse-bucket
+    vectorized combine, then streaming top-k — no global sort anywhere."""
+    from fhirflat_ray.functions.text import bigram_counts_partial
+    from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
+
+    partial = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        bigram_counts_partial, batch_format="pyarrow"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("bigram", sort=False).agg(n=("n", "sum")).reset_index()
+
+    combined = bucketed_map_groups(partial, ["bigram"], combine)
+    return streaming_topk(combined, ["n", "bigram"], 20, descending=[True, False])
+
+
+BIGRAM_TOP_SQL = r"""
+WITH d AS (
+  SELECT regexp_extract_all(text, '\S+') AS w FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM d
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -2472,6 +2664,12 @@ QUERIES = {
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
     "conv_lookup": conv_lookup,
+    "context_pack": context_pack,
+    "context_truncate": context_truncate,
+    "turn_pairs": turn_pairs,
+    "pii_scrub": pii_scrub,
+    "repetition_flags": repetition_flags,
+    "bigram_top": bigram_top,
 }
 
 ORACLE_SQL = {
@@ -2535,6 +2733,12 @@ ORACLE_SQL = {
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
     "conv_lookup": _conv_lookup_sql(),
+    "context_pack": CONTEXT_PACK_SQL,
+    "context_truncate": CONTEXT_TRUNCATE_SQL,
+    "turn_pairs": TURN_PAIRS_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+    "repetition_flags": REPETITION_FLAGS_SQL,
+    "bigram_top": BIGRAM_TOP_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -1,0 +1,153 @@
+"""Tests for transcript training/serving operators (context packing,
+truncation, SFT pair mining) and the corpus-scrub text functions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fhirflat_ray.functions import text as tx
+from fhirflat_ray.functions import transcripts as tr
+
+
+def conv_table() -> pa.Table:
+    # conv A: 4 turns of 3/5/4/2 tokens; conv B: one huge turn then a small
+    # one; conv C: single turn. Null text counts as 0 tokens.
+    rows = [
+        ("A", 0, "user", "one two three"),
+        ("A", 1, "assistant", "a b c d e"),
+        ("A", 2, "user", "w x y z"),
+        ("A", 3, "assistant", "ok done"),
+        ("B", 0, "user", " ".join(f"t{i}" for i in range(40))),
+        ("B", 1, "assistant", "short reply here"),
+        ("C", 0, "user", None),
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array([r[3] for r in rows]),
+        }
+    )
+
+
+def _as_df(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def test_pack_context_windows(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(conv_table())
+    out = _as_df(tr.pack_context_windows(ds, "conv_id", "turn_idx", "text", budget=8))
+    by = {(r.conv_id, r.turn_idx): (r.n_tokens, r.chunk_id) for r in out.itertuples()}
+    # A: 3 -> cum 3; +5 = 8 fits; +4 > 8 new chunk; +2 = 6 fits
+    assert by[("A", 0)] == (3, 0)
+    assert by[("A", 1)] == (5, 0)
+    assert by[("A", 2)] == (4, 1)
+    assert by[("A", 3)] == (2, 1)
+    # B: first turn alone exceeds budget -> still chunk 0; next opens chunk 1
+    assert by[("B", 0)] == (40, 0)
+    assert by[("B", 1)] == (3, 1)
+    # C: null text = 0 tokens
+    assert by[("C", 0)] == (0, 0)
+
+
+def test_truncate_context(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(conv_table())
+    out = _as_df(tr.truncate_context(ds, "conv_id", "turn_idx", "text", budget=7))
+    kept = set(zip(out.conv_id, out.turn_idx))
+    # A suffix sums (newest first): 2, 2+4=6, 6+5=11 -> keep turns 3 and 2
+    assert ("A", 3) in kept and ("A", 2) in kept
+    assert ("A", 1) not in kept and ("A", 0) not in kept
+    # B: newest (3 tokens) fits; the 40-token turn does not
+    assert ("B", 1) in kept and ("B", 0) not in kept
+    # C: newest always survives
+    assert ("C", 0) in kept
+
+
+def test_truncate_newest_survives_even_over_budget(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["Z"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array([" ".join("w" * 1 for _ in range(50))]),
+        }
+    )
+    out = tr.truncate_context(
+        ray.data.from_arrow(t), "conv_id", "turn_idx", "text", budget=5
+    ).to_pandas()
+    assert len(out) == 1
+
+
+def test_turn_pairs(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(conv_table())
+    out = (
+        tr.turn_pairs(ds, "conv_id", "turn_idx", "role", "text")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    # pairs: (A,0)->(A,1), (A,2)->(A,3), (B,0)->(B,1); C has no successor
+    assert list(zip(out.conv_id, out.turn_idx)) == [("A", 0), ("A", 2), ("B", 0)]
+    assert out.loc[0, "prompt"] == "one two three"
+    assert out.loc[0, "response"] == "a b c d e"
+
+
+# ----------------------------------------------------------------- text
+
+
+def test_pii_scrub_batch():
+    t = pa.table(
+        {
+            "text": [
+                "mail me at bob.smith+x@example.co.uk or call 555-123-4567",
+                "order 12345 shipped",
+                "no pii here",
+                None,
+            ]
+        }
+    )
+    out = tx.pii_scrub_batch(t)
+    clean = out["clean_text"].to_pylist()
+    assert clean[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert clean[1] == "order <NUM> shipped"
+    assert clean[2] == "no pii here"
+    assert clean[3] is None
+    # counts are per-pattern over the ORIGINAL text: the phone's digit runs
+    # are also counted by the number pattern (1 email + 1 phone + 3 nums)
+    assert out["n_redactions"].to_pylist() == [5, 1, 0, None]
+
+
+def test_repetition_metrics_batch():
+    t = pa.table(
+        {
+            "text": [
+                "spam spam spam spam eggs",  # 4/5 > 1/5 -> flagged
+                "a b c d e",  # 1/5 not > 1/5 -> not flagged
+                "  ",  # no tokens
+            ]
+        }
+    )
+    out = tx.repetition_metrics_batch(t)
+    assert out["n_words"].to_pylist() == [5, 5, 0]
+    assert out["top_word_n"].to_pylist() == [4, 1, 0]
+    assert out["flagged"].to_pylist() == [True, False, False]
+
+
+def test_bigram_counts_partial():
+    t = pa.table({"text": ["a b a b", "b a", None, "solo"]})
+    out = tx.bigram_counts_partial(t)
+    counts = dict(zip(out["bigram"].to_pylist(), out["n"].to_pylist()))
+    # bigrams never cross document boundaries; "solo" has none
+    assert counts == {"a b": 2, "b a": 2}
