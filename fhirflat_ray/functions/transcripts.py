@@ -156,3 +156,164 @@ def turn_pairs(
         return out
 
     return w.map_batches(finish, batch_format="pandas")
+
+def _ordered_group_concat(
+    g: pd.DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    part_col: str,
+    sep: str,
+) -> "pa.Table":
+    """Sorted Arrow list-collect + one vectorized ``binary_join``: the
+    ordered string-agg kernel shared by conversation fingerprinting and SFT
+    example materialization. ``use_threads=False`` is what guarantees
+    encounter order inside each group (see ``user_type_seq``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = pa.Table.from_pandas(
+        g.sort_values(keys + order_cols, kind="mergesort"), preserve_index=False
+    )
+    agg = (
+        t.select(keys + [part_col])
+        .group_by(keys, use_threads=False)
+        .aggregate([(part_col, "list")])
+    )
+    joined = pc.binary_join(agg[f"{part_col}_list"].combine_chunks(), pa.scalar(sep))
+    return agg.drop_columns([f"{part_col}_list"]).append_column("__joined", joined)
+
+
+def conv_content(
+    ds,
+    key: str,
+    order_col: str,
+    role_col: str,
+    text_col: str,
+    sep: str = "\x1e",
+):
+    """Collapse each conversation to ONE row: ``content`` is the ordered
+    ``role|text`` concatenation (record-separator joined) plus ``n_turns`` —
+    the canonical form conversation-level exact dedup hashes. One coarse
+    bucket shuffle; per bucket a single sorted Arrow group_by + binary_join
+    (no Python per conversation)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["__part"] = g[role_col].astype(str) + "|" + g[text_col].astype(str)
+        out = _ordered_group_concat(g, [key], [order_col], "__part", sep)
+        n = g.groupby(key, sort=False).size()
+        df = out.to_pandas().rename(columns={"__joined": "content"})
+        df["n_turns"] = n.reindex(df[key]).to_numpy(np.int64)
+        return df
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def conv_profile(
+    ds,
+    key: str,
+    role_col: str,
+    text_col: str,
+    tool_col: str,
+    ts_col: str,
+):
+    """Per-conversation profile: turn counts by role, whitespace token
+    total, distinct tool count, and wall-clock duration (microseconds —
+    exact integer math on both engine and oracle sides). One bucket shuffle
+    + one vectorized pandas aggregate per bucket. (A combiner-style partial
+    aggregate would shrink the shuffle for most columns, but the distinct
+    tool count needs the raw (conv, tool) pairs anyway — so the single
+    raw-row pass is the honest shape; the shuffle ships each transcript row
+    exactly once, same as every keyed transcript operator.)"""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["__tok"] = _whitespace_tokens(g[text_col])
+        g["__user"] = (g[role_col] == "user").astype(np.int64)
+        gb = g.groupby(key, sort=False)
+        out = gb.agg(
+            n_turns=(role_col, "size"),
+            n_user=("__user", "sum"),
+            n_tokens=("__tok", "sum"),
+            n_tools=(tool_col, "nunique"),
+            __t0=(ts_col, "min"),
+            __t1=(ts_col, "max"),
+        ).reset_index()
+        out["n_assistant"] = out["n_turns"] - out["n_user"]
+        out["dur_us"] = (
+            out["__t1"].to_numpy("datetime64[us]").astype(np.int64)
+            - out["__t0"].to_numpy("datetime64[us]").astype(np.int64)
+        )
+        return out[
+            [key, "n_turns", "n_user", "n_assistant", "n_tokens", "n_tools", "dur_us"]
+        ].astype({"n_turns": np.int64, "n_user": np.int64})
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def alternation_check(
+    ds,
+    key: str,
+    order_col: str,
+    role_col: str,
+    first_role: str = "user",
+):
+    """Dialogue-structure validation: per conversation, does turn 0 carry
+    ``first_role``, and how many adjacent turns repeat a role (alternation
+    breaks)? Vectorized per bucket: one sort, one shifted same-conv/same-role
+    compare, one groupby-sum."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
+        conv = g[key].to_numpy()
+        role = g[role_col].to_numpy()
+        brk = np.zeros(len(g), np.int64)
+        if len(g) > 1:
+            brk[1:] = (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
+        g = g.assign(__brk=brk)
+        gb = g.groupby(key, sort=False)
+        out = gb.agg(n_breaks=("__brk", "sum")).reset_index()
+        first = g.loc[gb[role_col].head(1).index]
+        out["starts_ok"] = (
+            first[role_col].to_numpy() == first_role
+        )
+        return out[[key, "starts_ok", "n_breaks"]]
+
+    return bucketed_map_groups(ds, [key], per_bucket)
+
+
+def sft_examples(
+    ds,
+    key: str,
+    order_col: str,
+    role_col: str,
+    text_col: str,
+    budget: int,
+    chunk_col: str = "chunk_id",
+):
+    """Materialize training examples: greedy-pack each conversation into
+    token-budget chunks, then collapse every (conversation, chunk) to one
+    example row — ordered ``role: text`` lines joined by newline, with turn
+    and token totals. The packing pass already bucket-shuffled by
+    conversation; the collapse is a second pass of the same shape."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    packed = pack_context_windows(ds, key, order_col, text_col, budget, out_col=chunk_col)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["__part"] = g[role_col].astype(str) + ": " + g[text_col].astype(str)
+        out = _ordered_group_concat(g, [key, chunk_col], [order_col], "__part", "\n")
+        agg = g.groupby([key, chunk_col], sort=False).agg(
+            n_turns=("__part", "size"), n_tokens=("n_tokens", "sum")
+        )
+        df = out.to_pandas().rename(columns={"__joined": "example"})
+        idx = pd.MultiIndex.from_frame(df[[key, chunk_col]])
+        df["n_turns"] = agg["n_turns"].reindex(idx).to_numpy(np.int64)
+        df["n_tokens"] = agg["n_tokens"].reindex(idx).to_numpy(np.int64)
+        return df[[key, chunk_col, "n_turns", "n_tokens", "example"]]
+
+    return bucketed_map_groups(packed, [key], per_bucket)

@@ -2593,6 +2593,139 @@ FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 
 
 # =====================================================================
+# Conversation-level operators
+# =====================================================================
+
+
+def conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup: collapse each conversation to its
+    ordered ``role|text`` content string, then keep the min-conv_id
+    representative per distinct content (with the duplicate-group size).
+    The grouping key the shuffle ships is the 64-bit siphash of the
+    content, never the content itself (the ``dedup_exact`` discipline —
+    collision-free by assumption, documented there); the oracle groups by
+    the raw content string."""
+    from fhirflat_ray.functions.dedup import add_content_hash
+    from fhirflat_ray.functions.transcripts import conv_content
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    content = conv_content(transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text")
+    hashed = content.map_batches(
+        lambda b: add_content_hash(b, "content").drop_columns(["content"]),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("content_hash", sort=False)
+        out = gb.agg(
+            conv_id=("conv_id", "min"),
+            n_convs=("conv_id", "size"),
+            n_turns=("n_turns", "min"),
+        ).reset_index(drop=True)
+        return out.astype({"n_convs": np.int64, "n_turns": np.int64})
+
+    return bucketed_map_groups(hashed, ["content_hash"], per_bucket)
+
+
+CONV_DEDUP_SQL = f"""
+WITH c AS (
+  SELECT conv_id,
+         string_agg(role || '|' || text, chr(30) ORDER BY turn_idx) AS content,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_convs,
+       min(n_turns) AS n_turns
+FROM c GROUP BY content
+"""
+
+
+def conv_stats(sf_dir: str):
+    """Per-conversation profile (turns by role, token total, distinct
+    tools, exact microsecond duration) — the session-stats rollup a
+    transcript store serves for corpus curation."""
+    from fhirflat_ray.functions.transcripts import conv_profile
+
+    return conv_profile(
+        transcript_build(sf_dir), "conv_id", "role", "text", "tool", "ts"
+    )
+
+
+CONV_STATS_SQL = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
+       CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us
+FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY conv_id
+"""
+
+
+def alternation_audit(sf_dir: str):
+    """Dialogue-structure audit: per conversation, whether turn 0 is a
+    user turn and how many adjacent same-role turns break strict
+    alternation — the validation pass an SFT-data pipeline runs before
+    pair mining."""
+    from fhirflat_ray.functions.transcripts import alternation_check
+
+    return alternation_check(transcript_build(sf_dir), "conv_id", "turn_idx", "role")
+
+
+ALTERNATION_AUDIT_SQL = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM ({TRANSCRIPT_BUILD_SQL})
+)
+SELECT conv_id,
+       bool_or(turn_idx = 0 AND role = 'user') AS starts_ok,
+       CAST(count(*) FILTER (role = prev_role) AS BIGINT) AS n_breaks
+FROM w GROUP BY conv_id
+"""
+
+
+def sft_pack_examples(sf_dir: str):
+    """Training-example materialization: greedy-pack each conversation
+    into 64-token chunks, then collapse every (conversation, chunk) into
+    one ``role: text`` newline-joined example row with turn/token totals —
+    the final shape an SFT dataloader reads."""
+    from fhirflat_ray.functions.transcripts import sft_examples
+
+    return sft_examples(
+        transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text", _PACK_BUDGET
+    )
+
+
+SFT_PACK_EXAMPLES_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT conv_id, turn_idx, role, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos
+  FROM ({TRANSCRIPT_BUILD_SQL})
+), rec AS (
+  SELECT conv_id, turn_idx, pos, n_tokens,
+         CAST(0 AS BIGINT) AS chunk_id, n_tokens AS cum
+  FROM base WHERE pos = 1
+  UNION ALL
+  SELECT b.conv_id, b.turn_idx, b.pos, b.n_tokens,
+         CASE WHEN r.cum + b.n_tokens > {_PACK_BUDGET}
+              THEN r.chunk_id + 1 ELSE r.chunk_id END,
+         CASE WHEN r.cum + b.n_tokens > {_PACK_BUDGET}
+              THEN b.n_tokens ELSE r.cum + b.n_tokens END
+  FROM rec r JOIN base b ON b.conv_id = r.conv_id AND b.pos = r.pos + 1
+)
+SELECT r.conv_id, r.chunk_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(b.role || ': ' || b.text, chr(10) ORDER BY r.turn_idx) AS example
+FROM rec r JOIN base b ON b.conv_id = r.conv_id AND b.turn_idx = r.turn_idx
+GROUP BY r.conv_id, r.chunk_id
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -2670,6 +2803,10 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "repetition_flags": repetition_flags,
     "bigram_top": bigram_top,
+    "conv_dedup": conv_dedup,
+    "conv_stats": conv_stats,
+    "alternation_audit": alternation_audit,
+    "sft_pack_examples": sft_pack_examples,
 }
 
 ORACLE_SQL = {
@@ -2739,6 +2876,10 @@ ORACLE_SQL = {
     "pii_scrub": PII_SCRUB_SQL,
     "repetition_flags": REPETITION_FLAGS_SQL,
     "bigram_top": BIGRAM_TOP_SQL,
+    "conv_dedup": CONV_DEDUP_SQL,
+    "conv_stats": CONV_STATS_SQL,
+    "alternation_audit": ALTERNATION_AUDIT_SQL,
+    "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

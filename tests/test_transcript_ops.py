@@ -151,3 +151,81 @@ def test_bigram_counts_partial():
     counts = dict(zip(out["bigram"].to_pylist(), out["n"].to_pylist()))
     # bigrams never cross document boundaries; "solo" has none
     assert counts == {"a b": 2, "b a": 2}
+
+
+# ------------------------------------------------- conversation level
+
+
+def dup_conv_table() -> pa.Table:
+    # A and B are turn-for-turn identical; C differs in one role
+    rows = [
+        ("A", 0, "user", "hi"),
+        ("A", 1, "assistant", "hello"),
+        ("B", 0, "user", "hi"),
+        ("B", 1, "assistant", "hello"),
+        ("C", 0, "assistant", "hi"),
+        ("C", 1, "assistant", "hello"),
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array([r[3] for r in rows]),
+        }
+    )
+
+
+def test_conv_content_and_dedup_grouping(ray_session):
+    import ray
+
+    out = (
+        tr.conv_content(
+            ray.data.from_arrow(dup_conv_table()), "conv_id", "turn_idx", "role", "text"
+        )
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert out.loc["A", "content"] == out.loc["B", "content"]
+    assert out.loc["A", "content"] != out.loc["C", "content"]
+    assert out.loc["A", "content"] == "user|hi\x1eassistant|hello"
+    assert out["n_turns"].tolist() == [2, 2, 2]
+
+
+def test_alternation_check(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "conv_id": ["A", "A", "A", "B", "B"],
+            "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+            "role": ["user", "user", "assistant", "assistant", "user"],
+        }
+    )
+    out = (
+        tr.alternation_check(ray.data.from_arrow(t), "conv_id", "turn_idx", "role")
+        .to_pandas()
+        .set_index("conv_id")
+    )
+    assert bool(out.loc["A", "starts_ok"]) is True
+    assert out.loc["A", "n_breaks"] == 1  # user,user adjacent
+    assert bool(out.loc["B", "starts_ok"]) is False
+    assert out.loc["B", "n_breaks"] == 0
+
+
+def test_sft_examples(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(conv_table())
+    out = (
+        tr.sft_examples(ds, "conv_id", "turn_idx", "role", "text", budget=8)
+        .to_pandas()
+        .sort_values(["conv_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    a0 = out[(out.conv_id == "A") & (out.chunk_id == 0)].iloc[0]
+    # A chunk 0 = turns 0 (3 tok) + 1 (5 tok)
+    assert a0.example == "user: one two three\nassistant: a b c d e"
+    assert a0.n_turns == 2 and a0.n_tokens == 8
+    a1 = out[(out.conv_id == "A") & (out.chunk_id == 1)].iloc[0]
+    assert a1.example == "user: w x y z\nassistant: ok done"
