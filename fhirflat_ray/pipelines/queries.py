@@ -2725,6 +2725,50 @@ GROUP BY r.conv_id, r.chunk_id
 """
 
 
+def tool_transitions(sf_dir: str):
+    """Agent-trajectory mining: corpus-wide top-20 adjacent tool
+    transitions (tool>next_tool within a conversation's turn order). The
+    conversation bucket pass emits PARTIAL transition counts (one row per
+    in-bucket distinct transition — the A5 combiner), a second narrow
+    bucket pass combines, and streaming top-k avoids any global sort."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
+
+    ds = transcript_build(sf_dir)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        trans = pd.Series(tool[:-1][same]).str.cat(
+            pd.Series(tool[1:][same]), sep=">"
+        )
+        c = trans.value_counts(sort=False)
+        return pd.DataFrame(
+            {"transition": c.index.to_numpy(), "n": c.to_numpy(np.int64)}
+        )
+
+    partial = bucketed_map_groups(ds, ["conv_id"], pairs)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("transition", sort=False).agg(n=("n", "sum")).reset_index()
+
+    combined = bucketed_map_groups(partial, ["transition"], combine)
+    return streaming_topk(combined, ["n", "transition"], 20, descending=[True, False])
+
+
+TOOL_TRANSITIONS_SQL = f"""
+WITH w AS (
+  SELECT conv_id, tool,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM ({TRANSCRIPT_BUILD_SQL})
+)
+SELECT tool || '>' || next_tool AS transition, CAST(count(*) AS BIGINT) AS n
+FROM w WHERE next_tool IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, transition LIMIT 20
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2807,6 +2851,7 @@ QUERIES = {
     "conv_stats": conv_stats,
     "alternation_audit": alternation_audit,
     "sft_pack_examples": sft_pack_examples,
+    "tool_transitions": tool_transitions,
 }
 
 ORACLE_SQL = {
@@ -2880,6 +2925,7 @@ ORACLE_SQL = {
     "conv_stats": CONV_STATS_SQL,
     "alternation_audit": ALTERNATION_AUDIT_SQL,
     "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
+    "tool_transitions": TOOL_TRANSITIONS_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
