@@ -220,6 +220,25 @@ def pii_scrub_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 # ------------------------------------------------------------- repetition
 
 
+def _split_words(arr) -> tuple[np.ndarray, np.ndarray, int]:
+    """RE2 ``\\s+`` tokenization of a whole batch column: returns
+    ``(vals, parent, n_docs)`` with empty tokens filtered (split emits ''
+    at whitespace edges). No Unicode trim — RE2's ``\\s`` is ASCII-only and
+    the DuckDB oracles (``regexp_extract_all(text, '\\S+')``) are RE2 too,
+    so a Unicode-aware pre-trim would DESYNC token identity on characters
+    like U+00A0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern_regex(arr, r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy()
+    vals = words.values.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))
+    nonempty = vals != ""
+    return vals[nonempty], parent[nonempty], len(words)
+
+
 def repetition_metrics_batch(
     batch: pa.Table,
     column: str = "text",
@@ -236,18 +255,7 @@ def repetition_metrics_batch(
     one pandas C-engine groupby across ALL documents in the batch."""
     import pandas as pd
 
-    arr = batch[column]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), r"\s+")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    offs = words.offsets.to_numpy()
-    vals = words.values.to_numpy(zero_copy_only=False)
-    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))
-    nonempty = vals != ""  # trim+split leaves [""] for all-whitespace docs
-    vals, parent = vals[nonempty], parent[nonempty]
-
+    vals, parent, _ = _split_words(batch[column])
     n_docs = len(batch)
     mx = np.zeros(n_docs, np.int64)
     tot = np.zeros(n_docs, np.int64)
@@ -278,17 +286,7 @@ def bigram_counts_partial(batch: pa.Table, column: str = "text") -> pa.Table:
     Consecutive-token pairing is pure numpy over the Arrow list offsets."""
     import pandas as pd
 
-    arr = batch[column]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    words = pc.split_pattern_regex(pc.utf8_trim_whitespace(arr), r"\s+")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    offs = words.offsets.to_numpy()
-    vals = words.values.to_numpy(zero_copy_only=False)
-    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))
-    nonempty = vals != ""
-    vals, parent = vals[nonempty], parent[nonempty]
+    vals, parent, _ = _split_words(batch[column])
     if len(vals) < 2:
         return pa.table({"bigram": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})

@@ -31,8 +31,16 @@ _TOKEN_RE = r"\S+"
 
 def _whitespace_tokens(texts: pd.Series) -> np.ndarray:
     """Whitespace token counts, C-vectorized; parity with DuckDB
-    ``len(regexp_extract_all(text, '\\S+'))`` (nulls count 0)."""
-    return texts.fillna("").str.count(_TOKEN_RE).to_numpy(np.int64)
+    ``len(regexp_extract_all(COALESCE(text, ''), '\\S+'))`` (nulls count
+    0). Runs through pyarrow so BOTH sides execute RE2 — Python ``re``
+    treats ``\\s`` as Unicode whitespace while RE2 is ASCII-only, and that
+    divergence (e.g. U+00A0) would silently shift chunk boundaries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(texts.astype(object), type=pa.string())
+    counts = pc.fill_null(pc.count_substring_regex(arr, _TOKEN_RE), 0)
+    return counts.to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 def pack_context_windows(
@@ -56,39 +64,45 @@ def pack_context_windows(
 
     The reset-cumsum is sequential per conversation, so the per-bucket pass
     iterates over within-conversation POSITIONS (max_turns numpy steps),
-    each step vectorized across every conversation in the bucket — the
-    Python loop length is the longest conversation, not the row count.
+    each step vectorized across every conversation still active at that
+    position — the Python loop length is the longest conversation, not the
+    row count, and memory stays LINEAR in rows (CSR segment indexing, no
+    dense conversations x max_turns matrix: one skewed long conversation
+    must not inflate the bucket's footprint quadratically).
     """
     from fhirflat_ray.functions.util import bucketed_map_groups
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
         tok = _whitespace_tokens(g[text_col])
-        codes, _ = pd.factorize(g[key], sort=False)
-        pos = g.groupby(key, sort=False).cumcount().to_numpy(np.int64)
-        n_conv = int(codes.max()) + 1 if len(codes) else 0
-        max_pos = int(pos.max()) + 1 if len(pos) else 0
+        # sorted by key => each conversation is one contiguous segment
+        sizes = g.groupby(key, sort=False).size().to_numpy(np.int64)
+        starts = np.concatenate(([0], np.cumsum(sizes)[:-1])) if len(sizes) else sizes
+        max_pos = int(sizes.max()) if len(sizes) else 0
 
-        tokm = np.zeros((n_conv, max_pos), np.int64)
-        valid = np.zeros((n_conv, max_pos), bool)
-        tokm[codes, pos] = tok
-        valid[codes, pos] = True
-
-        chunkm = np.zeros((n_conv, max_pos), np.int64)
-        cum = np.zeros(n_conv, np.int64)
-        chunk = np.zeros(n_conv, np.int64)
+        chunk_out = np.zeros(len(g), np.int64)
+        cum = np.zeros(len(sizes), np.int64)
+        chunk = np.zeros(len(sizes), np.int64)
         for t in range(max_pos):
-            tk = tokm[:, t]
+            alive = sizes > t  # conversations that still have a turn at pos t
+            rows = starts[alive] + t
+            tk = tok[rows]
             if t == 0:
                 cum = tk.copy()
+                # chunk stays 0; cum/chunk arrays shrink to the alive set as
+                # shorter conversations retire (alive is a prefix-stable mask
+                # only of the previous alive set, so re-mask both carries)
             else:
-                over = valid[:, t] & (cum + tk > budget)
+                keep = alive[prev_alive]
+                cum, chunk = cum[keep], chunk[keep]
+                over = cum + tk > budget
                 chunk = chunk + over
                 cum = np.where(over, tk, cum + tk)
-            chunkm[:, t] = chunk
+            chunk_out[rows] = chunk
+            prev_alive = alive
 
         g[tokens_col] = tok
-        g[out_col] = chunkm[codes, pos]
+        g[out_col] = chunk_out
         return g
 
     return bucketed_map_groups(ds, [key], per_bucket)
@@ -171,8 +185,10 @@ def _ordered_group_concat(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    cols = keys + order_cols + [part_col]
     t = pa.Table.from_pandas(
-        g.sort_values(keys + order_cols, kind="mergesort"), preserve_index=False
+        g[cols].sort_values(keys + order_cols, kind="mergesort"),
+        preserve_index=False,
     )
     agg = (
         t.select(keys + [part_col])
@@ -195,12 +211,18 @@ def conv_content(
     ``role|text`` concatenation (record-separator joined) plus ``n_turns`` —
     the canonical form conversation-level exact dedup hashes. One coarse
     bucket shuffle; per bucket a single sorted Arrow group_by + binary_join
-    (no Python per conversation)."""
+    (no Python per conversation). Null role/text enter the content as ''
+    (mirrored by COALESCE in the oracle — string concat with NULL would
+    otherwise silently DROP the whole turn from SQL string_agg)."""
     from fhirflat_ray.functions.util import bucketed_map_groups
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["__part"] = g[role_col].astype(str) + "|" + g[text_col].astype(str)
+        g["__part"] = (
+            g[role_col].fillna("").astype(str)
+            + "|"
+            + g[text_col].fillna("").astype(str)
+        )
         out = _ordered_group_concat(g, [key], [order_col], "__part", sep)
         n = g.groupby(key, sort=False).size()
         df = out.to_pandas().rename(columns={"__joined": "content"})
@@ -305,7 +327,13 @@ def sft_examples(
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
-        g["__part"] = g[role_col].astype(str) + ": " + g[text_col].astype(str)
+        # null role/text as '' — mirrored by COALESCE in the oracle (see
+        # conv_content)
+        g["__part"] = (
+            g[role_col].fillna("").astype(str)
+            + ": "
+            + g[text_col].fillna("").astype(str)
+        )
         out = _ordered_group_concat(g, [key, chunk_col], [order_col], "__part", "\n")
         agg = g.groupby([key, chunk_col], sort=False).agg(
             n_turns=("__part", "size"), n_tokens=("n_tokens", "sum")

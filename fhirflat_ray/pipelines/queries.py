@@ -2429,7 +2429,7 @@ def context_pack(sf_dir: str):
 CONTEXT_PACK_SQL = f"""
 WITH RECURSIVE base AS (
   SELECT conv_id, turn_idx,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens,
          CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos
   FROM ({TRANSCRIPT_BUILD_SQL})
 ), rec AS (
@@ -2470,7 +2470,7 @@ def context_truncate(sf_dir: str):
 CONTEXT_TRUNCATE_SQL = f"""
 WITH base AS (
   SELECT conv_id, turn_idx, role, text,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens
   FROM ({TRANSCRIPT_BUILD_SQL})
 ), r AS (
   SELECT conv_id, turn_idx, role, text,
@@ -2630,7 +2630,7 @@ def conv_dedup(sf_dir: str):
 CONV_DEDUP_SQL = f"""
 WITH c AS (
   SELECT conv_id,
-         string_agg(role || '|' || text, chr(30) ORDER BY turn_idx) AS content,
+         string_agg(COALESCE(role, '') || '|' || COALESCE(text, ''), chr(30) ORDER BY turn_idx) AS content,
          CAST(count(*) AS BIGINT) AS n_turns
   FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY conv_id
 )
@@ -2656,7 +2656,7 @@ SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(count(*) FILTER (role = 'user') AS BIGINT) AS n_user,
        CAST(count(*) FILTER (role = 'assistant') AS BIGINT) AS n_assistant,
-       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(COALESCE(text, ''), '\\S+'))) AS BIGINT) AS n_tokens,
        CAST(count(DISTINCT tool) AS BIGINT) AS n_tools,
        CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us
 FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY conv_id
@@ -2701,7 +2701,7 @@ def sft_pack_examples(sf_dir: str):
 SFT_PACK_EXAMPLES_SQL = f"""
 WITH RECURSIVE base AS (
   SELECT conv_id, turn_idx, role, text,
-         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens,
          CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos
   FROM ({TRANSCRIPT_BUILD_SQL})
 ), rec AS (
@@ -2719,7 +2719,7 @@ WITH RECURSIVE base AS (
 SELECT r.conv_id, r.chunk_id,
        CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(r.n_tokens) AS BIGINT) AS n_tokens,
-       string_agg(b.role || ': ' || b.text, chr(10) ORDER BY r.turn_idx) AS example
+       string_agg(COALESCE(b.role, '') || ': ' || COALESCE(b.text, ''), chr(10) ORDER BY r.turn_idx) AS example
 FROM rec r JOIN base b ON b.conv_id = r.conv_id AND b.turn_idx = r.turn_idx
 GROUP BY r.conv_id, r.chunk_id
 """
@@ -2744,8 +2744,13 @@ def tool_transitions(sf_dir: str):
             pd.Series(tool[1:][same]), sep=">"
         )
         c = trans.value_counts(sort=False)
+        # explicit dtypes so an all-single-turn bucket's empty frame keeps a
+        # string-typed transition column through Arrow schema unification
         return pd.DataFrame(
-            {"transition": c.index.to_numpy(), "n": c.to_numpy(np.int64)}
+            {
+                "transition": pd.Series(c.index.to_numpy(), dtype=object),
+                "n": pd.Series(c.to_numpy(np.int64), dtype=np.int64),
+            }
         )
 
     partial = bucketed_map_groups(ds, ["conv_id"], pairs)

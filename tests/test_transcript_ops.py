@@ -229,3 +229,107 @@ def test_sft_examples(ray_session):
     assert a0.n_turns == 2 and a0.n_tokens == 8
     a1 = out[(out.conv_id == "A") & (out.chunk_id == 1)].iloc[0]
     assert a1.example == "user: w x y z\nassistant: ok done"
+
+
+# -------------------------------------------------- oracle-parity edges
+
+
+def test_token_count_re2_parity_unicode_whitespace():
+    import duckdb
+
+    texts = ["a b", None, "  x  ", "normal text", " x y ", ""]
+    eng = tr._whitespace_tokens(pd.Series(texts, dtype=object))
+    ora = (
+        duckdb.sql(
+            "SELECT CAST(len(regexp_extract_all(COALESCE(t, ''), '\\S+')) AS BIGINT) "
+            "FROM (SELECT unnest($1) AS t)",
+            params=[texts],
+        )
+        .df()
+        .iloc[:, 0]
+        .to_numpy(np.int64)
+    )
+    assert eng.tolist() == ora.tolist()
+    # RE2 \s is ASCII-only: the NBSP-joined pair is ONE token on both sides
+    assert eng[0] == 1
+
+
+def test_split_words_re2_parity_unicode_edges():
+    import duckdb
+
+    texts = [" x y ", " a  b ", None, ""]
+    vals, parent, _ = tx._split_words(pa.array(texts, pa.string()))
+    ora = duckdb.sql(
+        "SELECT unnest(regexp_extract_all(t, '\\S+')) FROM (SELECT unnest($1) AS t)",
+        params=[texts],
+    ).df().iloc[:, 0].tolist()
+    assert vals.tolist() == ora
+    assert vals.tolist() == [" x", "y ", "a", "b"]
+
+
+def test_pack_null_text_parity_with_recursive_oracle():
+    """Null-text turns must not freeze the oracle's running cum (NULL
+    poisoning) — both sides count nulls as 0 tokens and keep packing."""
+    import duckdb
+    import ray
+
+    t = pa.table(
+        {
+            "conv_id": ["N"] * 4,
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "text": ["a b c d e", None, "f g h i j", "k l m n o"],
+        }
+    )
+    eng = (
+        tr.pack_context_windows(ray.data.from_arrow(t), "conv_id", "turn_idx", "text", 8)
+        .to_pandas()
+        .sort_values("turn_idx")
+    )
+    ora = duckdb.sql(
+        """
+        WITH RECURSIVE base AS (
+          SELECT conv_id, turn_idx,
+                 CAST(len(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS BIGINT) AS n_tokens,
+                 CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS pos
+          FROM t
+        ), rec AS (
+          SELECT conv_id, turn_idx, pos, n_tokens, CAST(0 AS BIGINT) AS chunk_id, n_tokens AS cum
+          FROM base WHERE pos = 1
+          UNION ALL
+          SELECT b.conv_id, b.turn_idx, b.pos, b.n_tokens,
+                 CASE WHEN r.cum + b.n_tokens > 8 THEN r.chunk_id + 1 ELSE r.chunk_id END,
+                 CASE WHEN r.cum + b.n_tokens > 8 THEN b.n_tokens ELSE r.cum + b.n_tokens END
+          FROM rec r JOIN base b ON b.conv_id = r.conv_id AND b.pos = r.pos + 1
+        )
+        SELECT turn_idx, n_tokens, chunk_id FROM rec ORDER BY turn_idx
+        """,
+        params=None,
+    ).df()
+    assert eng["chunk_id"].tolist() == ora["chunk_id"].tolist() == [0, 0, 1, 2]
+    assert eng["n_tokens"].tolist() == ora["n_tokens"].tolist()
+
+
+def test_pack_skewed_long_conversation_linear_memory(ray_session):
+    """One 3000-turn conversation among many single-turn ones — the CSR
+    packing path must stay linear in rows (the dense-matrix formulation
+    would allocate n_conv x max_turns)."""
+    import ray
+
+    n_small = 500
+    conv = ["long"] * 3000 + [f"s{i}" for i in range(n_small)]
+    idx = list(range(3000)) + [0] * n_small
+    t = pa.table(
+        {
+            "conv_id": conv,
+            "turn_idx": pa.array(idx, pa.int32()),
+            "text": ["w w w"] * len(conv),
+        }
+    )
+    out = (
+        tr.pack_context_windows(ray.data.from_arrow(t), "conv_id", "turn_idx", "text", 7)
+        .to_pandas()
+    )
+    long = out[out.conv_id == "long"].sort_values("turn_idx")
+    # budget 7, 3 tokens per turn -> chunks of 2 turns each
+    assert long["chunk_id"].tolist() == [i // 2 for i in range(3000)]
+    assert (out[out.conv_id != "long"]["chunk_id"] == 0).all()
