@@ -52,6 +52,25 @@ def _string_payload(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     return np.diff(offs), data
 
 
+def _string_lengths(arr: pa.Array) -> np.ndarray:
+    """Per-value byte lengths from the offsets buffer alone — no payload
+    copy (``_string_payload`` materializes the concatenated utf8 bytes;
+    candidate SIZING must not)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype, width = np.int64, 8
+    else:
+        off_dtype, width = np.int32, 4
+    n = len(arr)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * width
+    ).astype(np.int64)
+    return np.diff(offs)
+
+
 def _strings_from_payload(lengths: np.ndarray, data: bytes) -> pa.Array:
     n = len(lengths)
     offs = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
@@ -116,7 +135,8 @@ def encode_dict(
     denc = arr.dictionary_encode()
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    # int32 indices go to encode_ints as-is (promoted per chunk inside)
+    codes = denc.indices.to_numpy(zero_copy_only=False)
     ch, cb = encode_ints(codes)
     vh, vb = encode_plain(denc.dictionary)
     hdr = {
@@ -151,12 +171,14 @@ def decode_dict(
 
 def encode_worddict(arr: pa.Array) -> tuple[dict[str, Any], bytes]:
     parts = pc.split_pattern(arr, " ")
-    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    # int32 counts/indices go to encode_ints without an int64 whole-array
+    # copy (promotion is per-chunk inside the codec)
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(parts)
     denc = flat.dictionary_encode()
     if isinstance(denc, pa.ChunkedArray):
         denc = denc.combine_chunks()
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = denc.indices.to_numpy(zero_copy_only=False)
     ch, cb = encode_ints(codes)
     th, tb = encode_ints(counts)
     vh, vb = encode_plain(denc.dictionary)
@@ -236,15 +258,27 @@ def encode_strings(
     if n == 0:
         return encode_plain(arr)
 
-    lengths, data = _string_payload(arr)
-    total = len(data)
-    candidates: list[tuple[int, dict[str, Any], bytes]] = []
+    # candidate sizing from the offsets buffer only — the concatenated
+    # payload is materialized ONLY if plain actually wins the selection
+    lengths = _string_lengths(arr)
+    total = int(lengths.sum())
+    lh, lb = encode_ints(lengths)
+    candidates: list[tuple[int, dict[str, Any], bytes | None]] = [
+        (len(lb) + total, {"c": "plain_str", "lens": {"h": lh, "len": len(lb)}}, None)
+    ]
 
-    ph, pb = encode_plain(arr)
-    candidates.append((len(pb), ph, pb))
-
-    ncard = len(pc.unique(arr))
-    if shared_vocab is not None or ncard <= max(64, n // 2):
+    # cardinality gate from a strided sample (exact unique over a long-text
+    # column hashes the entire payload just to learn "high-cardinality").
+    # A low-card verdict is confirmed exactly by dictionary_encode itself;
+    # a high-card verdict only skips a candidate the exact pick would have
+    # rejected on size.
+    if n > 65536:
+        idx = np.arange(0, n, n // 65536, dtype=np.int64)
+        sample = arr.take(pa.array(idx))
+    else:
+        sample = arr
+    sample_card = len(pc.unique(sample))
+    if shared_vocab is not None or sample_card <= max(64, len(sample) // 2):
         d = encode_dict(arr, shared_vocab, shared_hash)
         if d is not None:
             candidates.append((len(d[1]), d[0], d[1]))
@@ -253,13 +287,16 @@ def encode_strings(
     # The multi-token gate is a heuristic shortlist (the final pick is by
     # actual encoded size), so estimate avg spaces/row on a bounded sample —
     # full-column count_substring was ~15% of the whole text-encode kernel.
-    sample = arr.slice(0, 2048) if n > 2048 else arr
-    n_spaces = int(pc.sum(pc.count_substring(sample, " ")).as_py() or 0)
-    if ncard > 64 and total > 0 and n_spaces >= len(sample):
+    wd_sample = arr.slice(0, 2048) if n > 2048 else arr
+    n_spaces = int(pc.sum(pc.count_substring(wd_sample, " ")).as_py() or 0)
+    if sample_card > 64 and total > 0 and n_spaces >= len(wd_sample):
         wh, wb = encode_worddict(arr)
         candidates.append((len(wb), wh, wb))
 
     best = min(candidates, key=lambda t: t[0])
+    if best[2] is None:  # plain won — materialize the payload now
+        _, data = _string_payload(arr)
+        best = (best[0], best[1], lb + data)
 
     # FSST only when nothing lightweight compressed well (avg len must merit it)
     if (
