@@ -198,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("output")
     pe.add_argument("--resume", action="store_true")
     pe.add_argument("--shared-dicts", default="role,tool")
-    pe.add_argument("--target-rows", type=int, default=512 * 1024)
+    pe.add_argument("--target-rows", type=int, default=None)
     pe.set_defaults(fn=cmd_encode)
 
     pd_ = sub.add_parser("decode", help="encoded segments → parquet")

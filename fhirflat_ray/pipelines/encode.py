@@ -34,6 +34,9 @@ from fhirflat_ray.state import segments as seg
 from fhirflat_ray.codecs.strings import vocab_hash
 
 DEFAULT_TARGET_ROWS = 512 * 1024
+#: adaptive-plan floor: below this, per-segment overhead (headers, symbol
+#: tables, task dispatch) dominates the payload
+MIN_TARGET_ROWS = 16 * 1024
 SHARED_DICT_MAX_CARD = 4096
 
 
@@ -516,7 +519,7 @@ def encode_files(
     resume: bool = False,
     sort_keys: tuple[str, ...] | None = ORDER_KEY,
     shared_dict_columns: list[str] | None = None,
-    target_rows: int = DEFAULT_TARGET_ROWS,
+    target_rows: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     columns: list[str] | None = None,
     compute: str = "tasks",
@@ -525,6 +528,17 @@ def encode_files(
 
     ``resume=True`` consults existing durable segments and skips their
     partitions (FIXTURES.md F5 semantics).
+
+    ``target_rows=None`` (default) adapts the partition size to the input:
+    ``DEFAULT_TARGET_ROWS`` normally, smaller when the whole input would
+    otherwise yield fewer than ~2 partitions per cluster CPU (a small job
+    on a wide cluster must still fan out — the same size-by-data,
+    floor-by-cluster rule as ``queries._join_partitions``; partitions are
+    also the DECODE parallelism unit, so an 8-partition segment set caps
+    every later scan at 8 tasks). The adaptive plan depends on the cluster
+    CPU count — pass an explicit ``target_rows`` for resumable jobs that
+    must produce identical partition ids across differently-sized
+    clusters.
 
     ``compute``: "tasks" (default) runs the encode as stateless map tasks
     with a worker-local broadcast cache — Ray reuses task worker processes
@@ -547,6 +561,12 @@ def encode_files(
             input_paths = [input_paths]
 
     os.makedirs(out_dir, exist_ok=True)
+    if target_rows is None:
+        total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        target_rows = min(
+            DEFAULT_TARGET_ROWS, max(MIN_TARGET_ROWS, total_rows // (2 * ncpu))
+        )
     items = plan_partitions(input_paths, target_rows)
 
     done_map = lin.completed_partitions(out_dir) if resume else {}
