@@ -423,3 +423,21 @@ def test_bloom_point_lookup_prunes_segments(ray_session, tmp_path):
     assert (
         decode_dataset(seg_dir, predicate=[("conv_id", "==", "nope")]).count() == 0
     )
+
+
+def test_adaptive_target_rows_fans_out_small_inputs(ray_session, tmp_path):
+    """Default (target_rows=None) must split a small input into enough
+    partitions to occupy the cluster — partitions are also the decode
+    parallelism unit."""
+    t = fixtures.make_transcripts(64_000)
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(t, str(src / "a.parquet"), row_group_size=8_000)
+    out = str(tmp_path / "enc")
+    manifest = enc.encode_files(str(src), out)
+    # 4-CPU test session: total/(2*4)=8k -> floored to the 16k minimum ->
+    # two 8k row groups per partition
+    assert manifest["n_partitions"] == 4
+    got = dec.decode_dataset(out).to_pandas().sort_values(["conv_id", "turn_idx"])
+    want = t.to_pandas().sort_values(["conv_id", "turn_idx"])
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
