@@ -326,3 +326,74 @@ def test_byteplane_rejected_when_no_win():
     if len(v) >= 64:
         hdr, _ = encode_column(pa.array(v, pa.float64()))
         assert hdr["c"] in {"plain_float", "bpfloat", "decfloat"}  # never corrupt
+
+
+# ------------------------------------------------ int codec properties
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def int_arrays(draw):
+    """Arrays engineered to hit every codec branch: constant runs, affine
+    sequences (delta+gcd), random within a width, extreme int64 values."""
+    kind = draw(st.sampled_from(["runs", "affine", "random", "extreme", "int32"]))
+    n = draw(st.integers(0, 5000))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "runs":
+        k = max(1, n // draw(st.integers(1, 50)))
+        vals = rng.integers(-5, 5, k)
+        reps = rng.multinomial(n, np.ones(k) / k) if k else []
+        return np.repeat(vals, reps).astype(np.int64)
+    if kind == "affine":
+        start = draw(st.integers(-(2**40), 2**40))
+        step = draw(st.integers(-(2**20), 2**20))
+        g = draw(st.sampled_from([1, 1, 7, 86400]))
+        return (start + step * np.arange(n, dtype=np.int64)) * g
+    if kind == "random":
+        w = draw(st.integers(1, 63))
+        return rng.integers(0, min(2**w, 2**62), n).astype(np.int64)
+    if kind == "int32":
+        return rng.integers(-(2**31), 2**31, n).astype(np.int32)
+    lo, hi = -(2**63), 2**63 - 1
+    return rng.integers(lo, hi, n, dtype=np.int64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(int_arrays())
+def test_int_codec_roundtrip_property(v):
+    from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+
+    h, b = encode_ints(v)
+    out = decode_ints(h, b, len(v))
+    assert out.dtype == np.int64
+    assert np.array_equal(out, v.astype(np.int64))
+    # encoded size never exceeds plain + bounded header overhead
+    assert len(b) <= 8 * len(v) + 16
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 63), st.integers(0, 3))
+def test_pack_bits_fused_transforms_match_plain(w, mode):
+    """pack_bits(v, w, ref, g) == pack_bits of the materialized residual;
+    diff=True == pack_bits of the materialized difference stream."""
+    from fhirflat_ray.codecs.bitpack import pack_bits
+
+    rng = np.random.default_rng(w * 7 + mode)
+    n = (1 << 20) + 13 if mode == 3 else 4097  # mode 3 crosses the chunk edge
+    r = rng.integers(0, min(2**w, 2**62), n).astype(np.int64)
+    if mode == 0:
+        ref, g = -17, 1
+        v = r + ref
+        assert pack_bits(v, w, ref=ref, g=g) == pack_bits(r, w)
+    elif mode == 1:
+        ref, g = 3, 5
+        v = r * g + ref
+        assert pack_bits(v, w, ref=ref, g=g) == pack_bits(r, w)
+    else:
+        ref = int(r.min()) if len(r) else 0
+        base = np.concatenate([[0], np.cumsum(r)])  # diffs == r
+        assert pack_bits(base, w, ref=0, diff=True) == pack_bits(r, w)
