@@ -59,9 +59,12 @@ def pack_bits(
     if width == 0 or m <= 0:
         return b""
     q, s = divmod(width, 8)
-    planes = [np.empty(m, np.uint8) for _ in range(q)]
     per = (m + 7) // 8
-    bit_planes = [np.empty(per, np.uint8) for _ in range(s)]
+    # one preallocated output buffer; planes are views into it, so the
+    # final serialization is a single copy (no per-plane tobytes + join)
+    out = np.empty(q * m + s * per, np.uint8)
+    planes = [out[k * m : (k + 1) * m] for k in range(q)]
+    bit_planes = [out[q * m + b * per : q * m + (b + 1) * per] for b in range(s)]
 
     for i0 in range(0, m, _CHUNK):
         i1 = min(i0 + _CHUNK, m)
@@ -85,8 +88,7 @@ def pack_bits(
             for b in range(s):
                 bit = ((top >> b) & 1).astype(np.uint8)
                 bit_planes[b][b0:b1] = np.packbits(bit, bitorder="little")
-    parts = [p.tobytes() for p in planes] + [p.tobytes() for p in bit_planes]
-    return b"".join(parts)
+    return out.tobytes()
 
 
 def unpack_bits(

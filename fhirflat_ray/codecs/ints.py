@@ -55,7 +55,11 @@ def _gcd_of_residuals(v: np.ndarray, ref: int, diff: bool = False) -> int:
             (v[1 : k + 1].astype(np.int64) - v[:k]) if diff else v[:k].astype(np.int64)
         )
         g = int(np.gcd.reduce(sample - np.int64(ref)))
-        if g <= 1 or m <= _GCD_SAMPLE:
+        # ONLY g == 1 is a proof (gcd over more elements can only shrink);
+        # g == 0 means every sampled residual was zero (ties at the min are
+        # common in sorted data) and says NOTHING about the full gcd — fall
+        # through to the chunked scan
+        if g == 1 or m <= _GCD_SAMPLE:
             return max(g, 1)
         g = 0
         for i0 in range(0, m, _STAT_CHUNK):

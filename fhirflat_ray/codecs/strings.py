@@ -31,22 +31,26 @@ from fhirflat_ray.codecs.ints import decode_ints, encode_ints
 # ---------------------------------------------------------------- helpers
 
 
+def _string_offsets(arr: pa.Array) -> np.ndarray:
+    """The n+1 value-boundary offsets (int64) of a null-free string array,
+    straight from the offsets buffer — no payload copy."""
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype, width = np.int64, 8
+    else:
+        off_dtype, width = np.int32, 4
+    n = len(arr)
+    return np.frombuffer(
+        arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * width
+    ).astype(np.int64)
+
+
 def _string_payload(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     """(lengths int64, concatenated utf8 payload) for a null-free string array."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
-        off_dtype = np.int64
-        width = 8
-    else:
-        off_dtype = np.int32
-        width = 4
-    n = len(arr)
-    if n == 0:
+    if len(arr) == 0:
         return np.array([], dtype=np.int64), b""
-    offs = np.frombuffer(
-        arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * width
-    ).astype(np.int64)
+    offs = _string_offsets(arr)
     data_buf = arr.buffers()[2]
     data = data_buf[offs[0] : offs[-1]].to_pybytes() if data_buf is not None else b""
     return np.diff(offs), data
@@ -58,17 +62,9 @@ def _string_lengths(arr: pa.Array) -> np.ndarray:
     candidate SIZING must not)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
-        off_dtype, width = np.int64, 8
-    else:
-        off_dtype, width = np.int32, 4
-    n = len(arr)
-    if n == 0:
+    if len(arr) == 0:
         return np.array([], dtype=np.int64)
-    offs = np.frombuffer(
-        arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * width
-    ).astype(np.int64)
-    return np.diff(offs)
+    return np.diff(_string_offsets(arr))
 
 
 def _strings_from_payload(lengths: np.ndarray, data: bytes) -> pa.Array:
@@ -267,14 +263,21 @@ def encode_strings(
         (len(lb) + total, {"c": "plain_str", "lens": {"h": lh, "len": len(lb)}}, None)
     ]
 
-    # cardinality gate from a strided sample (exact unique over a long-text
-    # column hashes the entire payload just to learn "high-cardinality").
-    # A low-card verdict is confirmed exactly by dictionary_encode itself;
-    # a high-card verdict only skips a candidate the exact pick would have
-    # rejected on size.
+    # cardinality gate from a sample of CONTIGUOUS blocks (exact unique
+    # over a long-text column hashes the entire payload just to learn
+    # "high-cardinality"). Contiguous blocks — zero-copy slices — preserve
+    # run structure, so a sorted/grouped column with moderate cardinality
+    # still reads as dict-friendly (a strided sample steps OVER runs and
+    # systematically overestimates cardinality). A low-card verdict is
+    # confirmed exactly by dictionary_encode; a false high-card verdict is
+    # the only risk, and block sampling errs toward attempting dict, whose
+    # exact encoded size then decides.
     if n > 65536:
-        idx = np.arange(0, n, n // 65536, dtype=np.int64)
-        sample = arr.take(pa.array(idx))
+        n_blocks, block = 16, 4096
+        stride = n // n_blocks
+        sample = pa.concat_arrays(
+            [arr.slice(i * stride, block) for i in range(n_blocks)]
+        )
     else:
         sample = arr
     sample_card = len(pc.unique(sample))

@@ -69,7 +69,9 @@ def tune_session_memory_env() -> None:
 
 
 def plan_partitions(
-    input_paths: list[str], target_rows: int = DEFAULT_TARGET_ROWS
+    input_paths: list[str],
+    target_rows: int = DEFAULT_TARGET_ROWS,
+    metas: dict[str, Any] | None = None,
 ) -> list[dict[str, Any]]:
     """Deterministic fragment plan: one item per (file, row-group span).
 
@@ -83,7 +85,7 @@ def plan_partitions(
     for path in sorted(input_paths):
         st = os.stat(path)
         src_sig = f"{st.st_size}:{st.st_mtime_ns}"
-        md = pq.ParquetFile(path).metadata
+        md = metas[path] if metas is not None else pq.ParquetFile(path).metadata
         groups: list[int] = []
         rows = 0
         row_start = 0
@@ -561,13 +563,27 @@ def encode_files(
             input_paths = [input_paths]
 
     os.makedirs(out_dir, exist_ok=True)
+    metas = None
     if target_rows is None:
-        total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in input_paths)
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        target_rows = min(
-            DEFAULT_TARGET_ROWS, max(MIN_TARGET_ROWS, total_rows // (2 * ncpu))
-        )
-    items = plan_partitions(input_paths, target_rows)
+        # resume must replan with the SAME target the interrupted run used —
+        # an adaptively re-derived target (different cluster width, Ray not
+        # yet initialized) would shift every partition id and the stray-
+        # segment cleanup below would discard all completed durable work
+        prior = lin.read_manifest(out_dir) if resume else None
+        if prior and prior.get("target_rows"):
+            target_rows = int(prior["target_rows"])
+        else:
+            metas = {p: pq.ParquetFile(p).metadata for p in input_paths}
+            total_rows = sum(m.num_rows for m in metas.values())
+            ncpu = (
+                max(1, int(ray.cluster_resources().get("CPU", 8)))
+                if ray.is_initialized()
+                else 8
+            )
+            target_rows = min(
+                DEFAULT_TARGET_ROWS, max(MIN_TARGET_ROWS, total_rows // (2 * ncpu))
+            )
+    items = plan_partitions(input_paths, target_rows, metas=metas)
 
     done_map = lin.completed_partitions(out_dir) if resume else {}
     # skip only when BOTH the id and the input fragment (path + row-group
@@ -650,6 +666,8 @@ def encode_files(
             "shared_dicts": {k: v[0] for k, v in shared.items()},
             "resumed": bool(resume and done),
             "skipped_partitions": sorted(done),
+            # resume replans with this exact target (see planning above)
+            "target_rows": int(target_rows),
         },
     )
     return manifest

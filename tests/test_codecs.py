@@ -391,9 +391,38 @@ def test_pack_bits_fused_transforms_match_plain(w, mode):
         assert pack_bits(v, w, ref=ref, g=g) == pack_bits(r, w)
     elif mode == 1:
         ref, g = 3, 5
+        r = rng.integers(0, min(2**w, 2**60 // g), n).astype(np.int64)  # v fits int64
         v = r * g + ref
         assert pack_bits(v, w, ref=ref, g=g) == pack_bits(r, w)
     else:
         ref = int(r.min()) if len(r) else 0
         base = np.concatenate([[0], np.cumsum(r)])  # diffs == r
         assert pack_bits(base, w, ref=0, diff=True) == pack_bits(r, w)
+
+
+def test_gcd_found_despite_allzero_sample_prefix():
+    """Sorted columns often start with thousands of ties at the min; a
+    zero sample-gcd proves nothing and must fall through to the full
+    scan (regression: g==0 was treated as 'gcd is 1')."""
+    from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+
+    v = np.concatenate(
+        [np.zeros(5000, np.int64), np.arange(1, 20000, dtype=np.int64) * 86400]
+    )
+    h, b = encode_ints(v)
+    flat = [h] + [h.get(k, {}).get("h") for k in ("vals", "lens") if k in h]
+    assert any(isinstance(x, dict) and x.get("g") == 86400 for x in flat), h
+    assert np.array_equal(decode_ints(h, b, len(v)), v)
+
+
+def test_dict_gate_survives_run_structured_columns():
+    """A sorted id column (runs of 8, 25k distinct of 200k) must still
+    attempt the dict codec — a strided cardinality sample steps over runs
+    and misreads such columns as high-cardinality (regression)."""
+    from fhirflat_ray.codecs import strings as st
+
+    ids = np.repeat(np.arange(25_000), 8)
+    arr = pa.array([f"conv-{i:08d}" for i in ids], pa.string())
+    h, b = st.encode_strings(arr, try_fsst=False)
+    assert h["c"] == "dict"
+    assert st.decode_strings(h, b, len(arr)).equals(arr)

@@ -441,3 +441,25 @@ def test_adaptive_target_rows_fans_out_small_inputs(ray_session, tmp_path):
     got = dec.decode_dataset(out).to_pandas().sort_values(["conv_id", "turn_idx"])
     want = t.to_pandas().sort_values(["conv_id", "turn_idx"])
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_adaptive_resume_reuses_recorded_target(ray_session, tmp_path, monkeypatch):
+    """A resumed adaptive-plan job must replan with the target recorded in
+    the manifest, even when the apparent cluster width changed — otherwise
+    every partition id shifts and completed segments are discarded."""
+    import ray
+
+    t = fixtures.make_transcripts(64_000)
+    src = tmp_path / "frags"
+    src.mkdir()
+    pq.write_table(t, str(src / "a.parquet"), row_group_size=8_000)
+    out = str(tmp_path / "enc")
+    m1 = enc.encode_files(str(src), out)
+    assert m1["target_rows"] >= 16_000 and m1["n_partitions"] == 4
+
+    real = ray.cluster_resources
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {**real(), "CPU": 64})
+    m2 = enc.encode_files(str(src), out, resume=True)
+    assert m2["resumed"] is True
+    assert m2["skipped_partitions"] == list(range(4))  # nothing re-encoded
+    assert m2["target_rows"] == m1["target_rows"]
