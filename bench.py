@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "q3_top_orders",
     "decontaminate",
     "corpus_prep",
+    "context_pack",
+    "sft_pack_examples",
 ]
 
 

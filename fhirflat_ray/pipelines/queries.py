@@ -2418,7 +2418,8 @@ def context_pack(sf_dir: str):
     from fhirflat_ray.functions.transcripts import pack_context_windows
 
     ds = pack_context_windows(
-        transcript_build(sf_dir), "conv_id", "turn_idx", "text", _PACK_BUDGET
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "text"]),
+        "conv_id", "turn_idx", "text", _PACK_BUDGET,
     )
     return ds.map_batches(
         lambda t: t.select(["conv_id", "turn_idx", "n_tokens", "chunk_id"]),
@@ -2459,7 +2460,8 @@ def context_truncate(sf_dir: str):
     from fhirflat_ray.functions.transcripts import truncate_context
 
     ds = truncate_context(
-        transcript_build(sf_dir), "conv_id", "turn_idx", "text", _TRUNC_BUDGET
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "text", _TRUNC_BUDGET,
     )
     return ds.map_batches(
         lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
@@ -2490,7 +2492,10 @@ def turn_pairs(sf_dir: str):
     machinery, then a vectorized filter."""
     from fhirflat_ray.functions.transcripts import turn_pairs as _tp
 
-    return _tp(transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text")
+    return _tp(
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", "text",
+    )
 
 
 TURN_PAIRS_SQL = f"""
@@ -2609,7 +2614,10 @@ def conv_dedup(sf_dir: str):
     from fhirflat_ray.functions.transcripts import conv_content
     from fhirflat_ray.functions.util import bucketed_map_groups
 
-    content = conv_content(transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text")
+    content = conv_content(
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", "text",
+    )
     hashed = content.map_batches(
         lambda b: add_content_hash(b, "content").drop_columns(["content"]),
         batch_format="pyarrow",
@@ -2647,7 +2655,8 @@ def conv_stats(sf_dir: str):
     from fhirflat_ray.functions.transcripts import conv_profile
 
     return conv_profile(
-        transcript_build(sf_dir), "conv_id", "role", "text", "tool", "ts"
+        transcript_build(sf_dir).select_columns(["conv_id", "role", "text", "tool", "ts"]),
+        "conv_id", "role", "text", "tool", "ts",
     )
 
 
@@ -2670,7 +2679,10 @@ def alternation_audit(sf_dir: str):
     pair mining."""
     from fhirflat_ray.functions.transcripts import alternation_check
 
-    return alternation_check(transcript_build(sf_dir), "conv_id", "turn_idx", "role")
+    return alternation_check(
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role"]),
+        "conv_id", "turn_idx", "role",
+    )
 
 
 ALTERNATION_AUDIT_SQL = f"""
@@ -2694,7 +2706,8 @@ def sft_pack_examples(sf_dir: str):
     from fhirflat_ray.functions.transcripts import sft_examples
 
     return sft_examples(
-        transcript_build(sf_dir), "conv_id", "turn_idx", "role", "text", _PACK_BUDGET
+        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
+        "conv_id", "turn_idx", "role", "text", _PACK_BUDGET,
     )
 
 
@@ -2733,7 +2746,7 @@ def tool_transitions(sf_dir: str):
     bucket pass combines, and streaming top-k avoids any global sort."""
     from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
 
-    ds = transcript_build(sf_dir)
+    ds = transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
