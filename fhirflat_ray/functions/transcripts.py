@@ -72,6 +72,24 @@ def pack_context_windows(
     """
     from fhirflat_ray.functions.util import bucketed_map_groups
 
+    return bucketed_map_groups(
+        ds, [key], pack_bucket_fn(key, order_col, text_col, budget, out_col, tokens_col)
+    )
+
+
+def pack_bucket_fn(
+    key: str,
+    order_col: str,
+    text_col: str,
+    budget: int,
+    out_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+):
+    """Per-bucket packing kernel (see :func:`pack_context_windows`) —
+    exposed separately so pipelines already co-partitioned on ``key`` can
+    FUSE the pack into their existing bucket pass instead of paying a
+    second shuffle."""
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
         tok = _whitespace_tokens(g[text_col])
@@ -105,7 +123,7 @@ def pack_context_windows(
         g[out_col] = chunk_out
         return g
 
-    return bucketed_map_groups(ds, [key], per_bucket)
+    return per_bucket
 
 
 def truncate_context(
@@ -122,6 +140,15 @@ def truncate_context(
     bucket (pandas C groupby engine)."""
     from fhirflat_ray.functions.util import bucketed_map_groups
 
+    return bucketed_map_groups(
+        ds, [key], truncate_bucket_fn(key, order_col, text_col, budget)
+    )
+
+
+def truncate_bucket_fn(key: str, order_col: str, text_col: str, budget: int):
+    """Per-bucket truncation kernel (see :func:`truncate_context`); for
+    fusing into an existing ``key``-bucketed pass."""
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
             [key, order_col], ascending=[True, False], kind="mergesort"
@@ -134,7 +161,7 @@ def truncate_context(
         newest = gb.cumcount().to_numpy(np.int64) == 0
         return g[(revcum <= budget) | newest]
 
-    return bucketed_map_groups(ds, [key], per_bucket)
+    return per_bucket
 
 
 def turn_pairs(
@@ -216,6 +243,17 @@ def conv_content(
     otherwise silently DROP the whole turn from SQL string_agg)."""
     from fhirflat_ray.functions.util import bucketed_map_groups
 
+    return bucketed_map_groups(
+        ds, [key], content_bucket_fn(key, order_col, role_col, text_col, sep)
+    )
+
+
+def content_bucket_fn(
+    key: str, order_col: str, role_col: str, text_col: str, sep: str = "\x1e"
+):
+    """Per-bucket content-collapse kernel (see :func:`conv_content`); for
+    fusing into an existing ``key``-bucketed pass."""
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
         g["__part"] = (
@@ -229,7 +267,7 @@ def conv_content(
         df["n_turns"] = n.reindex(df[key]).to_numpy(np.int64)
         return df
 
-    return bucketed_map_groups(ds, [key], per_bucket)
+    return per_bucket
 
 
 def conv_profile(
@@ -249,6 +287,17 @@ def conv_profile(
     raw-row pass is the honest shape; the shuffle ships each transcript row
     exactly once, same as every keyed transcript operator.)"""
     from fhirflat_ray.functions.util import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds, [key], profile_bucket_fn(key, role_col, text_col, tool_col, ts_col)
+    )
+
+
+def profile_bucket_fn(
+    key: str, role_col: str, text_col: str, tool_col: str, ts_col: str
+):
+    """Per-bucket profile kernel (see :func:`conv_profile`); for fusing
+    into an existing ``key``-bucketed pass."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.copy()
@@ -272,7 +321,7 @@ def conv_profile(
             [key, "n_turns", "n_user", "n_assistant", "n_tokens", "n_tools", "dur_us"]
         ].astype({"n_turns": np.int64, "n_user": np.int64})
 
-    return bucketed_map_groups(ds, [key], per_bucket)
+    return per_bucket
 
 
 def alternation_check(
@@ -287,6 +336,17 @@ def alternation_check(
     breaks)? Vectorized per bucket: one sort, one shifted same-conv/same-role
     compare, one groupby-sum."""
     from fhirflat_ray.functions.util import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds, [key], alternation_bucket_fn(key, order_col, role_col, first_role)
+    )
+
+
+def alternation_bucket_fn(
+    key: str, order_col: str, role_col: str, first_role: str = "user"
+):
+    """Per-bucket alternation-audit kernel (see :func:`alternation_check`);
+    for fusing into an existing ``key``-bucketed pass."""
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, order_col], kind="mergesort").reset_index(drop=True)
@@ -304,7 +364,7 @@ def alternation_check(
         )
         return out[[key, "starts_ok", "n_breaks"]]
 
-    return bucketed_map_groups(ds, [key], per_bucket)
+    return per_bucket
 
 
 def sft_examples(
@@ -319,13 +379,31 @@ def sft_examples(
     """Materialize training examples: greedy-pack each conversation into
     token-budget chunks, then collapse every (conversation, chunk) to one
     example row — ordered ``role: text`` lines joined by newline, with turn
-    and token totals. The packing pass already bucket-shuffled by
-    conversation; the collapse is a second pass of the same shape."""
+    and token totals. Pack and collapse are keyed identically, so they run
+    FUSED in a single bucket pass — one shuffle total."""
     from fhirflat_ray.functions.util import bucketed_map_groups
 
-    packed = pack_context_windows(ds, key, order_col, text_col, budget, out_col=chunk_col)
+    return bucketed_map_groups(
+        ds,
+        [key],
+        sft_bucket_fn(key, order_col, role_col, text_col, budget, chunk_col),
+    )
+
+
+def sft_bucket_fn(
+    key: str,
+    order_col: str,
+    role_col: str,
+    text_col: str,
+    budget: int,
+    chunk_col: str = "chunk_id",
+):
+    """Per-bucket SFT-example kernel: the packing kernel composed with the
+    (conversation, chunk) ordered collapse — one bucket pass for both."""
+    pack = pack_bucket_fn(key, order_col, text_col, budget, out_col=chunk_col)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = pack(g)
         g = g.copy()
         # null role/text as '' — mirrored by COALESCE in the oracle (see
         # conv_content)
@@ -344,4 +422,4 @@ def sft_examples(
         df["n_tokens"] = agg["n_tokens"].reindex(idx).to_numpy(np.int64)
         return df[[key, chunk_col, "n_turns", "n_tokens", "example"]]
 
-    return bucketed_map_groups(packed, [key], per_bucket)
+    return per_bucket

@@ -46,27 +46,46 @@ def transcript_build(sf_dir: str):
     from fhirflat_ray.functions.util import bucketed_map_groups
 
     ds = _read(sf_dir, "events")
+    return bucketed_map_groups(ds, ["user_id"], _transcript_bucket)
+
+
+def _transcript_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    # one vectorized pass over ALL users in the bucket: sort by
+    # (user, ts, event_id), then turn_idx = per-user cumcount (C path) —
+    # no Python per conversation
+    g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    turn = g.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
+    return pd.DataFrame(
+        {
+            "conv_id": "conv-" + g["user_id"].astype(str),
+            "turn_idx": turn,
+            "role": np.where(
+                g["event_type"].isin(["click", "view"]), "user", "assistant"
+            ),
+            "text": g["props"].astype(str),
+            "tool": g["event_type"].astype(str),
+            "ts": g["ts"],
+        }
+    )
+
+
+def _transcript_grouped(sf_dir: str, bucket_fn, columns: list[str] | None = None):
+    """Build the transcript AND run a conversation-keyed per-bucket kernel
+    in the SAME bucket pass. ``conv_id`` is a bijection of ``user_id``, so
+    rows grouped by user are already co-partitioned by conversation —
+    chaining a second ``bucketed_map_groups`` on ``conv_id`` after
+    ``transcript_build`` would re-shuffle identically-partitioned data.
+    One shuffle total (the "reuse the partitioning key across stages"
+    rule)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pass over ALL users in the bucket: sort by
-        # (user, ts, event_id), then turn_idx = per-user cumcount (C path) —
-        # no Python per conversation
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        turn = g.groupby("user_id", sort=False).cumcount().to_numpy().astype(np.int32)
-        return pd.DataFrame(
-            {
-                "conv_id": "conv-" + g["user_id"].astype(str),
-                "turn_idx": turn,
-                "role": np.where(
-                    g["event_type"].isin(["click", "view"]), "user", "assistant"
-                ),
-                "text": g["props"].astype(str),
-                "tool": g["event_type"].astype(str),
-                "ts": g["ts"],
-            }
-        )
+        built = _transcript_bucket(g)
+        if columns is not None:
+            built = built[columns]
+        return bucket_fn(built)
 
-    return bucketed_map_groups(ds, ["user_id"], per_bucket)
+    return bucketed_map_groups(_read(sf_dir, "events"), ["user_id"], per_bucket)
 
 
 TRANSCRIPT_BUILD_SQL = """
@@ -2415,11 +2434,12 @@ def context_pack(sf_dir: str):
     inherently sequential, so the engine runs it as max_turns vectorized
     numpy steps across all conversations per bucket (jagged-transpose); the
     oracle is a recursive CTE stepping the same recurrence."""
-    from fhirflat_ray.functions.transcripts import pack_context_windows
+    from fhirflat_ray.functions.transcripts import pack_bucket_fn
 
-    ds = pack_context_windows(
-        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "text"]),
-        "conv_id", "turn_idx", "text", _PACK_BUDGET,
+    ds = _transcript_grouped(
+        sf_dir,
+        pack_bucket_fn("conv_id", "turn_idx", "text", _PACK_BUDGET),
+        columns=["conv_id", "turn_idx", "text"],
     )
     return ds.map_batches(
         lambda t: t.select(["conv_id", "turn_idx", "n_tokens", "chunk_id"]),
@@ -2457,11 +2477,12 @@ def context_truncate(sf_dir: str):
     recent turns whose running token total fits the budget (the newest turn
     always survives). One key shuffle + a vectorized reverse cumsum per
     bucket."""
-    from fhirflat_ray.functions.transcripts import truncate_context
+    from fhirflat_ray.functions.transcripts import truncate_bucket_fn
 
-    ds = truncate_context(
-        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
-        "conv_id", "turn_idx", "text", _TRUNC_BUDGET,
+    ds = _transcript_grouped(
+        sf_dir,
+        truncate_bucket_fn("conv_id", "turn_idx", "text", _TRUNC_BUDGET),
+        columns=["conv_id", "turn_idx", "role", "text"],
     )
     return ds.map_batches(
         lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
@@ -2611,12 +2632,13 @@ def conv_dedup(sf_dir: str):
     collision-free by assumption, documented there); the oracle groups by
     the raw content string."""
     from fhirflat_ray.functions.dedup import add_content_hash
-    from fhirflat_ray.functions.transcripts import conv_content
+    from fhirflat_ray.functions.transcripts import content_bucket_fn
     from fhirflat_ray.functions.util import bucketed_map_groups
 
-    content = conv_content(
-        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
-        "conv_id", "turn_idx", "role", "text",
+    content = _transcript_grouped(
+        sf_dir,
+        content_bucket_fn("conv_id", "turn_idx", "role", "text"),
+        columns=["conv_id", "turn_idx", "role", "text"],
     )
     hashed = content.map_batches(
         lambda b: add_content_hash(b, "content").drop_columns(["content"]),
@@ -2652,11 +2674,12 @@ def conv_stats(sf_dir: str):
     """Per-conversation profile (turns by role, token total, distinct
     tools, exact microsecond duration) — the session-stats rollup a
     transcript store serves for corpus curation."""
-    from fhirflat_ray.functions.transcripts import conv_profile
+    from fhirflat_ray.functions.transcripts import profile_bucket_fn
 
-    return conv_profile(
-        transcript_build(sf_dir).select_columns(["conv_id", "role", "text", "tool", "ts"]),
-        "conv_id", "role", "text", "tool", "ts",
+    return _transcript_grouped(
+        sf_dir,
+        profile_bucket_fn("conv_id", "role", "text", "tool", "ts"),
+        columns=["conv_id", "role", "text", "tool", "ts"],
     )
 
 
@@ -2677,11 +2700,12 @@ def alternation_audit(sf_dir: str):
     user turn and how many adjacent same-role turns break strict
     alternation — the validation pass an SFT-data pipeline runs before
     pair mining."""
-    from fhirflat_ray.functions.transcripts import alternation_check
+    from fhirflat_ray.functions.transcripts import alternation_bucket_fn
 
-    return alternation_check(
-        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role"]),
-        "conv_id", "turn_idx", "role",
+    return _transcript_grouped(
+        sf_dir,
+        alternation_bucket_fn("conv_id", "turn_idx", "role"),
+        columns=["conv_id", "turn_idx", "role"],
     )
 
 
@@ -2703,11 +2727,12 @@ def sft_pack_examples(sf_dir: str):
     into 64-token chunks, then collapse every (conversation, chunk) into
     one ``role: text`` newline-joined example row with turn/token totals —
     the final shape an SFT dataloader reads."""
-    from fhirflat_ray.functions.transcripts import sft_examples
+    from fhirflat_ray.functions.transcripts import sft_bucket_fn
 
-    return sft_examples(
-        transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "role", "text"]),
-        "conv_id", "turn_idx", "role", "text", _PACK_BUDGET,
+    return _transcript_grouped(
+        sf_dir,
+        sft_bucket_fn("conv_id", "turn_idx", "role", "text", _PACK_BUDGET),
+        columns=["conv_id", "turn_idx", "role", "text"],
     )
 
 
@@ -2746,8 +2771,6 @@ def tool_transitions(sf_dir: str):
     bucket pass combines, and streaming top-k avoids any global sort."""
     from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
 
-    ds = transcript_build(sf_dir).select_columns(["conv_id", "turn_idx", "tool"])
-
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
         conv = g["conv_id"].to_numpy()
@@ -2766,7 +2789,9 @@ def tool_transitions(sf_dir: str):
             }
         )
 
-    partial = bucketed_map_groups(ds, ["conv_id"], pairs)
+    partial = _transcript_grouped(
+        sf_dir, pairs, columns=["conv_id", "turn_idx", "tool"]
+    )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("transition", sort=False).agg(n=("n", "sum")).reset_index()
