@@ -1,0 +1,268 @@
+"""Aggregate pushdown into the encoded segment format.
+
+Three aggregates run directly over encoded segments, skipping decode work in
+proportion to how well the column compressed — the payoff of owning the
+format (the reference computes its folder-level stats by re-reading the
+written parquet, /root/reference/fhirflat/ingest.py:397-432; here the encode
+pass already left behind everything these aggregates need):
+
+- ``encoded_value_counts``: GROUP BY col → COUNT(*) for a string column.
+  Dictionary-coded segments never materialize a single string: the counts
+  come from the *code stream*, and when the codes themselves are RLE
+  (sorted/grouped data — the common case after the encode pass's
+  per-partition sort) the kernel is ``bincount(run_values, run_lengths)``
+  over O(runs) integers for an n-row segment. Other codecs fall back to a
+  pruned single-column decode + ``pc.value_counts`` — same answer, just no
+  shortcut.
+- ``encoded_min_max``: MIN/MAX of an orderable column from the per-segment
+  zone maps alone — O(segments) header reads, zero payload bytes touched
+  (the same trick ``decode.prune_segments`` uses to skip segments, used
+  here to *answer* the query).
+- ``encoded_distinct``: DISTINCT values of a dict-coded string column from
+  the vocabularies alone (shared-dict vocab read once from the manifest
+  store; per-segment vocabs are a ranged read of the vocab bytes, skipping
+  the much larger code stream).
+
+Each per-segment partial is tiny (vocab-bounded), so the distributed shape
+is: ``from_items(segment paths) → map_batches(per-segment partial)`` — one
+task per segment, embarrassingly parallel — then a vocab-bounded combine.
+At 100 TB the segment count is the parallelism and nothing rescans row data
+that the header/codes already answer.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fhirflat_ray.codecs.ints import decode_ints
+from fhirflat_ray.codecs.strings import decode_plain
+from fhirflat_ray.state import segments as seg
+
+
+def _code_counts(hdr: dict[str, Any], blob: bytes, n: int) -> np.ndarray:
+    """Per-code occurrence counts from an encoded int (code) stream.
+
+    RLE codes are counted from (run_value, run_length) pairs without ever
+    expanding to n values — the encoded-domain shortcut. Everything else
+    decodes the int64 codes (still far cheaper than string materialization)
+    and bincounts.
+    """
+    if hdr["c"] == "rle":
+        nb_v = hdr["vals"]["len"]
+        run_vals = decode_ints(hdr["vals"]["h"], blob[:nb_v], hdr["runs"])
+        run_lens = decode_ints(hdr["lens"]["h"], blob[nb_v:], hdr["runs"])
+        if len(run_vals) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return np.bincount(
+            run_vals, weights=run_lens.astype(np.float64), minlength=int(run_vals.max()) + 1
+        ).astype(np.int64)
+    codes = decode_ints(hdr, blob, n)
+    if len(codes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.bincount(codes).astype(np.int64)
+
+
+def _find_column(header: dict[str, Any], column: str) -> dict[str, Any]:
+    for col in header["columns"]:
+        if col["name"] == column:
+            return col
+    raise KeyError(f"column {column!r} not in segment header")
+
+
+def _read_col_blob(path: str, payload_off: int, col: dict[str, Any]) -> bytes:
+    with open(path, "rb") as f:
+        f.seek(payload_off + col["off"])
+        return f.read(col["len"])
+
+
+def segment_value_counts(
+    path: str, column: str, dict_store: dict[str, pa.Array] | None = None
+) -> pa.Table:
+    """One segment's (value, n) partial for ``GROUP BY column``.
+
+    Fast path: null-free dict-coded string column — counts from the code
+    stream + vocab, no string decode. Fallback: pruned one-column decode +
+    ``pc.value_counts`` (nulls grouped as NULL, matching SQL GROUP BY).
+    """
+    header, payload_off = seg.read_segment_header(path)
+    col = _find_column(header, column)
+    hdr = col["hdr"]
+    sh = hdr.get("h")
+    if (
+        hdr.get("c") == "str"
+        and "valid_len" not in hdr
+        and isinstance(sh, dict)
+        and sh.get("c") == "dict"
+    ):
+        blob = _read_col_blob(path, payload_off, col)
+        nb = sh["codes"]["len"]
+        counts = _code_counts(sh["codes"]["h"], blob[:nb], hdr["n"])
+        if "shared" in sh:
+            if not dict_store or sh["shared"] not in dict_store:
+                raise KeyError(f"shared dictionary {sh['shared']} not in store")
+            vocab = dict_store[sh["shared"]]
+        else:
+            vocab = decode_plain(sh["vocab"]["h"], blob[nb:], sh["vocab"]["n"])
+        # counts is indexed by code; pad to the vocab (shared vocabs can have
+        # values this segment never uses) and keep only present values so the
+        # partial mirrors GROUP BY (groups exist only for observed values)
+        if len(counts) < len(vocab):
+            counts = np.pad(counts, (0, len(vocab) - len(counts)))
+        mask = counts > 0
+        return pa.table(
+            {
+                column: pa.array(vocab.to_pylist(), pa.string())
+                if not mask.all()
+                else vocab.cast(pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        ).filter(pa.array(mask))
+    # generic path — one-column pruned decode (never touches other columns)
+    tbl = seg.read_segment(path, dict_store, columns=[column])
+    vc = pc.value_counts(tbl.column(column))
+    return pa.table(
+        {
+            column: vc.field("values").cast(pa.string()),
+            "n": vc.field("counts").cast(pa.int64()),
+        }
+    )
+
+
+def segment_distinct(
+    path: str, column: str, dict_store: dict[str, pa.Array] | None = None
+) -> pa.Table:
+    """One segment's distinct string values. Dict-coded: the vocabulary IS
+    the answer for a LOCAL vocab (dictionary_encode emits exactly the
+    observed values); a SHARED vocab may be a superset, so that path (and
+    every non-dict codec) falls back to counting first."""
+    header, payload_off = seg.read_segment_header(path)
+    col = _find_column(header, column)
+    hdr = col["hdr"]
+    sh = hdr.get("h")
+    if (
+        hdr.get("c") == "str"
+        and "valid_len" not in hdr
+        and isinstance(sh, dict)
+        and sh.get("c") == "dict"
+        and "vocab" in sh
+    ):
+        blob = _read_col_blob(path, payload_off, col)
+        nb = sh["codes"]["len"]
+        vocab = decode_plain(sh["vocab"]["h"], blob[nb:], sh["vocab"]["n"])
+        return pa.table({column: vocab.cast(pa.string())})
+    return segment_value_counts(path, column, dict_store).select([column])
+
+
+def segment_zone(path: str, column: str) -> tuple[int | float, int | float] | None:
+    """(min, max) for one segment from the header zone map — no payload
+    bytes read. None when the segment carries no zone for the column."""
+    header, _ = seg.read_segment_header(path)
+    return seg.zones_of_header(header).get(column)
+
+
+def encoded_value_counts(seg_dir: str, column: str):
+    """Distributed ``GROUP BY column → COUNT(*)`` over encoded segments.
+
+    One task per segment produces a vocab-bounded partial; the combine is a
+    single bucketed sum over (value) — the A5 partial/final shape with the
+    partial computed from encoded bytes.
+    """
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    paths = segment_paths(seg_dir)
+    if not paths:
+        raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        return pa.concat_tables(
+            [segment_value_counts(str(p), column, store) for p in batch["item"]]
+        )
+
+    partials = rd.from_items(paths).map_batches(
+        partial, batch_size=1, batch_format="numpy", num_cpus=1
+    )
+
+    def combine(g):
+        out = g.groupby(column, sort=False, dropna=False)["n"].sum().reset_index()
+        return out
+
+    return bucketed_map_groups(partials, [column], combine)
+
+
+def encoded_distinct(seg_dir: str, column: str):
+    """Distributed DISTINCT over encoded segments (vocab-only reads on the
+    dict fast path)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    paths = segment_paths(seg_dir)
+    if not paths:
+        raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        return pa.concat_tables(
+            [segment_distinct(str(p), column, store) for p in batch["item"]]
+        )
+
+    partials = rd.from_items(paths).map_batches(
+        partial, batch_size=1, batch_format="numpy", num_cpus=1
+    )
+    return bucketed_map_groups(
+        partials, [column], lambda g: g.drop_duplicates([column])
+    )
+
+
+def encoded_min_max(seg_dir: str, column: str) -> tuple[Any, Any]:
+    """Global (min, max) of an orderable column from segment zone maps —
+    header-only reads, driver-side merge of two numbers per segment.
+
+    Segments without a zone (all-null, or a type zone maps skip) fall back
+    to a pruned one-column decode of JUST those segments. Timestamp columns
+    return int64 microseconds (the zone normalization); callers rebuild the
+    timestamp type.
+    """
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    lo: Any = None
+    hi: Any = None
+    missing: list[str] = []
+    for p in segment_paths(seg_dir):
+        z = segment_zone(p, column)
+        if z is None:
+            missing.append(p)
+            continue
+        lo = z[0] if lo is None else min(lo, z[0])
+        hi = z[1] if hi is None else max(hi, z[1])
+    for p in missing:
+        tbl = seg.read_segment(p, _worker_dict_store(seg_dir), columns=[column])
+        arr = tbl.column(column)
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        mm = pc.min_max(arr)
+        mlo, mhi = mm["min"].as_py(), mm["max"].as_py()
+        if mlo is None:
+            continue
+        lo = mlo if lo is None else min(lo, mlo)
+        hi = mhi if hi is None else max(hi, mhi)
+    return lo, hi
+
+
+__all__ = [
+    "segment_value_counts",
+    "segment_distinct",
+    "segment_zone",
+    "encoded_value_counts",
+    "encoded_distinct",
+    "encoded_min_max",
+]

@@ -2419,6 +2419,84 @@ def _conv_lookup_sql() -> str:
     return f"SELECT * FROM ({TRANSCRIPT_BUILD_SQL}) WHERE conv_id = 'conv-7'"
 
 
+def _transcript_segdir(sf_dir: str, salt: str) -> str:
+    """Encode the transcript table into a fresh segment dir for the
+    encoded-domain aggregate queries (role shared-dict so the counts path
+    exercises the manifest dictionary store; tool local-dict so the
+    distinct path exercises vocab-only reads)."""
+    from fhirflat_ray.pipelines import encode as enc
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_ea",
+        hashlib.sha1(f"{salt}:{sf_dir}".encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    transcript_build(sf_dir).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, shared_dict_columns=["role"])
+    return seg_dir
+
+
+def role_counts_encoded(sf_dir: str):
+    """GROUP BY role → COUNT(*) computed INSIDE the encoded format: one task
+    per segment reads only the role column's code stream (dict codes; RLE
+    runs counted without expansion — ``encoded_agg._code_counts``) plus the
+    shared vocabulary from the manifest store, then a vocab-bounded combine.
+    No string value is ever materialized; the bytes read per segment are the
+    packed codes, not the column."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_value_counts
+
+    return encoded_value_counts(_transcript_segdir(sf_dir, "rc"), "role")
+
+
+ROLE_COUNTS_ENCODED_SQL = f"""
+SELECT role, COUNT(*) AS n FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY role
+"""
+
+
+def tool_vocab_encoded(sf_dir: str):
+    """DISTINCT tool from the encoded format's dictionary vocabularies
+    alone: each segment's local dict vocab is exactly its observed value
+    set, so the per-segment partial is a ranged read of the (tiny) vocab
+    bytes — the code stream and every other column stay on disk."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_distinct
+
+    return encoded_distinct(_transcript_segdir(sf_dir, "tv"), "tool")
+
+
+TOOL_VOCAB_ENCODED_SQL = f"""
+SELECT DISTINCT tool FROM ({TRANSCRIPT_BUILD_SQL})
+"""
+
+
+def ts_range_encoded(sf_dir: str):
+    """MIN/MAX ts answered from per-segment zone maps only — O(segments)
+    header reads, zero payload bytes (the same statistics predicate
+    pushdown uses to SKIP segments, used here to ANSWER the aggregate).
+    The zone stores timestamps as int64 in the column's own unit; the
+    original type from the segment header rebuilds the timestamps."""
+    from fhirflat_ray.codecs.core import str_to_type
+    from fhirflat_ray.pipelines.decode import segment_paths
+    from fhirflat_ray.pipelines.encoded_agg import encoded_min_max
+    from fhirflat_ray.state import segments as segmod
+
+    seg_dir = _transcript_segdir(sf_dir, "tr")
+    lo, hi = encoded_min_max(seg_dir, "ts")
+    hdr, _ = segmod.read_segment_header(segment_paths(seg_dir)[0])
+    t = str_to_type(
+        next(c["hdr"]["t"] for c in hdr["columns"] if c["name"] == "ts")
+    )
+    return pa.table(
+        {"ts_min": pa.array([lo], pa.int64()).cast(t),
+         "ts_max": pa.array([hi], pa.int64()).cast(t)}
+    )
+
+
+TS_RANGE_ENCODED_SQL = "SELECT min(ts) AS ts_min, max(ts) AS ts_max FROM events"
+
+
 # =====================================================================
 # Transcript training/serving operators
 # =====================================================================
@@ -2884,6 +2962,9 @@ QUERIES = {
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
     "conv_lookup": conv_lookup,
+    "role_counts_encoded": role_counts_encoded,
+    "tool_vocab_encoded": tool_vocab_encoded,
+    "ts_range_encoded": ts_range_encoded,
     "context_pack": context_pack,
     "context_truncate": context_truncate,
     "turn_pairs": turn_pairs,
@@ -2958,6 +3039,9 @@ ORACLE_SQL = {
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
     "conv_lookup": _conv_lookup_sql(),
+    "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
+    "tool_vocab_encoded": TOOL_VOCAB_ENCODED_SQL,
+    "ts_range_encoded": TS_RANGE_ENCODED_SQL,
     "context_pack": CONTEXT_PACK_SQL,
     "context_truncate": CONTEXT_TRUNCATE_SQL,
     "turn_pairs": TURN_PAIRS_SQL,

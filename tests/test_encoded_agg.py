@@ -1,0 +1,135 @@
+"""Encoded-domain aggregates: counts/distinct/min-max straight from segment
+bytes (codes, vocabs, zone maps) must equal the decoded-table answers."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+from fhirflat_ray.pipelines import encoded_agg as ea
+from fhirflat_ray.state import segments as segmod
+
+WORK = "/tmp/fhirflat_ray_test_ea"
+
+
+def _fixture_df(n: int = 20000) -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    return pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i % 499}" for i in range(n)],
+            "turn_idx": (np.arange(n) % 17).astype(np.int32),
+            "role": np.where(rng.random(n) < 0.3, "user", "assistant"),
+            "tool": rng.choice(["click", "view", "purchase"], n),
+            "text": ["text %d body" % (i % 53) for i in range(n)],
+            "ts": pd.to_datetime("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 10**8, n), unit="us"),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def seg_dir(ray_session):
+    from fhirflat_ray.pipelines import encode as enc
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    src = os.path.join(WORK, "src")
+    os.makedirs(src)
+    df = _fixture_df()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), os.path.join(src, "t.parquet"))
+    out = os.path.join(WORK, "enc")
+    enc.encode_files(
+        src, out, shared_dict_columns=["role"], sort_keys=("conv_id", "turn_idx"), target_rows=4000
+    )
+    return out, df
+
+
+def test_code_counts_rle_matches_expansion():
+    # sorted codes → RLE; counting runs must equal counting expanded values
+    codes = np.repeat(
+        np.arange(37, dtype=np.int64), 500 + np.arange(1, 38, dtype=np.int64)
+    )
+    hdr, blob = encode_ints(codes)
+    assert hdr["c"] == "rle"
+    counts = ea._code_counts(hdr, blob, len(codes))
+    expanded = np.bincount(decode_ints(hdr, blob, len(codes)))
+    assert np.array_equal(counts, expanded)
+
+
+def test_value_counts_shared_and_local_dict(seg_dir):
+    out, df = seg_dir
+    for col in ("role", "tool", "conv_id"):
+        got = (
+            ea.encoded_value_counts(out, col)
+            .to_pandas()
+            .sort_values(col)
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.groupby(col).size().reset_index(name="n").sort_values(col).reset_index(drop=True)
+        )
+        assert got[col].tolist() == exp[col].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_value_counts_null_fallback(ray_session):
+    # nulls force the generic decode path; the NULL group must match SQL
+    work = os.path.join(WORK, "nulls")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    vals = ["a", None, "b", "a", None, "a", "c", None] * 100
+    pq.write_table(pa.table({"v": pa.array(vals, pa.string())}), os.path.join(src, "t.parquet"))
+    from fhirflat_ray.pipelines import encode as enc
+
+    out = os.path.join(work, "enc")
+    enc.encode_files(src, out, sort_keys=None, target_rows=200)
+    got = ea.encoded_value_counts(out, "v").to_pandas()
+    by = {(None if pd.isna(k) else k): int(v) for k, v in zip(got["v"], got["n"])}
+    assert by == {"a": 300, "b": 100, "c": 100, None: 300}
+
+
+def test_distinct_from_vocab(seg_dir):
+    out, df = seg_dir
+    got = sorted(ea.encoded_distinct(out, "tool").to_pandas()["tool"])
+    assert got == sorted(df["tool"].unique())
+
+
+def test_min_max_zones_and_fallback(seg_dir):
+    out, df = seg_dir
+    lo, hi = ea.encoded_min_max(out, "turn_idx")
+    assert (lo, hi) == (0, 16)
+    lo, hi = ea.encoded_min_max(out, "ts")
+    assert lo == int(df["ts"].min().value) and hi == int(df["ts"].max().value)
+    # strings carry no zone → per-segment decode fallback
+    lo, hi = ea.encoded_min_max(out, "role")
+    assert (lo, hi) == ("assistant", "user")
+
+
+def test_counts_never_decode_strings(seg_dir, monkeypatch):
+    # the dict fast path must not call the string decoders at all
+    out, _ = seg_dir
+    import fhirflat_ray.codecs.strings as strs
+
+    def boom(*a, **k):  # pragma: no cover - tripwire
+        raise AssertionError("string decode invoked on the encoded-counts fast path")
+
+    monkeypatch.setattr(strs, "decode_worddict", boom)
+    monkeypatch.setattr(strs, "decode_fsst", boom)
+    paths = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".seg")
+    )
+    from fhirflat_ray.state.lineage import load_dict_store
+
+    store = load_dict_store(out)
+    t = ea.segment_value_counts(paths[0], "role", store)
+    hdr, _off = segmod.read_segment_header(paths[0])
+    col = next(c for c in hdr["columns"] if c["name"] == "role")
+    assert col["hdr"]["h"]["c"] == "dict" and "shared" in col["hdr"]["h"]
+    assert int(pa.compute.sum(t.column("n")).as_py()) == hdr["n_rows"]
