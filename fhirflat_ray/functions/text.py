@@ -296,3 +296,32 @@ def bigram_counts_partial(batch: pa.Table, column: str = "text") -> pa.Table:
     return pa.table(
         {"bigram": pa.array(c.index, pa.string()), "n": pa.array(c.to_numpy(np.int64))}
     )
+
+
+# ------------------------------------------------------ inverted index
+
+
+def term_doc_tf(batch: pa.Table, id_col: str = "doc_id", column: str = "text") -> pa.Table:
+    """(term, doc_id, tf) postings for one batch — the inverted-index map
+    stage. A document is one row, so the per-batch result is EXACT (not a
+    partial): every downstream consumer can treat `(term, doc_id)` as
+    globally unique. Tokenization is the engine-wide RE2 ``\\s+`` split
+    (see :func:`_split_words`); the pairing/counting is one pandas
+    C-groupby over the exploded arrays."""
+    import pandas as pd
+
+    vals, parent, _ = _split_words(batch[column])
+    if len(vals) == 0:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+        })
+    doc_ids = batch[id_col].to_numpy()
+    df = pd.DataFrame({"term": vals, "doc_id": doc_ids[parent]})
+    g = df.groupby(["term", "doc_id"], sort=False).size().reset_index(name="tf")
+    return pa.table({
+        "term": pa.array(g["term"], pa.string()),
+        "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+        "tf": pa.array(g["tf"].to_numpy(np.int64)),
+    })

@@ -2696,6 +2696,102 @@ FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def term_stats(sf_dir: str):
+    """Inverted-index statistics: per term, document frequency and total
+    term frequency over the corpus. Map stage emits exact (term, doc, tf)
+    postings per batch (documents never span rows), so the term-bucket
+    combine is a pure vectorized count/sum — the index-build pipeline a
+    retrieval system runs, with the postings shuffle carrying three narrow
+    columns."""
+    from fhirflat_ray.functions.text import term_doc_tf
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    postings = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        term_doc_tf, batch_format="pyarrow"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False).agg(
+            df=("doc_id", "size"), tf=("tf", "sum")
+        ).reset_index()
+        return out
+
+    return bucketed_map_groups(postings, ["term"], combine)
+
+
+TERM_STATS_SQL = r"""
+WITH t AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf
+FROM t GROUP BY term
+"""
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 salient terms with their TF-IDF scores — the
+    keyword-extraction pass. Two narrow shuffles, no broadcast and no
+    driver state: (1) postings bucket-shuffle on TERM attaches each term's
+    document frequency via a vectorized transform (every term's postings
+    land in one bucket); (2) re-shuffle on DOC picks each document's top 3.
+    The RANKING is the integer total order (tf DESC, df ASC, term ASC) —
+    most frequent then rarest — so the gate never depends on cross-engine
+    libm ``ln`` agreement; the tfidf value itself (tf · ln(N/df), rounded
+    6dp) rides along for the hash compare."""
+    from fhirflat_ray.functions.text import term_doc_tf
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    postings = docs.map_batches(term_doc_tf, batch_format="pyarrow")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["df"] = g.groupby("term", sort=False)["doc_id"].transform("size").astype(np.int64)
+        return g
+
+    with_df = bucketed_map_groups(postings, ["term"], attach_df)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        out = g.groupby("doc_id", sort=False).head(3).copy()
+        out["tfidf"] = np.round(
+            out["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / out["df"].to_numpy(np.float64)),
+            6,
+        )
+        return out[["doc_id", "term", "tf", "df", "tfidf"]]
+
+    return bucketed_map_groups(with_df, ["doc_id"], topk)
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH t AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+  GROUP BY term, doc_id
+), s AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, df,
+       ROUND(CAST(tf AS DOUBLE) * ln(nd / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM (
+  SELECT t.term, t.doc_id, t.tf, s.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY t.tf DESC, s.df ASC, t.term ASC
+         ) AS rn
+  FROM t JOIN s USING (term)
+), n
+WHERE rn <= 3
+"""
+
+
 # =====================================================================
 # Conversation-level operators
 # =====================================================================
@@ -2971,6 +3067,8 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "repetition_flags": repetition_flags,
     "bigram_top": bigram_top,
+    "term_stats": term_stats,
+    "tfidf_top_terms": tfidf_top_terms,
     "conv_dedup": conv_dedup,
     "conv_stats": conv_stats,
     "alternation_audit": alternation_audit,
@@ -3048,6 +3146,8 @@ ORACLE_SQL = {
     "pii_scrub": PII_SCRUB_SQL,
     "repetition_flags": REPETITION_FLAGS_SQL,
     "bigram_top": BIGRAM_TOP_SQL,
+    "term_stats": TERM_STATS_SQL,
+    "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "conv_dedup": CONV_DEDUP_SQL,
     "conv_stats": CONV_STATS_SQL,
     "alternation_audit": ALTERNATION_AUDIT_SQL,

@@ -4,6 +4,7 @@ multimodal plumbing."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -866,3 +867,84 @@ def test_bucketed_ops_under_heavy_key_skew(ray_session):
         .reset_index(drop=True)
     )
     assert got2.equals(want2[["k", "id"]])
+
+
+def test_term_doc_tf_and_tfidf_planted(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.text import term_doc_tf
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "apple apple banana",
+                "apple cherry",
+                "banana  banana\tbanana cherry",
+            ],
+        }
+    )
+    postings = (
+        term_doc_tf(t).to_pandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "term": ["apple", "apple", "banana", "banana", "cherry", "cherry"],
+            "doc_id": [1, 2, 1, 3, 2, 3],
+            "tf": [2, 1, 1, 3, 1, 1],
+        }
+    )
+    assert postings.equals(want)
+
+    # distributed stats over a multi-block dataset: df / total tf per term
+    ds = rd.from_arrow(t).repartition(3).map_batches(term_doc_tf, batch_format="pyarrow")
+
+    def combine(g):
+        return (
+            g.groupby("term", sort=False)
+            .agg(df=("doc_id", "size"), tf=("tf", "sum"))
+            .reset_index()
+        )
+
+    stats = (
+        bucketed_map_groups(ds, ["term"], combine)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    assert stats["term"].tolist() == ["apple", "banana", "cherry"]
+    assert stats["df"].tolist() == [2, 2, 2]
+    assert stats["tf"].tolist() == [3, 4, 2]
+
+
+def test_tfidf_top_terms_ranking(ray_session, tmp_path, monkeypatch):
+    # rank must be (tf DESC, df ASC, term ASC); banana(tf3) beats apple(tf2)
+    import pyarrow.parquet as pq
+
+    from fhirflat_ray.pipelines.queries import tfidf_top_terms
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["x banana banana banana apple apple", "x y apple"],
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    got = (
+        tfidf_top_terms(str(sf))
+        .to_pandas()
+        .sort_values(["doc_id", "tf", "df", "term"], ascending=[True, False, True, True])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == 1]
+    assert d1["term"].tolist() == ["banana", "apple", "x"]
+    assert d1["tf"].tolist() == [3, 2, 1]
+    # banana df=1 of N=2 docs -> tfidf = 3*ln(2)
+    assert abs(d1["tfidf"].iloc[0] - round(3 * np.log(2.0), 6)) < 1e-9
+    # x appears in both docs -> idf = ln(1) = 0
+    assert d1[d1["term"] == "x"]["tfidf"].iloc[0] == 0.0
