@@ -127,6 +127,36 @@ def transcript_roundtrip(sf_dir: str):
     return dec.decode_dataset(seg_dir)
 
 
+def compacted_roundtrip(sf_dir: str):
+    """Round trip THROUGH small-file compaction: encode the transcript
+    table into deliberately tiny segments (the long-running-ingest
+    small-file problem), `compact_segments` them into target-sized ones
+    (streaming decode → re-sort → re-encode, fresh manifest), then decode
+    the compacted set. The oracle is the build SQL — compaction, like the
+    rest of the encode stack, must be invisible to the decoded rows."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_cp", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    transcript_build(sf_dir).write_parquet(src_dir)
+    small = os.path.join(work, "small")
+    enc.encode_files(src_dir, small, target_rows=256)
+    big = os.path.join(work, "compacted")
+    enc.compact_segments(small, big, target_rows=4096)
+    n_small = len(dec.segment_paths(small))
+    n_big = len(dec.segment_paths(big))
+    if n_big >= n_small:
+        raise AssertionError(
+            f"compaction did not shrink the segment set ({n_small} -> {n_big})"
+        )
+    return dec.decode_dataset(big)
+
+
 def _generic_roundtrip(sf_dir: str, table: str):
     """Encode→decode any parquet table (the codec layer is schema-generic:
     ints/floats/strings/timestamps all round-trip bit-identically)."""
@@ -3059,6 +3089,7 @@ QUERIES = {
     "pruned_scan": pruned_scan,
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
+    "compacted_roundtrip": compacted_roundtrip,
     "tool_vocab_encoded": tool_vocab_encoded,
     "ts_range_encoded": ts_range_encoded,
     "context_pack": context_pack,
@@ -3138,6 +3169,7 @@ ORACLE_SQL = {
     "pruned_scan": PRUNED_SCAN_SQL,
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
+    "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,
     "tool_vocab_encoded": TOOL_VOCAB_ENCODED_SQL,
     "ts_range_encoded": TS_RANGE_ENCODED_SQL,
     "context_pack": CONTEXT_PACK_SQL,
