@@ -339,3 +339,118 @@ def nearest_neighbor_join(ds, ref_ids: np.ndarray, ref_vectors: np.ndarray,
         ),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------------- int8 quantization
+
+
+def quantize_matrix(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization of a (n, d) float matrix.
+
+    ``scale = max(|v|) / 127``; ``code = floor(v / scale + 0.5)`` — the
+    half-up rule is spelled as floor(+0.5) rather than round() so a SQL
+    oracle can mirror it EXACTLY (numpy's round() is half-to-even, DuckDB's
+    half-away; floor(x + 0.5) is the same IEEE expression in both). All
+    arithmetic is float64 on exactly-widened float32 inputs, so engine and
+    oracle produce bit-identical codes. All-zero vectors get scale 0 and
+    all-zero codes. Codes return as int64 (the exact-integer domain the
+    scoring matmul and the SQL checksums both use); storage-minded callers
+    can downcast to int8 losslessly."""
+    mat = mat.astype(np.float64, copy=False)
+    scales = np.abs(mat).max(axis=1) / 127.0
+    safe = np.where(scales == 0.0, 1.0, scales)
+    codes = np.floor(mat / safe[:, None] + 0.5)
+    codes[scales == 0.0] = 0.0
+    return codes, scales
+
+
+def quantize_stats_batch(
+    batch: pa.Table, id_column: str = "vec_id", vec_column: str = "embedding"
+) -> pa.Table:
+    """Per-vector quantization checksums (map-only): code sum, squared-code
+    sum (both exact BIGINT) and the scale. Integer checksums make the
+    driver's value-hash float-proof while still pinning every code."""
+    mat = _matrix(batch[vec_column]).astype(np.float64)
+    codes, scales = quantize_matrix(mat)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "qsum": pa.array(codes.sum(axis=1).astype(np.int64)),
+            "qnorm2": pa.array((codes * codes).sum(axis=1).astype(np.int64)),
+            "scale": pa.array(np.round(scales, 9), pa.float64()),
+        }
+    )
+
+
+class QuantizedScorer:
+    """Actor-pool stage: int8-quantized dot-product scores against broadcast
+    quantized queries. The integer dot runs as a float64 BLAS matmul —
+    exact while ``d * 127^2 < 2^53`` (any realistic dimension) — and the
+    only float in the ranking is ``int_dot * corpus_scale`` (the query's
+    scale is a positive per-query constant, so dropping it preserves each
+    query's order). Same deterministic expression on the SQL side ⇒ the
+    approximate top-k itself is fully oracle-checkable."""
+
+    def __init__(self, queries_ref: Any, id_column: str = "vec_id",
+                 vec_column: str = "embedding", k: int = 10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        self.query_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.qcodes = np.asarray(q["codes"], dtype=np.float64)  # (q, d)
+        self.id_column = id_column
+        self.vec_column = vec_column
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch[self.vec_column]).astype(np.float64)
+        codes, scales = quantize_matrix(mat)
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        sims = (codes @ self.qcodes.T) * scales[:, None]  # (n, q)
+        k = min(self.k, len(ids))
+        out: dict[str, list] = {"query_id": [], "vec_id": [], "qsim": []}
+        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]
+        for qi, qid in enumerate(self.query_ids):
+            rows = top[:, qi]
+            out["query_id"].extend([int(qid)] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["qsim"].extend(sims[rows, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "qsim": pa.array(out["qsim"], pa.float64()),
+            }
+        )
+
+
+def knn_quantized(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 10,
+                  id_column: str = "vec_id", vec_column: str = "embedding"):
+    """Top-k neighbours under int8 quantized dot-product similarity:
+    map-only scoring (corpus quantized per batch, queries quantized once
+    and broadcast), local top-k per batch, tiny global reduce — the
+    storage/bandwidth-reduction scale path next to exact
+    :func:`knn_bruteforce` (codes are 4x smaller than float32 vectors and
+    the scoring is integer math)."""
+    import ray
+
+    qmat = np.asarray(query_vectors, dtype=np.float64)
+    qcodes, _qscales = quantize_matrix(qmat)
+    ref = ray.put({"ids": query_ids, "codes": qcodes})
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    scored = ds.map_batches(
+        worker_cached_stage(
+            QuantizedScorer, queries_ref=ref, id_column=id_column,
+            vec_column=vec_column, k=k,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qsim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -1069,6 +1069,86 @@ SELECT qid AS query_id, vec_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10
 """
 
 
+def embed_quantize(sf_dir: str):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (map-only): per-vector scale + exact-integer code checksums. The
+    half-up rule is written as ``floor(x + 0.5)`` in BOTH engines so the
+    codes are bit-identical and the checksums hash-proof — the lossy
+    compression operator a training pipeline applies before shipping
+    vectors (4x smaller than float32), with the quantizer itself under a
+    full oracle."""
+    from fhirflat_ray.functions.similarity import quantize_stats_batch
+
+    return _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        quantize_stats_batch, batch_format="pyarrow"
+    )
+
+
+EMBED_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(
+           v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END
+         ) AS qc
+  FROM s
+)
+SELECT vec_id,
+       CAST(list_sum(qc) AS BIGINT) AS qsum,
+       CAST(list_sum(list_transform(qc, c -> c * c)) AS BIGINT) AS qnorm2,
+       ROUND(scale, 9) AS scale
+FROM q
+"""
+
+
+def knn_quantized(sf_dir: str):
+    """Approximate top-10 under int8-quantized dot product — and still a
+    FULL oracle: the ranking float is the single product
+    ``int_dot * corpus_scale`` (query scale is a positive per-query
+    constant, dropped), the same IEEE expression the SQL computes, so even
+    this approximate index's results are hash-checkable, not just
+    recall-tested."""
+    from fhirflat_ray.functions.similarity import knn_quantized as knn
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ids, vecs = _load_queries(sf_dir)
+    out = knn(ds, ids, vecs, k=10)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+KNN_QUANTIZED_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), z AS (
+  SELECT vec_id, scale,
+         list_transform(
+           v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END
+         ) AS qc
+  FROM s
+), q AS (
+  SELECT vec_id AS qid, qc AS qqc FROM z WHERE vec_id < 4
+), sc AS (
+  SELECT q.qid, e.vec_id,
+         CAST(list_dot_product(q.qqc, e.qc) AS DOUBLE) * e.scale AS qsim
+  FROM q CROSS JOIN z e
+), r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, vec_id) AS rk
+  FROM sc
+)
+SELECT qid AS query_id, vec_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10
+"""
+
+
 def knn_ivf(sf_dir: str):
     """IVF-bucketed approximate variant (rows-only check)."""
     from fhirflat_ray.functions.similarity import knn_ivf as knn
@@ -3057,6 +3137,8 @@ QUERIES = {
     "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
+    "embed_quantize": embed_quantize,
+    "knn_quantized": knn_quantized,
     "knn_ivf": knn_ivf,
     "knn_ivf_exhaustive": knn_ivf_exhaustive,
     "knn_ivf_persisted": knn_ivf_persisted,
@@ -3139,6 +3221,8 @@ ORACLE_SQL = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "embed_quantize": EMBED_QUANTIZE_SQL,
+    "knn_quantized": KNN_QUANTIZED_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,
     "knn_ivf_persisted": KNN_BRUTEFORCE_SQL,
     "flatten_props": FLATTEN_PROPS_SQL,

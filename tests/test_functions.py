@@ -948,3 +948,52 @@ def test_tfidf_top_terms_ranking(ray_session, tmp_path, monkeypatch):
     assert abs(d1["tfidf"].iloc[0] - round(3 * np.log(2.0), 6)) < 1e-9
     # x appears in both docs -> idf = ln(1) = 0
     assert d1[d1["term"] == "x"]["tfidf"].iloc[0] == 0.0
+
+
+def test_quantize_matrix_exactness_and_bounds():
+    from fhirflat_ray.functions.similarity import quantize_matrix
+
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(50, 64)).astype(np.float32).astype(np.float64)
+    mat[7] = 0.0  # all-zero vector
+    codes, scales = quantize_matrix(mat)
+    assert scales[7] == 0.0 and np.all(codes[7] == 0)
+    nz = np.arange(50) != 7
+    assert np.abs(codes[nz]).max() == 127  # the max element maps to +/-127
+    # dequantization error bounded by half a step
+    err = np.abs(codes[nz] * scales[nz, None] - mat[nz])
+    assert (err <= scales[nz, None] / 2 + 1e-12).all()
+
+
+def test_knn_quantized_recall_vs_exact(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.similarity import knn_bruteforce, knn_quantized
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 32
+    mat = rng.normal(size=(n, d))
+    # unit-normalize so exact-cosine and quantized-dot rank the same metric
+    # and the test isolates QUANTIZATION error (not cosine-vs-dot mismatch)
+    mat = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    qids = [0, 1, 2]
+    qvecs = mat[:3].astype(np.float64)
+    exact = knn_bruteforce(ds, qids, qvecs, k=10).to_pandas()
+    quant = knn_quantized(ds, qids, qvecs, k=10).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(quant[quant["query_id"] == q]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert min(recalls) >= 0.8 and sum(recalls) / len(recalls) >= 0.9, recalls
+    # the query vector itself must be rank-1 under both metrics
+    for q in qids:
+        assert quant[(quant["query_id"] == q) & (quant["rank"] == 1)]["vec_id"].iloc[0] == q
+        assert exact[(exact["query_id"] == q) & (exact["rank"] == 1)]["vec_id"].iloc[0] == q
