@@ -2529,6 +2529,115 @@ def _conv_lookup_sql() -> str:
     return f"SELECT * FROM ({TRANSCRIPT_BUILD_SQL}) WHERE conv_id = 'conv-7'"
 
 
+def merge_events(sf_dir: str):
+    """MERGE INTO on the encoded format: encode the events table, apply a
+    deterministic update/insert mix by unique key (every event_id % 7 == 0
+    row gets value+1000 and props='updated'; every % 97 == 0 row spawns a
+    new synthetic event at id+1e9), decode the merged set. Updates route
+    to candidate segments by the catalog's zone maps alone and only those
+    segments rewrite (atomic replace); unmatched keys append as new
+    content-addressed segments — the in-place mutation primitive the
+    reference's regenerate-every-parquet model lacks
+    (/root/reference/fhirflat/ingest.py:543-575)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_mg", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=2048)
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(ids % 7 == 0))
+        upd = upd.set_column(
+            upd.schema.get_field_index("value"),
+            "value",
+            pc.add(upd["value"], pa.scalar(1000.0, pa.float64())),
+        )
+        upd = upd.set_column(
+            upd.schema.get_field_index("props"),
+            "props",
+            pa.array(["updated"] * upd.num_rows, pa.string()),
+        )
+        new = batch.filter(pa.array(ids % 97 == 0))
+        new = new.set_column(
+            new.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(new["event_id"], pa.scalar(1_000_000_000, pa.int64())),
+        )
+        new = new.set_column(
+            new.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["synthetic"] * new.num_rows, pa.string()),
+        )
+        return pa.concat_tables([upd, new])
+
+    updates = _read(sf_dir, "events").map_batches(make_updates, batch_format="pyarrow")
+    merge_upsert(seg_dir, updates, "event_id")
+    return dec.decode_dataset(seg_dir)
+
+
+MERGE_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_id % 7 <> 0
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, 'updated' AS props
+FROM events WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id + 1000000000 AS event_id, ts, user_id, 'synthetic' AS event_type, value, props
+FROM events WHERE event_id % 97 = 0
+"""
+
+
+def delete_events(sf_dir: str):
+    """DELETE on the encoded format: encode the events table, delete every
+    event_id % 13 == 0 row by key, decode the survivors. Deletes route to
+    candidate segments via catalog zone maps alone; only those segments
+    rewrite (emptied segments are removed outright) — the reference can
+    only regenerate whole outputs (/root/reference/fhirflat/ingest.py:543-575)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines.merge import merge_delete
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_del", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=2048)
+
+    def pick_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.select(["event_id"]).filter(pa.array(ids % 13 == 0))
+
+    keys = _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        pick_keys, batch_format="pyarrow"
+    )
+    merge_delete(seg_dir, keys, "event_id")
+    return dec.decode_dataset(seg_dir)
+
+
+DELETE_EVENTS_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_id % 13 <> 0
+"""
+
+
 def _transcript_segdir(sf_dir: str, salt: str) -> str:
     """Encode the transcript table into a fresh segment dir for the
     encoded-domain aggregate queries (role shared-dict so the counts path
@@ -3172,6 +3281,8 @@ QUERIES = {
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
+    "merge_events": merge_events,
+    "delete_events": delete_events,
     "tool_vocab_encoded": tool_vocab_encoded,
     "ts_range_encoded": ts_range_encoded,
     "context_pack": context_pack,
@@ -3254,6 +3365,8 @@ ORACLE_SQL = {
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
     "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,
+    "merge_events": MERGE_EVENTS_SQL,
+    "delete_events": DELETE_EVENTS_SQL,
     "tool_vocab_encoded": TOOL_VOCAB_ENCODED_SQL,
     "ts_range_encoded": TS_RANGE_ENCODED_SQL,
     "context_pack": CONTEXT_PACK_SQL,

@@ -463,3 +463,156 @@ def test_adaptive_resume_reuses_recorded_target(ray_session, tmp_path, monkeypat
     assert m2["resumed"] is True
     assert m2["skipped_partitions"] == list(range(4))  # nothing re-encoded
     assert m2["target_rows"] == m1["target_rows"]
+
+
+def test_merge_upsert_planted(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = 10_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "val": np.arange(n, dtype=np.float64) * 0.5,
+            "tag": ["t%d" % (i % 5) for i in range(n)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("event_id",), target_rows=2000)
+    before = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))}
+    assert len(before) == 5
+
+    # updates hit keys < 4000 (2 of 5 segments); 50 brand-new keys append
+    upd = pd.DataFrame(
+        {"event_id": np.concatenate([np.arange(0, 4000, 7), np.arange(n, n + 50)]).astype(np.int64)}
+    )
+    upd["val"] = upd["event_id"] * -1.0
+    upd["tag"] = "updated"
+    m = merge_upsert(segd, rd.from_pandas(upd), "event_id")
+    assert m["upserted"] == len(np.arange(0, 4000, 7)) and m["inserted"] == 50
+
+    got = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = df.copy()
+    mask = (exp.event_id % 7 == 0) & (exp.event_id < 4000)
+    exp.loc[mask, "val"] = exp.loc[mask, "event_id"] * -1.0
+    exp.loc[mask, "tag"] = "updated"
+    new = pd.DataFrame({"event_id": np.arange(n, n + 50, dtype=np.int64)})
+    new["val"] = new["event_id"] * -1.0
+    new["tag"] = "updated"
+    exp = pd.concat([exp, new]).sort_values("event_id").reset_index(drop=True)
+    assert got.equals(exp)
+
+    # only the 2 candidate segments were rewritten; the other 3 never opened
+    after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))}
+    assert sum(1 for p in before if before[p] == after.get(p)) == 3
+
+    # idempotent re-run: inserted keys now live in zone-mapped segments, so
+    # they route as updates — no duplicate inserts, same final table
+    m2 = merge_upsert(segd, rd.from_pandas(upd), "event_id")
+    assert m2["inserted"] == 0 and m2["upserted"] == len(upd)
+    got2 = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got2.equals(exp)
+
+    # manifest refolded from headers: counts cover base + inserts
+    man = lin.read_manifest(segd)
+    assert man["n_rows"] == n + 50 and man["upserted"] == len(upd)
+
+
+def test_merge_upsert_overlapping_zones(ray_session, tmp_path):
+    # UNSORTED base: segment key ranges overlap, so routing takes the
+    # chunked interval fallback and updates fan to multiple candidates;
+    # only the segment actually holding the key applies it
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.default_rng(9)
+    ids = rng.permutation(3000).astype(np.int64)
+    df = pd.DataFrame({"k": ids, "v": ids * 2.0})
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=500,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=None, target_rows=500)
+
+    upd = pd.DataFrame({"k": np.arange(0, 3000, 11, dtype=np.int64)})
+    upd["v"] = -1.0
+    m = merge_upsert(segd, rd.from_pandas(upd), "k")
+    assert m["upserted"] == len(upd) and m["inserted"] == 0
+    got = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(got) == 3000  # no duplicates from multi-candidate routing
+    assert (got.loc[got.k % 11 == 0, "v"] == -1.0).all()
+    assert (got.loc[got.k % 11 != 0, "v"] == got.loc[got.k % 11 != 0, "k"] * 2.0).all()
+
+
+def test_merge_delete_planted(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_delete
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = 10_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "val": np.arange(n, dtype=np.float64) * 0.5,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("event_id",), target_rows=2000)
+    before = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))}
+    assert len(before) == 5
+
+    # deletes hit keys < 4000 only (2 of 5 segments); segment [0,2000) is
+    # wiped entirely and its file must disappear
+    dels = pd.DataFrame(
+        {
+            "event_id": np.concatenate(
+                [np.arange(0, 2000), np.arange(2000, 4000, 3)]
+            ).astype(np.int64)
+        }
+    )
+    m = merge_delete(segd, rd.from_pandas(dels), "event_id")
+    assert m["deleted"] == len(dels)
+
+    after_paths = glob.glob(os.path.join(segd, "part-*.seg"))
+    assert len(after_paths) == 4  # emptied segment removed
+
+    got = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = df[~df.event_id.isin(dels.event_id)].reset_index(drop=True)
+    assert got.equals(exp)
+    assert m["n_rows"] == len(exp)
+
+    # untouched segments (keys >= 4000) were never rewritten
+    untouched = [p for p in after_paths if p in before and before[p] == os.path.getmtime(p)]
+    assert len(untouched) == 3
+
+    # idempotent: deleting the same keys again is a no-op
+    m2 = merge_delete(segd, rd.from_pandas(dels), "event_id")
+    assert m2["deleted"] == 0 and m2["n_rows"] == len(exp)
+    got2 = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got2.equals(exp)
