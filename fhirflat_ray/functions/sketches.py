@@ -137,3 +137,106 @@ SELECT round(CASE WHEN raw <= 2.5 * {M} AND v > 0
                   ELSE raw END, 3) AS approx_distinct
 FROM e
 """
+
+
+# ---------------------------------------------------- count-min sketch
+
+CMS_W = 2048  # counters per row (power of two so bucket = mix % W in SQL too)
+CMS_D = 4
+#: one odd multiplier per sketch row — murmur-finalizer-style constants; the
+#: per-row mix is the HLL discipline (int64-safe products < 2^63) so the
+#: IDENTICAL expression evaluates in numpy and ANSI SQL.
+CMS_MULT = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def cms_buckets(ids: np.ndarray, d: int) -> np.ndarray:
+    """Row-``d`` bucket assignment for an int64 id array."""
+    h = hash32(np.asarray(ids, dtype=np.int64))
+    g = ((h ^ (h >> 16)) % (1 << 31)) * CMS_MULT[d] % (1 << 32)
+    return (g ^ (g >> 13)) % CMS_W
+
+
+def cms_bucket_sql(id_expr: str, d: int) -> str:
+    """The identical row-``d`` bucket as an ANSI-SQL expression."""
+    h = hash32_sql(id_expr)
+    g = f"((xor({h}, ({h}) >> 16) % {1 << 31}) * {CMS_MULT[d]}) % {1 << 32}"
+    return f"xor({g}, ({g}) >> 13) % {CMS_W}"
+
+
+def cms_counter_table(ds, column: str):
+    """Dataset of partial (d, b, n) counter increments: each batch reduces
+    to at most D x W rows regardless of batch size (the A5 combiner shape),
+    and partials merge by plain SUM — the sketch is trivially mergeable
+    across blocks, partitions, and clusters."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[column].to_numpy(zero_copy_only=False)
+        ds_, bs_, ns_ = [], [], []
+        for d in range(CMS_D):
+            cnt = np.bincount(cms_buckets(ids, d), minlength=CMS_W)
+            nz = np.nonzero(cnt)[0]
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            bs_.append(nz.astype(np.int64))
+            ns_.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate(ds_)),
+                "b": pa.array(np.concatenate(bs_)),
+                "n": pa.array(np.concatenate(ns_)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def cms_counters(ds, column: str) -> np.ndarray:
+    """Dense (D, W) counter matrix for ``column`` — the driver merge touches
+    only the bounded D x W x blocks partial rows, never the data."""
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(cms_counter_table(ds, column))
+    counters = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if t.num_rows:
+        np.add.at(
+            counters,
+            (
+                t["d"].to_numpy(zero_copy_only=False),
+                t["b"].to_numpy(zero_copy_only=False),
+            ),
+            t["n"].to_numpy(zero_copy_only=False),
+        )
+    return counters
+
+
+def cms_estimates(counters: np.ndarray, query_ids: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates (min over rows — Cormode & Muthukrishnan
+    2005; always >= the true count, over-counts only via collisions)."""
+    query_ids = np.asarray(query_ids, dtype=np.int64)
+    est = np.full(len(query_ids), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(CMS_D):
+        est = np.minimum(est, counters[d, cms_buckets(query_ids, d)])
+    return est
+
+
+def cms_estimate_sql(id_expr: str, table: str, query_sql: str, query_col: str) -> str:
+    """The identical sketch + point query as SQL: per-row GROUP BY bucket
+    counts over ``table``, then LEAST() across the D counter lookups for
+    every row of ``query_sql``. Exact integer math end to end — the
+    approximate answer itself is the oracle-checked value."""
+    cnt_ctes = ",\n".join(
+        f"c{d} AS (SELECT {cms_bucket_sql(id_expr, d)} AS b, COUNT(*) AS n "
+        f"FROM {table} GROUP BY 1)"
+        for d in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN c{d} ON c{d}.b = {cms_bucket_sql('q.' + query_col, d)}"
+        for d in range(CMS_D)
+    )
+    least = ", ".join(f"COALESCE(c{d}.n, 0)" for d in range(CMS_D))
+    return f"""
+WITH {cnt_ctes},
+q AS ({query_sql})
+SELECT q.{query_col}, CAST(LEAST({least}) AS BIGINT) AS est_count
+FROM q
+{joins}
+"""

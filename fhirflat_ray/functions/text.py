@@ -325,3 +325,89 @@ def term_doc_tf(batch: pa.Table, id_col: str = "doc_id", column: str = "text") -
         "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
         "tf": pa.array(g["tf"].to_numpy(np.int64)),
     })
+
+
+# ------------------------------------------------------ chunking (RAG prep)
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    column: str = "text",
+    size: int = 32,
+    stride: int = 16,
+) -> pa.Table:
+    """Split each document into overlapping token-window chunks — the
+    RAG / pretraining context-chunking primitive. Chunk ``i`` of a document
+    covers whitespace tokens ``[i*stride, i*stride+size)``; the tail chunk
+    may be shorter, a 0-token document emits nothing. A document is one
+    row, so this is map-only and the per-batch output is exact.
+
+    Fully vectorized despite the jagged overlap fan-out: tokens stay an
+    Arrow string array end to end (one RE2 split, one ``take`` with a
+    numpy-computed flat index, one ``binary_join`` back to chunk text) —
+    no Python per document or per chunk. Peak memory is input tokens ×
+    ``size/stride`` (the overlap factor), so callers bound fan-out by the
+    stride, not by batch size.
+
+    Output: ``(id_col, chunk_idx, n_tokens, chunk_text)``.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    arr = batch[column]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    words = pc.split_pattern_regex(arr, r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs = words.offsets.to_numpy()
+    flat = words.values
+    nonempty = pc.not_equal(flat, "")
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))[ne_np]
+    toks = flat.filter(nonempty)
+
+    n_docs = len(batch)
+    n_tok = np.bincount(parent, minlength=n_docs)
+    doc_start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        }
+    )
+    nc = (n_tok + stride - 1) // stride  # chunks per doc (0 for empty docs)
+    total = int(nc.sum())
+    if total == 0:
+        return empty
+
+    chunk_doc = np.repeat(np.arange(n_docs, dtype=np.int64), nc)
+    chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(nc) - nc, nc
+    )
+    starts = chunk_idx * stride
+    lens = np.minimum(starts + size, n_tok[chunk_doc]) - starts
+
+    flat_chunk = np.repeat(np.arange(total, dtype=np.int64), lens)
+    within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    tok_idx = doc_start[chunk_doc][flat_chunk] + starts[flat_chunk] + within
+
+    chunk_tokens = pc.take(toks, pa.array(tok_idx, pa.int64()))
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), chunk_tokens)
+    text_out = pc.binary_join(lists, " ")
+
+    ids = batch[id_col].take(pa.array(chunk_doc, pa.int64()))
+    return pa.table(
+        {
+            id_col: ids,
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(lens.astype(np.int64)),
+            "chunk_text": text_out,
+        }
+    )

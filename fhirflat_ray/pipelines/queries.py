@@ -778,6 +778,32 @@ FROM documents
 """
 
 
+def chunk_docs(sf_dir: str):
+    """Overlapping token-window chunking (RAG / pretraining context prep):
+    every document becomes ceil(n_tokens/stride) chunks of up to 32 tokens
+    with stride 16. Map-only — a document is one row, so the fan-out is
+    exact per batch and the pipeline has no shuffle at all."""
+    from fhirflat_ray.functions.text import chunk_documents_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: chunk_documents_batch(b, size=32, stride=16),
+        batch_format="pyarrow",
+    )
+
+
+CHUNK_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+g AS (SELECT doc_id, t, unnest(range(0, len(t), 16)) AS s FROM toks)
+SELECT doc_id, s // 16 AS chunk_idx,
+       least(len(t) - s, 32) AS n_tokens,
+       array_to_string(list_slice(t, s + 1, least(s + 32, len(t))), ' ') AS chunk_text
+FROM g
+"""
+
+
 def token_count_bpe(sf_dir: str):
     """BPE-ish token counting (word/number/punct split regex compiled once
     per actor) under the same-regex SQL oracle."""
@@ -1575,6 +1601,72 @@ def _join_partitions(sf_dir: str, tables: list[str]) -> int:
     return int(min(max(4, by_bytes), max(8, cpus * 4)))
 
 
+def customer_order_counts(sf_dir: str):
+    """LEFT OUTER join coverage: every customer with its order count and
+    cents-rounded total spend — zero-order customers included with 0/0.0.
+
+    Scale shape: the big side (orders) collapses to one row per customer
+    BEFORE the join (Arrow partial aggregate per batch + coarse-bucket
+    final combine), so the left-outer hash exchange moves |customers| +
+    |distinct custkeys| rows — never raw orders. The aggregated side is
+    repartitioned first (groupby-derived empty blocks break acero's
+    FieldRef resolution otherwise)."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    n_parts = _join_partitions(sf_dir, ["customer", "orders"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_custkey"]).aggregate(
+            [("o_totalprice", "sum"), ([], "count_all")]
+        )
+        return agg_select(
+            g,
+            {"o_custkey": "o_custkey", "count_all": "n", "o_totalprice_sum": "t"},
+        )
+
+    partials = orders.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", sort=False, as_index=False).agg(
+            n=("n", "sum"), t=("t", "sum")
+        )
+
+    per_cust = bucketed_map_groups(partials, ["o_custkey"], final).repartition(
+        max(4, n_parts)
+    )
+
+    j = cust.join(
+        per_cust, "left_outer", n_parts, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "n_orders": pc.fill_null(pc.cast(b["n"], pa.int64()), 0),
+                "total_price": pc.round(
+                    pc.fill_null(b["t"], pa.scalar(0.0, pa.float64())), 2
+                ),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       round(COALESCE(o.t, 0.0), 2) AS total_price
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS t
+  FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
 def q3_top_orders(sf_dir: str):
     """TPC-H-Q3-shaped 3-way join + high-cardinality aggregate + top-k.
 
@@ -1950,6 +2042,33 @@ def distinct_users_hll(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
     est = round(hll_estimate(ds, "user_id"), 3)
     return pa.table({"approx_distinct": pa.array([est], pa.float64())})
+
+
+def heavy_hitters_cms(sf_dir: str):
+    """Point-frequency estimates from a count-min sketch (Cormode &
+    Muthukrishnan 2005) over the events stream: per-batch partials are at
+    most D x W = 8192 counter rows regardless of batch size, merge by plain
+    SUM, and the point query is min over D counter lookups. The construction
+    is the engine's int64-safe shared-hash discipline, so the APPROXIMATE
+    answer itself is what the SQL oracle checks — bit-for-bit."""
+    from fhirflat_ray.functions.sketches import cms_counters, cms_estimates
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counters = cms_counters(ds, "user_id")
+    q = np.arange(50, dtype=np.int64)  # fixed point-query set: users 0..49
+    est = cms_estimates(counters, q)
+    return pa.table({"user_id": pa.array(q), "est_count": pa.array(est)})
+
+
+def _heavy_hitters_cms_sql() -> str:
+    from fhirflat_ray.functions.sketches import cms_estimate_sql
+
+    return cms_estimate_sql(
+        "user_id",
+        "events",
+        "SELECT unnest(range(0, 50)) AS user_id",
+        "user_id",
+    )
 
 
 def _distinct_users_hll_sql() -> str:
@@ -3232,6 +3351,7 @@ QUERIES = {
     "asof_join": asof_join,
     "asof_join_bucketed": asof_join_bucketed,
     "token_count": token_count,
+    "chunk_docs": chunk_docs,
     "token_count_bpe": token_count_bpe,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
@@ -3262,11 +3382,13 @@ QUERIES = {
     "users_intersect": users_intersect,
     "stratified_sample": stratified_sample,
     "q3_top_orders": q3_top_orders,
+    "customer_order_counts": customer_order_counts,
     "q5_region_revenue": q5_region_revenue,
     "user_event_windows": user_event_windows,
     "user_type_seq": user_type_seq,
     "weighted_sample": weighted_sample,
     "distinct_users_hll": distinct_users_hll,
+    "heavy_hitters_cms": heavy_hitters_cms,
     "decontaminate": decontaminate_corpus,
     "quantiles_by_type": quantiles_by_type,
     "revenue_rollup": revenue_rollup,
@@ -3323,6 +3445,7 @@ ORACLE_SQL = {
     "asof_join": ASOF_JOIN_SQL,
     "asof_join_bucketed": ASOF_JOIN_BUCKETED_SQL,
     "token_count": TOKEN_COUNT_SQL,
+    "chunk_docs": CHUNK_DOCS_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
@@ -3347,11 +3470,13 @@ ORACLE_SQL = {
     "users_intersect": USERS_INTERSECT_SQL,
     "stratified_sample": _stratified_sample_sql(),
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
+    "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "q5_region_revenue": Q5_REGION_REVENUE_SQL,
     "user_event_windows": USER_EVENT_WINDOWS_SQL,
     "user_type_seq": USER_TYPE_SEQ_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "distinct_users_hll": _distinct_users_hll_sql(),
+    "heavy_hitters_cms": _heavy_hitters_cms_sql(),
     "decontaminate": DECONTAMINATE_SQL,
     "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,

@@ -997,3 +997,45 @@ def test_knn_quantized_recall_vs_exact(ray_session):
     for q in qids:
         assert quant[(quant["query_id"] == q) & (quant["rank"] == 1)]["vec_id"].iloc[0] == q
         assert exact[(exact["query_id"] == q) & (exact["rank"] == 1)]["vec_id"].iloc[0] == q
+
+
+def test_chunk_documents_batch_planted():
+    import numpy as np
+    import pyarrow as pa
+
+    from fhirflat_ray.functions.text import chunk_documents_batch
+
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "a b c d e",      # 5 tokens, size 4 / stride 2 → 3 chunks
+                "",                # no chunks
+                "   \t  ",         # whitespace-only: no chunks
+                "x",               # single token → one short chunk
+                "t1 t2 t3 t4",     # exact multiple of stride → 2 chunks
+            ],
+        }
+    )
+    out = chunk_documents_batch(b, size=4, stride=2).to_pandas()
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+        for r in out.itertuples()
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (3, "c d e"),
+        (1, 2): (1, "e"),
+        (4, 0): (1, "x"),
+        (5, 0): (4, "t1 t2 t3 t4"),
+        (5, 1): (2, "t3 t4"),
+    }
+
+    # non-overlapping (stride == size) partitions tokens exactly
+    out2 = chunk_documents_batch(b, size=2, stride=2).to_pandas()
+    joined = " ".join(out2[out2.doc_id == 1].sort_values("chunk_idx").chunk_text)
+    assert joined == "a b c d e"
+    assert int(out2.n_tokens.sum()) == 5 + 1 + 4  # every token exactly once
+
+    with pytest.raises(ValueError):
+        chunk_documents_batch(b, size=0, stride=2)

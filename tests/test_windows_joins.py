@@ -227,3 +227,46 @@ def test_rolling_time_sum_peer_rule(ray_session):
     assert np.allclose(got["roll_sum"].to_numpy(), want["roll_sum"].to_numpy())
     # row at ts=100 (either peer) must include both peers + ts=0 row
     assert got.loc[(got.k == 1) & (got.ts == 100), "roll_sum"].tolist() == [7.0, 7.0]
+
+
+def test_cms_estimate_accuracy_and_merge_invariance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_buckets,
+        cms_counters,
+        cms_estimates,
+    )
+
+    # zipf-ish planted frequencies: id i appears (1000 // (i+1)) times
+    ids = np.repeat(np.arange(200, dtype=np.int64), 1000 // (np.arange(200) + 1))
+    true = np.bincount(ids, minlength=200)
+
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame({"user_id": ids})).repartition(5)
+    counters = cms_counters(ds, "user_id")
+    assert counters.shape == (CMS_D, CMS_W)
+    # every row of the sketch holds the full stream count
+    assert (counters.sum(axis=1) == len(ids)).all()
+
+    q = np.arange(200, dtype=np.int64)
+    est = cms_estimates(counters, q)
+    # CMS never under-counts …
+    assert (est >= true[q]).all()
+    # … and with n=20k, W=2048, D=4 the heavy hitters are near-exact
+    heavy = q[true[q] >= 50]
+    assert (est[heavy] - true[heavy] <= 2).all()
+
+    # merge invariance: counters from one partition == from five
+    counters1 = cms_counters(rd.from_pandas(pd.DataFrame({"user_id": ids})), "user_id")
+    assert np.array_equal(counters, counters1)
+
+    # buckets stay in range for the whole int64-positive domain
+    big = np.array([0, 1, 2**31 - 1, 2**40, 2**62], dtype=np.int64)
+    for d in range(CMS_D):
+        b = cms_buckets(big, d)
+        assert ((b >= 0) & (b < CMS_W)).all()
