@@ -39,12 +39,18 @@ def cmd_encode(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from fhirflat_ray.pipelines.encode import encode_files
 
+    kwargs = {}
+    if args.sort_keys is not None:  # "" → unsorted; default keeps ORDER_KEY
+        kwargs["sort_keys"] = (
+            tuple(args.sort_keys.split(",")) if args.sort_keys else None
+        )
     manifest = encode_files(
         args.input,
         args.output,
         resume=args.resume,
         shared_dict_columns=args.shared_dicts.split(",") if args.shared_dicts else None,
         target_rows=args.target_rows,
+        **kwargs,
     )
     print(
         json.dumps(
@@ -134,6 +140,49 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_merge(args: argparse.Namespace) -> int:
+    """Zone-routed upsert of a parquet update set into an encoded dir."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    updates = rd.read_parquet(args.updates)
+    m = merge_upsert(args.segments, updates, args.key)
+    print(
+        json.dumps(
+            {
+                "upserted": m["upserted"],
+                "inserted": m["inserted"],
+                "rows": m["n_rows"],
+                "partitions": m["n_partitions"],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    """Zone-routed delete of a parquet key set from an encoded dir."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_delete
+
+    keys = rd.read_parquet(args.keys, columns=[args.key])
+    m = merge_delete(args.segments, keys, args.key)
+    print(
+        json.dumps(
+            {
+                "deleted": m["deleted"],
+                "rows": m["n_rows"],
+                "partitions": m["n_partitions"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     """Valid/error routing over parquet or encoded segments — the engine's
     `fhirflat validate` (/root/reference/fhirflat/ingest.py:658-742): rows
@@ -199,6 +248,11 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--resume", action="store_true")
     pe.add_argument("--shared-dicts", default="role,tool")
     pe.add_argument("--target-rows", type=int, default=None)
+    pe.add_argument(
+        "--sort-keys",
+        default=None,
+        help="comma-separated segment sort keys ('' = unsorted; default: transcript order key)",
+    )
     pe.set_defaults(fn=cmd_encode)
 
     pd_ = sub.add_parser("decode", help="encoded segments → parquet")
@@ -226,6 +280,18 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("output")
     pc_.add_argument("--target-rows", type=int, default=512 * 1024)
     pc_.set_defaults(fn=cmd_compact)
+
+    pm = sub.add_parser("merge", help="upsert parquet rows into encoded segments by key")
+    pm.add_argument("segments", help="encoded segment dir")
+    pm.add_argument("updates", help="parquet file/dir of update rows (base schema)")
+    pm.add_argument("--key", required=True, help="unique integer key column")
+    pm.set_defaults(fn=cmd_merge)
+
+    pdl = sub.add_parser("delete", help="delete keys from encoded segments")
+    pdl.add_argument("segments", help="encoded segment dir")
+    pdl.add_argument("keys", help="parquet file/dir holding the key column")
+    pdl.add_argument("--key", required=True, help="unique integer key column")
+    pdl.set_defaults(fn=cmd_delete)
 
     pval = sub.add_parser(
         "validate", help="typed schema + key-contract validation → valid/error split"

@@ -2576,6 +2576,35 @@ FROM events GROUP BY event_type
 """
 
 
+def pruned_scan_zorder(sf_dir: str):
+    """Multi-dimensional zone pruning via z-order CLUSTER BY: re-layout the
+    events table on the Morton key of (user_id, ts) — one explicit global
+    sort, the one-time cost every warehouse CLUSTER BY pays — then decode
+    with a ``user_id`` range predicate. Because segments are Z-curve
+    ranges, their zone rectangles are tight on BOTH cluster columns, so
+    header-only pruning skips non-matching segments for filters on either
+    dimension (the single-key ``pruned_scan`` can only prune its sort
+    key)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.stages.layout import cluster_zorder
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_zo", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    seg_dir = os.path.join(work, "enc")
+    cluster_zorder(_read(sf_dir, "events"), seg_dir, ["user_id", "ts"], target_rows=1024)
+    return dec.decode_dataset(
+        seg_dir, predicate=[("user_id", ">=", 2), ("user_id", "<=", 4)]
+    ).select_columns(["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+PRUNED_SCAN_ZORDER_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE user_id BETWEEN 2 AND 4
+"""
+
+
 def pruned_scan(sf_dir: str):
     """Zone-map predicate pushdown through the engine's OWN format: encode
     the (ts-sorted) events table into many small segments — row-range
@@ -3400,6 +3429,7 @@ QUERIES = {
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
+    "pruned_scan_zorder": pruned_scan_zorder,
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
@@ -3487,6 +3517,7 @@ ORACLE_SQL = {
     "nearest_eval_vec": NEAREST_EVAL_VEC_SQL,
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
+    "pruned_scan_zorder": PRUNED_SCAN_ZORDER_SQL,
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
     "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,

@@ -69,3 +69,45 @@ def test_csv_reader_and_error_writer(ray_session, tmp_path):
     errs = str(tmp_path / "errs")
     readers.write_errors_csv(ds, errs)
     assert glob.glob(os.path.join(errs, "*.csv"))
+
+
+def test_cli_merge_and_delete(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame(
+        {
+            "k": np.arange(2000, dtype=np.int64),
+            "v": np.arange(2000, dtype=np.float64),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False), str(src / "t.parquet")
+    )
+    seg = str(tmp_path / "seg")
+    assert cli_main(["encode", str(src), seg, "--sort-keys", "k", "--target-rows", "500"]) == 0
+    capsys.readouterr()
+
+    upd = pd.DataFrame({"k": np.arange(0, 2000, 10, dtype=np.int64)})
+    upd["v"] = -1.0
+    updp = tmp_path / "upd.parquet"
+    pq.write_table(pa.Table.from_pandas(upd, preserve_index=False), str(updp))
+    assert cli_main(["merge", seg, str(updp), "--key", "k"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["upserted"] == 200 and out["inserted"] == 0
+
+    dels = pd.DataFrame({"k": np.arange(1000, 2000, dtype=np.int64)})
+    delp = tmp_path / "dels.parquet"
+    pq.write_table(pa.Table.from_pandas(dels, preserve_index=False), str(delp))
+    assert cli_main(["delete", seg, str(delp), "--key", "k"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["deleted"] == 1000 and out["rows"] == 1000
+
+    dec_out = str(tmp_path / "out")
+    assert cli_main(["decode", seg, dec_out]) == 0
+    got = pq.read_table(dec_out).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df[df.k < 1000].copy().reset_index(drop=True)
+    exp.loc[exp.k % 10 == 0, "v"] = -1.0
+    assert got.equals(exp)

@@ -66,3 +66,53 @@ def test_salted_outlier_spreads_but_keeps_chunk_order(ray_session):
         assert (idx[1:] - idx[:-1] == 1).all()
         ti = g["turn_idx"].to_numpy()
         assert (ti[1:] > ti[:-1]).all()
+
+
+def test_zorder_prunes_both_dimensions(ray_session, tmp_path):
+    import glob
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.stages.layout import cluster_zorder, zorder_key
+
+    # full 64x64 grid: a single-key sort could only ever prune one axis
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64))
+    df = pd.DataFrame(
+        {
+            "x": xs.ravel().astype(np.int64),
+            "y": ys.ravel().astype(np.int64),
+            "v": np.arange(4096, dtype=np.float64),
+        }
+    )
+    segd = str(tmp_path / "z")
+    cluster_zorder(
+        rd.from_pandas(df).repartition(8), segd, ["x", "y"], target_rows=256
+    )
+    total = len(glob.glob(os.path.join(segd, "part-*.seg")))
+    assert total >= 12  # ~4096/256 segments
+
+    for col in ("x", "y"):
+        pred = [(col, ">=", 0), (col, "<=", 15)]
+        kept = dec.prune_segments(segd, pred)
+        # a quarter-range filter on EITHER dimension skips >= half the segments
+        assert len(kept) <= total // 2, (col, len(kept), total)
+        got = (
+            dec.decode_dataset(segd, predicate=pred)
+            .to_pandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        exp = df[df[col] <= 15].sort_values(["x", "y"]).reset_index(drop=True)
+        assert got.equals(exp)
+
+    # Morton key is deterministic and interleaves as documented
+    k = zorder_key(
+        [np.array([0, 1, 0, 3], dtype=np.int64), np.array([0, 0, 1, 3], dtype=np.int64)],
+        [(0, 3), (0, 3)],
+        bits=2,
+    )
+    assert k.tolist() == [0, 1, 2, 15]
