@@ -206,6 +206,34 @@ def decode_dataset(
     import ray
     import ray.data as rd
 
+    from fhirflat_ray.pipelines.evolve import (
+        apply_evolution,
+        pending_evolution,
+        stored_columns_for,
+    )
+
+    # catalog-only schema evolution: read once on the driver, map the column
+    # request back to stored names, apply the ops vectorized after decode
+    evolution = pending_evolution(seg_dir)
+    stored_columns = columns
+    if evolution and columns is not None:
+        stored_columns = stored_columns_for(evolution, columns)
+        if not stored_columns:
+            # request is added-columns-only: still read one stored column so
+            # each decoded batch carries its row count for the synthesizer
+            first = segment_paths(seg_dir)
+            if not first:
+                raise FileNotFoundError(f"no segments under {seg_dir!r}")
+            hdr, _ = seg.read_segment_header(first[0])
+            stored_columns = [hdr["columns"][0]["name"]]
+
+    def _evolved(ds):
+        if not evolution:
+            return ds
+        return ds.map_batches(
+            apply_evolution(evolution, columns), batch_format="pyarrow"
+        )
+
     if predicate is not None:
         preds = _norm_pred(predicate)
         kept = prune_segments(seg_dir, preds)
@@ -217,15 +245,19 @@ def decode_dataset(
             if not all_paths:
                 raise FileNotFoundError(f"no segments under {seg_dir!r}")
             kept = all_paths[:1]
-        inner = _decode_paths(
-            seg_dir, kept, columns, concurrency, verify_checksums, compute
+        inner = _evolved(
+            _decode_paths(
+                seg_dir, kept, stored_columns, concurrency, verify_checksums, compute
+            )
         )
         return inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
 
     paths = segment_paths(seg_dir)
     if not paths:
         raise FileNotFoundError(f"no segments under {seg_dir!r}")
-    return _decode_paths(seg_dir, paths, columns, concurrency, verify_checksums, compute)
+    return _evolved(
+        _decode_paths(seg_dir, paths, stored_columns, concurrency, verify_checksums, compute)
+    )
 
 
 def _decode_paths(

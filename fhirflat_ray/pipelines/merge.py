@@ -50,6 +50,16 @@ from fhirflat_ray.state import segments as seg
 _APPLIED_KEYS_BUDGET = 20_000_000
 
 
+def _require_no_pending_evolution(manifest, op: str) -> None:
+    """Keyed mutations would desync evolved update rows against stored
+    segment schemas — compact first to materialize pending evolution."""
+    if manifest and manifest.get("schema_evolution"):
+        raise RuntimeError(
+            f"{op}: segment dir has pending schema evolution; run "
+            "compact_segments to materialize it before keyed mutations"
+        )
+
+
 def _zone_router(records: list[dict[str, Any]], key: str):
     """(los, his, part_ids, zoneless_parts) for interval routing."""
     los, his, pids, zoneless = [], [], [], []
@@ -131,6 +141,7 @@ def merge_upsert(
     from fhirflat_ray.pipelines.encode import DEFAULT_TARGET_ROWS
 
     manifest = lin.read_manifest(seg_dir)
+    _require_no_pending_evolution(manifest, "merge_upsert")
     records = (manifest or {}).get("partitions") or lin.collect_lineage(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
@@ -259,6 +270,7 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
     from fhirflat_ray.functions.util import collect_small_table
 
     manifest = lin.read_manifest(seg_dir)
+    _require_no_pending_evolution(manifest, "merge_delete")
     records = (manifest or {}).get("partitions") or lin.collect_lineage(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")

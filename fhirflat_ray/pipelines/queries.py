@@ -2576,6 +2576,42 @@ FROM events GROUP BY event_type
 """
 
 
+def schema_evolve(sf_dir: str):
+    """Catalog-only ALTER TABLE on the encoded format: encode events, then
+    ADD COLUMN source_tag DEFAULT 'batch-a', RENAME props → props_json,
+    DROP value — three O(1) manifest rewrites that never open a segment
+    (`pipelines/evolve.py`); decode applies them vectorized. The reference
+    can only re-run its whole ingest to change an output schema
+    (/root/reference/fhirflat/ingest.py:543-575)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines import evolve as evo
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_ev", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=4096)
+    evo.add_column(seg_dir, "source_tag", "string", "batch-a")
+    evo.rename_column(seg_dir, "props", "props_json")
+    evo.drop_column(seg_dir, "value")
+    return dec.decode_dataset(seg_dir)
+
+
+SCHEMA_EVOLVE_SQL = """
+SELECT event_id, ts, user_id, event_type, props AS props_json,
+       'batch-a' AS source_tag
+FROM events
+"""
+
+
 def pruned_scan_zorder(sf_dir: str):
     """Multi-dimensional zone pruning via z-order CLUSTER BY: re-layout the
     events table on the Morton key of (user_id, ts) — one explicit global
@@ -3430,6 +3466,7 @@ QUERIES = {
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
     "pruned_scan_zorder": pruned_scan_zorder,
+    "schema_evolve": schema_evolve,
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
@@ -3518,6 +3555,7 @@ ORACLE_SQL = {
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
     "pruned_scan_zorder": PRUNED_SCAN_ZORDER_SQL,
+    "schema_evolve": SCHEMA_EVOLVE_SQL,
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
     "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,

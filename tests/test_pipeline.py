@@ -616,3 +616,78 @@ def test_merge_delete_planted(ray_session, tmp_path):
     assert m2["deleted"] == 0 and m2["n_rows"] == len(exp)
     got2 = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert got2.equals(exp)
+
+
+def test_schema_evolution_catalog_only(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines import evolve as evo
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame(
+        {
+            "k": np.arange(3000, dtype=np.int64),
+            "v": np.arange(3000, dtype=np.float64),
+            "tag": ["t%d" % (i % 3) for i in range(3000)],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(src / "t.parquet"))
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), target_rows=1000)
+    before = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))}
+
+    evo.add_column(segd, "source_tag", "string", "batch-a")
+    evo.rename_column(segd, "tag", "label")
+    evo.drop_column(segd, "v")
+    evo.add_column(segd, "score", "float64")  # null default
+
+    # catalog-only: not a single segment byte moved
+    after = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))}
+    assert before == after
+
+    got = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = df.rename(columns={"tag": "label"}).drop(columns="v")
+    exp["source_tag"] = "batch-a"
+    exp["score"] = np.nan
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert got[["k", "label", "source_tag"]].equals(exp[["k", "label", "source_tag"]])
+    assert got["score"].isna().all()
+
+    # pruned read through renames + added columns
+    got2 = (
+        dec.decode_dataset(segd, columns=["k", "label", "source_tag"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(got2.columns) == ["k", "label", "source_tag"]
+    assert got2["label"].equals(exp["label"])
+
+    # added-columns-only request still yields one row per stored row
+    got3 = dec.decode_dataset(segd, columns=["source_tag"]).to_pandas()
+    assert len(got3) == 3000 and (got3["source_tag"] == "batch-a").all()
+
+    # dropped column is gone for readers
+    with pytest.raises(KeyError):
+        dec.decode_dataset(segd, columns=["v"]).to_pandas()
+
+    # predicate + evolution compose
+    got4 = dec.decode_dataset(segd, predicate=[("k", "<", 10)]).to_pandas()
+    assert len(got4) == 10 and "source_tag" in got4.columns
+
+    # keyed mutations refuse pending evolution …
+    upd = pd.DataFrame({"k": [1], "label": ["x"], "source_tag": ["b"], "score": [1.0]})
+    with pytest.raises(RuntimeError, match="pending schema evolution"):
+        merge_upsert(segd, rd.from_pandas(upd), "k")
+
+    # … and compaction materializes it (fresh manifest, no pending ops)
+    segd2 = str(tmp_path / "enc2")
+    enc.compact_segments(segd, segd2, sort_keys=("k",), target_rows=2000)
+    assert evo.pending_evolution(segd2) == []
+    got5 = dec.decode_dataset(segd2).to_pandas().sort_values("k").reset_index(drop=True)
+    assert sorted(got5.columns) == sorted(exp.columns)
+    assert got5[["k", "label", "source_tag"]].equals(exp[["k", "label", "source_tag"]])
