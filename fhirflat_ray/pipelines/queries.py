@@ -2576,6 +2576,67 @@ FROM events GROUP BY event_type
 """
 
 
+def time_travel(sf_dir: str):
+    """Snapshot isolation under the oracle: encode events, freeze snapshot
+    v1 (hardlink metadata op, zero data copied — `pipelines/snapshots.py`),
+    mutate the LIVE table in place (update every event_id % 7, delete every
+    % 13), then read the SNAPSHOT. The result must equal the original table
+    even though the live segments were rewritten/removed — os.replace
+    detaches directory entries while the snapshot's hardlinks keep the old
+    inodes alive (copy-on-write time travel)."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines import snapshots as snap
+    from fhirflat_ray.pipelines.merge import merge_delete, merge_upsert
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_tt", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=2048)
+    snap.create_snapshot(seg_dir, note="pre-mutation")
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(ids % 7 == 0))
+        return upd.set_column(
+            upd.schema.get_field_index("value"),
+            "value",
+            pc.add(upd["value"], pa.scalar(1000.0, pa.float64())),
+        )
+
+    merge_upsert(
+        seg_dir,
+        _read(sf_dir, "events").map_batches(make_updates, batch_format="pyarrow"),
+        "event_id",
+    )
+
+    def pick_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.select(["event_id"]).filter(pa.array(ids % 13 == 0))
+
+    merge_delete(
+        seg_dir,
+        _read(sf_dir, "events", columns=["event_id"]).map_batches(
+            pick_keys, batch_format="pyarrow"
+        ),
+        "event_id",
+    )
+    return dec.decode_dataset(snap.snapshot_path(seg_dir, 1))
+
+
+TIME_TRAVEL_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
 def schema_evolve(sf_dir: str):
     """Catalog-only ALTER TABLE on the encoded format: encode events, then
     ADD COLUMN source_tag DEFAULT 'batch-a', RENAME props → props_json,
@@ -3467,6 +3528,7 @@ QUERIES = {
     "pruned_scan": pruned_scan,
     "pruned_scan_zorder": pruned_scan_zorder,
     "schema_evolve": schema_evolve,
+    "time_travel": time_travel,
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
@@ -3556,6 +3618,7 @@ ORACLE_SQL = {
     "pruned_scan": PRUNED_SCAN_SQL,
     "pruned_scan_zorder": PRUNED_SCAN_ZORDER_SQL,
     "schema_evolve": SCHEMA_EVOLVE_SQL,
+    "time_travel": TIME_TRAVEL_SQL,
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
     "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,

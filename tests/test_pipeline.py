@@ -691,3 +691,60 @@ def test_schema_evolution_catalog_only(ray_session, tmp_path):
     got5 = dec.decode_dataset(segd2).to_pandas().sort_values("k").reset_index(drop=True)
     assert sorted(got5.columns) == sorted(exp.columns)
     assert got5[["k", "label", "source_tag"]].equals(exp[["k", "label", "source_tag"]])
+
+
+def test_snapshots_time_travel(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines import snapshots as snap
+    from fhirflat_ray.pipelines.merge import merge_delete, merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame(
+        {"k": np.arange(4000, dtype=np.int64), "v": np.arange(4000, dtype=np.float64)}
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(src / "t.parquet"))
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), target_rows=1000)
+
+    s1 = snap.create_snapshot(segd, note="pre-mutation")
+    assert s1["version"] == 1 and s1["n_rows"] == 4000
+
+    # mutate the live table: update k%5==0, delete k>=3000
+    upd = pd.DataFrame({"k": np.arange(0, 4000, 5, dtype=np.int64)})
+    upd["v"] = -9.0
+    merge_upsert(segd, rd.from_pandas(upd), "k")
+    merge_delete(
+        segd, rd.from_pandas(pd.DataFrame({"k": np.arange(3000, 4000, dtype=np.int64)})), "k"
+    )
+    s2 = snap.create_snapshot(segd)
+    assert s2["version"] == 2 and s2["n_rows"] == 3000
+
+    # live table reflects the mutations …
+    live = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(live) == 3000 and (live.loc[live.k % 5 == 0, "v"] == -9.0).all()
+
+    # … while snapshot v1 still reads the pre-mutation state, byte-exact
+    old = (
+        dec.decode_dataset(snap.snapshot_path(segd, 1))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert old.equals(df)
+
+    # snapshot listing and release
+    assert [s["version"] for s in snap.list_snapshots(segd)] == [1, 2]
+    snap.drop_snapshot(segd, 1)
+    assert [s["version"] for s in snap.list_snapshots(segd)] == [2]
+    # v2 equals the live table
+    got2 = (
+        dec.decode_dataset(snap.snapshot_path(segd, 2))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got2.equals(live)
