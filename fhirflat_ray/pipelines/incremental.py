@@ -1,0 +1,124 @@
+"""Incremental materialized-view maintenance over the encoded segment log.
+
+``refresh_value_counts`` keeps a ``GROUP BY column → COUNT(*)`` view fresh
+by processing ONLY segments that appeared since the last refresh: segments
+are identified by their content digest (``payload_sha256``), so an
+append-only ingest pays per refresh for the delta, never the history — at
+100 TB with a 0.1% daily append, a refresh touches 0.1% of the data. The
+per-new-segment partial is the encoded-domain count kernel
+(``encoded_agg.segment_value_counts``: dict-coded columns never decode a
+string), fanned out one Ray task per segment.
+
+Mutations are handled honestly, not wrongly: if any previously-processed
+digest is missing from the live set (a merge/delete/compact rewrote
+history), the state is discarded and the view rebuilds from scratch —
+incremental semantics only ever apply to the append-only case they are
+correct for. The state records which mode ran.
+
+The reference recomputes its folder-level stats by re-reading every written
+parquet on each ingest (/root/reference/fhirflat/ingest.py:397-432).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+
+
+def _load_state(state_path: str) -> dict[str, Any] | None:
+    if not os.path.exists(state_path):
+        return None
+    with open(state_path) as f:
+        return json.load(f)
+
+
+def _live_digests(seg_dir: str) -> dict[str, str]:
+    """Segment identity → path for the live table. Identity is
+    ``basename:payload_sha256``: the name alone is not enough (in-place
+    merge rewrites keep the name but change content), and the payload
+    digest alone is not enough either (two segments CAN share payload
+    bytes — e.g. delta-coded key columns whose start value lives in the
+    header — while holding different rows)."""
+    from fhirflat_ray.pipelines.decode import segment_paths
+    from fhirflat_ray.state import segments as seg
+
+    out: dict[str, str] = {}
+    for p in segment_paths(seg_dir):
+        hdr, _ = seg.read_segment_header(p)
+        rec = hdr.get("lineage") or {}
+        out[f"{os.path.basename(p)}:{rec.get('payload_sha256', '')}"] = p
+    return out
+
+
+def _count_paths(seg_dir: str, paths: list[str], column: str) -> dict[str, int]:
+    """(value → n) over just ``paths``, one encoded-domain task each."""
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.decode import _worker_dict_store
+    from fhirflat_ray.pipelines.encoded_agg import segment_value_counts
+    from fhirflat_ray.functions.util import collect_small_table
+
+    if not paths:
+        return {}
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        return pa.concat_tables(
+            [segment_value_counts(str(p), column, store) for p in batch["item"]]
+        )
+
+    t = collect_small_table(
+        rd.from_items(paths).map_batches(
+            partial, batch_size=1, batch_format="numpy", num_cpus=1
+        )
+    )
+    counts: dict[str, int] = {}
+    if t.num_rows:
+        for v, n in zip(t[column].to_pylist(), t["n"].to_pylist()):
+            counts[v] = counts.get(v, 0) + int(n)
+    return counts
+
+
+def refresh_value_counts(
+    seg_dir: str, state_path: str, column: str
+) -> tuple[pa.Table, dict[str, Any]]:
+    """Refresh (or build) the count view; returns ``(view_table, info)``
+    where info records mode ('incremental'|'full') and segments processed.
+    The view is the (value, n) table, NULL-free string domain bounded by
+    the column's vocabulary."""
+    live = _live_digests(seg_dir)
+    state = _load_state(state_path)
+
+    if state is not None and set(state["processed"]) <= set(live):
+        new = {d: p for d, p in live.items() if d not in set(state["processed"])}
+        delta = _count_paths(seg_dir, list(new.values()), column)
+        counts = dict(state["counts"])
+        for v, n in delta.items():
+            counts[v] = counts.get(v, 0) + n
+        mode, processed = "incremental", len(new)
+    else:
+        # first build, or history was rewritten (merge/delete/compact):
+        # incremental deltas would be wrong — rebuild from every segment
+        counts = _count_paths(seg_dir, list(live.values()), column)
+        mode, processed = "full", len(live)
+
+    info = {"mode": mode, "segments_processed": processed, "segments_live": len(live)}
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"processed": sorted(live), "counts": counts, "last": info}, f)
+    os.replace(tmp, state_path)
+
+    items = sorted(counts.items())
+    view = pa.table(
+        {
+            column: pa.array([k for k, _ in items], pa.string()),
+            "n": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+    return view, info
+
+
+__all__ = ["refresh_value_counts"]

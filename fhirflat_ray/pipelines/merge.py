@@ -258,6 +258,34 @@ def merge_upsert(
     return refolded
 
 
+def append_dataset(
+    seg_dir: str, ds, *, target_rows: int | None = None
+) -> dict[str, Any]:
+    """Append ``ds`` (base-schema rows) to an existing encoded set as NEW
+    content-addressed segments — the streaming-ingest primitive: no existing
+    segment is opened, the manifest refolds from headers, and appended
+    segments carry zone maps like any other. Returns the refolded manifest
+    with an ``appended`` row count."""
+    manifest = lin.read_manifest(seg_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {seg_dir!r}")
+    from fhirflat_ray.pipelines.encode import DEFAULT_TARGET_ROWS
+
+    sort_keys = tuple(manifest.get("sort_keys") or ()) or None
+    shared = _shared_for_encode(seg_dir, manifest)
+    n = _append_segments(
+        ds, seg_dir, sort_keys, shared, target_rows=target_rows or DEFAULT_TARGET_ROWS
+    )
+    carried = {
+        k: manifest[k]
+        for k in ("source", "sort_keys", "shared_dicts", "schema_evolution")
+        if k in manifest
+    }
+    carried["shared_dicts"] = {c: h for c, (h, _v) in shared.items()}
+    carried["appended"] = int(n)
+    return lin.write_manifest(seg_dir, lin.collect_lineage(seg_dir), extra=carried)
+
+
 def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
     """Delete rows whose ``key`` appears in ``keys_ds`` (a Dataset with at
     least the ``key`` column) from the encoded set at ``seg_dir``. Same
@@ -405,4 +433,4 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
     return int(pc.sum(out.column("n_rows")).as_py() or 0) if out.num_rows else 0
 
 
-__all__ = ["merge_upsert", "merge_delete"]
+__all__ = ["merge_upsert", "merge_delete", "append_dataset"]

@@ -2576,6 +2576,55 @@ FROM events GROUP BY event_type
 """
 
 
+def incremental_counts(sf_dir: str):
+    """Incremental materialized-view maintenance: encode HALF the events,
+    build the GROUP BY event_type count view, append the other half as new
+    segments (`merge.append_dataset`), then REFRESH — the second pass
+    touches only the appended segments (content-identity delta detection,
+    `pipelines/incremental.py`) and counts them in the encoded domain (dict
+    code stream, no string decode). The returned view must equal a full
+    GROUP BY over everything."""
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines.incremental import refresh_value_counts
+    from fhirflat_ray.pipelines.merge import append_dataset
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_iv", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+
+    def half(batch: pa.Table, parity: int) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == parity))
+
+    _read(sf_dir, "events").map_batches(
+        lambda b: half(b, 0), batch_format="pyarrow"
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=2048)
+    state = os.path.join(work, "view.json")
+    refresh_value_counts(seg_dir, state, "event_type")
+
+    append_dataset(
+        seg_dir,
+        _read(sf_dir, "events").map_batches(
+            lambda b: half(b, 1), batch_format="pyarrow"
+        ),
+        target_rows=2048,
+    )
+    view, info = refresh_value_counts(seg_dir, state, "event_type")
+    assert info["mode"] == "incremental", info
+    return view
+
+
+INCREMENTAL_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
 def time_travel(sf_dir: str):
     """Snapshot isolation under the oracle: encode events, freeze snapshot
     v1 (hardlink metadata op, zero data copied — `pipelines/snapshots.py`),
@@ -3529,6 +3578,7 @@ QUERIES = {
     "pruned_scan_zorder": pruned_scan_zorder,
     "schema_evolve": schema_evolve,
     "time_travel": time_travel,
+    "incremental_counts": incremental_counts,
     "conv_lookup": conv_lookup,
     "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
@@ -3619,6 +3669,7 @@ ORACLE_SQL = {
     "pruned_scan_zorder": PRUNED_SCAN_ZORDER_SQL,
     "schema_evolve": SCHEMA_EVOLVE_SQL,
     "time_travel": TIME_TRAVEL_SQL,
+    "incremental_counts": INCREMENTAL_COUNTS_SQL,
     "conv_lookup": _conv_lookup_sql(),
     "role_counts_encoded": ROLE_COUNTS_ENCODED_SQL,
     "compacted_roundtrip": TRANSCRIPT_BUILD_SQL,

@@ -748,3 +748,60 @@ def test_snapshots_time_travel(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got2.equals(live)
+
+
+def test_incremental_view_append_and_rewrite(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.incremental import refresh_value_counts
+    from fhirflat_ray.pipelines.merge import append_dataset, merge_delete
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df1 = pd.DataFrame(
+        {
+            "k": np.arange(3000, dtype=np.int64),
+            "tag": ["abc"[i % 3] for i in range(3000)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df1, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), target_rows=1000)
+    state = str(tmp_path / "view.json")
+
+    view1, info1 = refresh_value_counts(segd, state, "tag")
+    assert info1["mode"] == "full" and info1["segments_processed"] == 3
+    assert dict(zip(view1["tag"].to_pylist(), view1["n"].to_pylist())) == {
+        "a": 1000, "b": 1000, "c": 1000
+    }
+
+    # append-only delta: second refresh touches ONLY the new segments
+    df2 = pd.DataFrame(
+        {"k": np.arange(3000, 5000, dtype=np.int64), "tag": ["c", "d"] * 1000}
+    )
+    m = append_dataset(segd, rd.from_pandas(df2), target_rows=1000)
+    assert m["appended"] == 2000 and m["n_rows"] == 5000
+    view2, info2 = refresh_value_counts(segd, state, "tag")
+    assert info2["mode"] == "incremental"
+    assert info2["segments_processed"] == info2["segments_live"] - 3
+    assert dict(zip(view2["tag"].to_pylist(), view2["n"].to_pylist())) == {
+        "a": 1000, "b": 1000, "c": 2000, "d": 1000
+    }
+
+    # history rewrite (delete) invalidates increments → honest full rebuild
+    merge_delete(
+        segd, rd.from_pandas(pd.DataFrame({"k": np.arange(0, 3000, 3, dtype=np.int64)})), "k"
+    )
+    view3, info3 = refresh_value_counts(segd, state, "tag")
+    assert info3["mode"] == "full"
+    got = dict(zip(view3["tag"].to_pylist(), view3["n"].to_pylist()))
+    exp = df1[df1.k % 3 != 0]["tag"].value_counts().to_dict()
+    for t, n in df2["tag"].value_counts().items():
+        exp[t] = exp.get(t, 0) + int(n)
+    assert got == {k: int(v) for k, v in exp.items()}
