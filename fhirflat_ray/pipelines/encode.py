@@ -307,25 +307,26 @@ def encode_partition_item(
 #: per-process memory-provisioning cold tax entirely.
 _WORKER_CACHE: dict[str, Any] = {}
 
-#: per-worker-process block ordinal for ``encode_dataset``: combined with
-#: ``_PROCESS_SALT`` it salts each streamed block's segment identity, so (a)
-#: two byte-IDENTICAL blocks land in distinct segments (multiset semantics
-#: hold — no whole-block dedup footgun), and (b) two DIFFERENT blocks can
-#: never collide on a truncated digest and overwrite each other via
-#: ``os.replace``. Determinism across runs is not required here —
-#: ``encode_dataset`` is documented as non-resumable and clears ``out_dir``
-#: up front.
-import itertools as _itertools
 import uuid as _uuid
 
-_BLOCK_ORDINAL = _itertools.count()
 
-#: random per-process component of the segment salt: a (pid, ordinal) pair is
-#: NOT unique across a multi-node cluster (two workers on different nodes can
-#: share both), which would let two byte-identical blocks silently collapse
-#: into one segment via os.replace — exactly the multiset-loss footgun the
-#: ordinal exists to prevent.
-_PROCESS_SALT = _uuid.uuid4().hex
+def _block_salt() -> bytes:
+    """CALL-TIME random component of a streamed block's segment identity.
+
+    Salting makes (a) two byte-IDENTICAL blocks land in distinct segments
+    (multiset semantics hold — no whole-block dedup footgun) and (b) two
+    DIFFERENT blocks never collide on a digest and overwrite each other via
+    ``os.replace``. The randomness MUST be drawn per call, in the worker:
+    the earlier (per-process uuid, per-process ordinal) module state looked
+    unique but was captured BY VALUE when cloudpickle serialized the nested
+    ``encode_block`` closure — every task received the driver's uuid and a
+    COPY of the ordinal counter at its pickled state, so identical payloads
+    processed by different tasks produced the same salted name and silently
+    collapsed to one segment (caught by the z-order grid test, whose
+    self-similar tiles encode byte-identically). Determinism across runs is
+    not required here — ``encode_dataset`` is documented as non-resumable
+    and clears ``out_dir`` up front."""
+    return f":{_uuid.uuid4().hex}".encode()
 
 
 def _resolve_shared(shared_ref: Any) -> dict[str, tuple[str, pa.Array]]:
@@ -404,13 +405,11 @@ def encode_dataset(
     ``stages.layout.hash_partition_sort`` or any upstream transform): each
     batch becomes one content-addressed segment written by the map task
     itself, so the whole pipeline streams with backpressure and nothing
-    materializes on the driver. Partition ids are content hashes — retries
-    are idempotent, but resume-by-skipping needs the deterministic
-    file-driven planner (``encode_files``); use that for restartable bulk
-    jobs. Two byte-identical blocks deduplicate to one segment (at
-    whole-block granularity this implies a fully duplicated 100k+-row run —
-    use ``encode_files`` when exact multiset semantics must be guaranteed;
-    ``verify_roundtrip`` catches any such collapse). Returns the manifest.
+    materializes on the driver. Segment identity is the payload digest plus
+    call-time randomness (``_block_salt``), so byte-identical blocks keep
+    distinct segments — multiset semantics hold; resume-by-skipping needs
+    the deterministic file-driven planner (``encode_files``) — use that for
+    restartable bulk jobs. Returns the manifest.
     """
     import glob as _glob
 
@@ -444,10 +443,9 @@ def encode_dataset(
                 table = table.sort_by([(k, "ascending") for k in keys])
         header, payload = seg.encode_table(table, sh)
         digest = seg.sha256_hex(payload)
-        # segment identity = payload digest salted with (per-process uuid,
-        # per-worker ordinal); full salted digest in the filename — see
-        # _BLOCK_ORDINAL / _PROCESS_SALT
-        salt = f":{_PROCESS_SALT}:{next(_BLOCK_ORDINAL)}".encode()
+        # segment identity = payload digest + call-time randomness (see
+        # _block_salt for why module-state salts silently collide here)
+        salt = _block_salt()
         uniq = seg.sha256_hex(payload + salt)
         record = lin.lineage_record(
             part_id=int(uniq[:15], 16),

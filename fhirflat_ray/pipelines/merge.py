@@ -390,8 +390,7 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
 
     from fhirflat_ray.functions.util import collect_small_table
     from fhirflat_ray.pipelines.encode import (
-        _BLOCK_ORDINAL,
-        _PROCESS_SALT,
+        _block_salt,
         _resolve_shared,
         _tune_worker_memory,
     )
@@ -410,7 +409,7 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
             if ks:
                 table = table.sort_by([(k, "ascending") for k in ks])
         header, payload = seg.encode_table(table, sh)
-        salt = f":{_PROCESS_SALT}:{next(_BLOCK_ORDINAL)}".encode()
+        salt = _block_salt()
         uniq = seg.sha256_hex(payload + salt)
         record = lin.lineage_record(
             part_id=int(uniq[:15], 16),

@@ -1655,6 +1655,97 @@ def customer_order_counts(sf_dir: str):
     return j.map_batches(fill, batch_format="pyarrow")
 
 
+def nation_coverage_full_outer(sf_dir: str):
+    """FULL OUTER join coverage: per-nation counts of BUILDING-segment
+    customers vs high-balance suppliers, keeping nations that have only one
+    side (the other side fills 0). Same aggregate-before-join shape as the
+    left-outer query: both sides collapse to one row per nation before the
+    `Dataset.join(full_outer)` exchange."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    def side(table: str, key: str, filt, out_key: str, out_n: str):
+        ds = _read(sf_dir, table)
+        ds = ds.map_batches(filt, batch_format="pyarrow")
+
+        def partial(b: pa.Table) -> pa.Table:
+            g = b.group_by([key]).aggregate([([], "count_all")])
+            return agg_select(g, {key: out_key, "count_all": out_n})
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(out_key, sort=False, as_index=False).agg(**{out_n: (out_n, "sum")})
+
+        agg = bucketed_map_groups(partials, [out_key], final)
+
+        # pin the schema before the join: groupby pipelines can emit
+        # schema-less empty blocks that poison acero FieldRef resolution
+        # (the hash_anti_join coerce+repartition discipline, joins.py)
+        target = pa.schema([(out_key, pa.int64()), (out_n, pa.int64())])
+
+        def coerce(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0 or out_key not in b.column_names:
+                return target.empty_table()
+            return pa.table(
+                {out_key: b[out_key].cast(pa.int64()), out_n: b[out_n].cast(pa.int64())}
+            )
+
+        return agg.map_batches(coerce, batch_format="pyarrow").repartition(2)
+
+    cust = side(
+        "customer",
+        "c_nationkey",
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(
+            ["c_nationkey"]
+        ),
+        "c_nk",
+        "n_cust",
+    )
+    supp = side(
+        "supplier",
+        "s_nationkey",
+        lambda b: b.filter(pc.greater(b["s_acctbal"], 4000.0)).select(
+            ["s_nationkey"]
+        ),
+        "s_nk",
+        "n_supp",
+    )
+
+    # one join partition: both sides are per-NATION aggregates (bounded by
+    # the nation count at any data scale), and Ray's hash-join finalize
+    # KeyErrors when a partition receives zero blocks of one side — with
+    # nation-bounded sides a multi-partition exchange buys nothing anyway
+    j = cust.join(supp, "full_outer", 1, on=("c_nk",), right_on=("s_nk",))
+
+    def fill(b: pa.Table) -> pa.Table:
+        # acero full-outer joins COALESCE the key columns: the output carries
+        # one "c_nk" already populated for right-only rows
+        return pa.table(
+            {
+                "nationkey": pc.cast(b["c_nk"], pa.int64()),
+                "n_cust": pc.fill_null(pc.cast(b["n_cust"], pa.int64()), 0),
+                "n_supp": pc.fill_null(pc.cast(b["n_supp"], pa.int64()), 0),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
+NATION_COVERAGE_SQL = """
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cust,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_supp
+FROM (
+  SELECT c_nationkey AS nk, COUNT(*) AS n FROM customer
+  WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+) c
+FULL OUTER JOIN (
+  SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier
+  WHERE s_acctbal > 4000.0 GROUP BY 1
+) s ON c.nk = s.nk
+"""
+
+
 CUSTOMER_ORDER_COUNTS_SQL = """
 SELECT c.c_custkey,
        CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
@@ -3284,6 +3375,74 @@ def tfidf_top_terms(sf_dir: str):
     return bucketed_map_groups(with_df, ["doc_id"], topk)
 
 
+def doc_surprisal(sf_dir: str):
+    """Unigram-LM surprisal per document — the perplexity-style quality
+    filter a pretraining pipeline runs (docs whose tokens are improbable
+    under the corpus unigram distribution are boilerplate/garbage
+    candidates). Mean negative log-probability per token:
+    ``-(1/n_d) * Σ_t tf_dt · ln(cf_t / N)``.
+
+    Scale shape mirrors `tfidf_top_terms`: exact per-batch postings
+    (map-only), one TERM-bucket shuffle attaches each term's corpus
+    frequency via a vectorized transform, one DOC-bucket shuffle reduces to
+    the per-document score; the corpus token total is a scalar from
+    one-row-per-batch partials. No broadcast vocabulary, no driver state —
+    the corpus distribution never materializes anywhere."""
+    from fhirflat_ray.functions.text import _split_words, term_doc_tf
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = docs.map_batches(term_doc_tf, batch_format="pyarrow")
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        vals, _, _ = _split_words(b["text"])
+        return pa.table({"n": pa.array([len(vals)], pa.int64())})
+
+    tot = collect_small_table(
+        _read(sf_dir, "documents", columns=["text"]).map_batches(
+            tok_partial, batch_format="pyarrow"
+        )
+    )
+    n_total = float(pc.sum(tot["n"]).as_py() or 0)
+
+    def attach_cf(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cf"] = g.groupby("term", sort=False)["tf"].transform("sum").astype(np.int64)
+        return g
+
+    with_cf = bucketed_map_groups(postings, ["term"], attach_cf)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].to_numpy(np.float64)
+        lp = tf * np.log(g["cf"].to_numpy(np.float64) / n_total)
+        agg = pd.DataFrame({"doc_id": g["doc_id"], "lp": lp, "tf": tf}).groupby(
+            "doc_id", sort=False, as_index=False
+        ).sum()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"],
+                "surprisal": np.round(-agg["lp"].to_numpy() / agg["tf"].to_numpy(), 6),
+            }
+        )
+
+    return bucketed_map_groups(with_cf, ["doc_id"], per_doc)
+
+
+DOC_SURPRISAL_SQL = r"""
+WITH t AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+  GROUP BY term, doc_id
+), cf AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM t GROUP BY term
+), n AS (SELECT CAST(sum(tf) AS DOUBLE) AS nt FROM t)
+SELECT doc_id,
+       ROUND(-sum(tf * ln(CAST(cf AS DOUBLE) / nt)) / sum(tf), 6) AS surprisal
+FROM t JOIN cf USING (term), n
+GROUP BY doc_id
+"""
+
+
 TFIDF_TOP_TERMS_SQL = r"""
 WITH t AS (
   SELECT term, doc_id, count(*) AS tf
@@ -3558,6 +3717,7 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "q3_top_orders": q3_top_orders,
     "customer_order_counts": customer_order_counts,
+    "nation_coverage_full_outer": nation_coverage_full_outer,
     "q5_region_revenue": q5_region_revenue,
     "user_event_windows": user_event_windows,
     "user_type_seq": user_type_seq,
@@ -3594,6 +3754,7 @@ QUERIES = {
     "bigram_top": bigram_top,
     "term_stats": term_stats,
     "tfidf_top_terms": tfidf_top_terms,
+    "doc_surprisal": doc_surprisal,
     "conv_dedup": conv_dedup,
     "conv_stats": conv_stats,
     "alternation_audit": alternation_audit,
@@ -3650,6 +3811,7 @@ ORACLE_SQL = {
     "stratified_sample": _stratified_sample_sql(),
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
+    "nation_coverage_full_outer": NATION_COVERAGE_SQL,
     "q5_region_revenue": Q5_REGION_REVENUE_SQL,
     "user_event_windows": USER_EVENT_WINDOWS_SQL,
     "user_type_seq": USER_TYPE_SEQ_SQL,
@@ -3685,6 +3847,7 @@ ORACLE_SQL = {
     "bigram_top": BIGRAM_TOP_SQL,
     "term_stats": TERM_STATS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+    "doc_surprisal": DOC_SURPRISAL_SQL,
     "conv_dedup": CONV_DEDUP_SQL,
     "conv_stats": CONV_STATS_SQL,
     "alternation_audit": ALTERNATION_AUDIT_SQL,

@@ -131,6 +131,7 @@ def cluster_zorder(
     *,
     target_rows: int = 64 * 1024,
     shared: dict | None = None,
+    num_partitions: int | None = None,
 ):
     """CLUSTER BY z-order: re-layout ``ds`` so segment zone maps prune on
     ANY of ``cols``, then encode. One global all-to-all sort on the Morton
@@ -146,11 +147,13 @@ def cluster_zorder(
         arrs = [batch[c].to_numpy(zero_copy_only=False) for c in cols]
         return batch.append_column("__zkey", pa.array(zorder_key(arrs, rng)))
 
-    clustered = (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .sort("__zkey")
-        .drop_columns(["__zkey"])
-    )
+    clustered = ds.map_batches(add_key, batch_format="pyarrow").sort("__zkey")
+    if num_partitions is not None:
+        # order-preserving rebalance: sort's sampled range boundaries give
+        # ragged blocks, and every block tail becomes a short segment; an
+        # explicit even split makes segment boundaries deterministic
+        clustered = clustered.repartition(num_partitions)
+    clustered = clustered.drop_columns(["__zkey"])
     return encode_dataset(
         clustered, out_dir, sort_keys=None, shared=shared, target_rows=target_rows
     )

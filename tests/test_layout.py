@@ -90,10 +90,14 @@ def test_zorder_prunes_both_dimensions(ray_session, tmp_path):
     )
     segd = str(tmp_path / "z")
     cluster_zorder(
-        rd.from_pandas(df).repartition(8), segd, ["x", "y"], target_rows=256
+        rd.from_pandas(df).repartition(8),
+        segd,
+        ["x", "y"],
+        target_rows=256,
+        num_partitions=16,  # deterministic 256-row Z-range segments
     )
     total = len(glob.glob(os.path.join(segd, "part-*.seg")))
-    assert total >= 12  # ~4096/256 segments
+    assert total == 16
 
     for col in ("x", "y"):
         pred = [(col, ">=", 0), (col, "<=", 15)]

@@ -805,3 +805,24 @@ def test_incremental_view_append_and_rewrite(ray_session, tmp_path):
     for t, n in df2["tag"].value_counts().items():
         exp[t] = exp.get(t, 0) + int(n)
     assert got == {k: int(v) for k, v in exp.items()}
+
+
+def test_encode_dataset_identical_blocks_keep_multiset(ray_session, tmp_path):
+    # regression: nested-closure pickling used to capture the driver's salt
+    # and a stateful ordinal COPY, so byte-identical blocks in different
+    # tasks collided to one segment file (multiset loss). Self-similar data
+    # (here: the same 256 rows x 16 blocks) must survive exactly.
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"a": np.tile(np.arange(256, dtype=np.int64), 16)})
+    segd = str(tmp_path / "enc")
+    m = enc.encode_dataset(
+        rd.from_pandas(df).repartition(16), segd, sort_keys=None, target_rows=256
+    )
+    assert m["n_rows"] == 4096
+    assert len(glob.glob(os.path.join(segd, "part-*.seg"))) == 16
+    back = dec.decode_dataset(segd).to_pandas()
+    assert len(back) == 4096 and (np.sort(back["a"].to_numpy()) ==
+                                  np.sort(df["a"].to_numpy())).all()
