@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "corpus_prep",
     "context_pack",
     "sft_pack_examples",
+    "merge_events",
+    "chunk_docs",
 ]
 
 

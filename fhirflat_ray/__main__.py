@@ -183,6 +183,29 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Freeze / list / drop zero-copy snapshots of an encoded dir."""
+    from fhirflat_ray.pipelines import snapshots as snap
+
+    if args.drop is not None:
+        snap.drop_snapshot(args.segments, args.drop)
+        print(json.dumps({"dropped": args.drop}))
+    elif args.list:
+        print(json.dumps(snap.list_snapshots(args.segments)))
+    else:
+        print(json.dumps(snap.create_snapshot(args.segments, note=args.note)))
+    return 0
+
+
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    """Garbage-collect unreferenced shared-dictionary files."""
+    from fhirflat_ray.state import lineage as lin
+
+    out = lin.vacuum_dict_store(args.segments)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     """Valid/error routing over parquet or encoded segments — the engine's
     `fhirflat validate` (/root/reference/fhirflat/ingest.py:658-742): rows
@@ -292,6 +315,17 @@ def main(argv: list[str] | None = None) -> int:
     pdl.add_argument("keys", help="parquet file/dir holding the key column")
     pdl.add_argument("--key", required=True, help="unique integer key column")
     pdl.set_defaults(fn=cmd_delete)
+
+    psn = sub.add_parser("snapshot", help="freeze/list/drop zero-copy table snapshots")
+    psn.add_argument("segments", help="encoded segment dir")
+    psn.add_argument("--list", action="store_true")
+    psn.add_argument("--drop", type=int, default=None, help="snapshot version to release")
+    psn.add_argument("--note", default=None)
+    psn.set_defaults(fn=cmd_snapshot)
+
+    pvc = sub.add_parser("vacuum", help="GC shared-dict files no live segment references")
+    pvc.add_argument("segments", help="encoded segment dir")
+    pvc.set_defaults(fn=cmd_vacuum)
 
     pval = sub.add_parser(
         "validate", help="typed schema + key-contract validation → valid/error split"

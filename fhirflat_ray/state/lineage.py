@@ -189,3 +189,45 @@ def load_dict_store(out_dir: str) -> dict[str, pa.Array]:
         with pa.OSFile(path, "rb") as f, pa.ipc.open_file(f) as r:
             store[h] = r.read_all().column("v").combine_chunks()
     return store
+
+
+def vacuum_dict_store(out_dir: str) -> dict[str, Any]:
+    """Garbage-collect shared-dictionary files no live segment references.
+
+    Mutations can orphan store entries (a merge/compact/delete rewrites the
+    last segment using some vocabulary; the ``dicts/*.arrow`` file stays).
+    References are found by walking every segment header for ``shared``
+    markers — header-only reads, no payload bytes. Snapshot directories are
+    unaffected: they hardlink the dict files, so removing the live entry
+    only drops one name on the inode. Returns {"kept": n, "removed": [...]}.
+    """
+    from fhirflat_ray.state import segments as seg
+
+    def walk(node, out: set) -> None:
+        if isinstance(node, dict):
+            h = node.get("shared")
+            if isinstance(h, str):
+                out.add(h)
+            for v in node.values():
+                walk(v, out)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v, out)
+
+    referenced: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(out_dir, "part-*.seg"))):
+        hdr, _ = seg.read_segment_header(p)
+        walk(hdr.get("columns", []), referenced)
+    # the manifest's shared-dict registry counts as a reference too: a
+    # future append re-encodes against it
+    manifest = read_manifest(out_dir)
+    for h in ((manifest or {}).get("shared_dicts") or {}).values():
+        referenced.add(h)
+
+    removed = []
+    for path in sorted(glob.glob(os.path.join(out_dir, DICT_DIR, "*.arrow"))):
+        h = os.path.splitext(os.path.basename(path))[0]
+        if h not in referenced:
+            os.remove(path)
+            removed.append(h)
+    return {"kept": len(referenced), "removed": removed}

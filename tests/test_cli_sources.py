@@ -111,3 +111,34 @@ def test_cli_merge_and_delete(ray_session, tmp_path, capsys):
     exp = df[df.k < 1000].copy().reset_index(drop=True)
     exp.loc[exp.k % 10 == 0, "v"] = -1.0
     assert got.equals(exp)
+
+
+def test_cli_snapshot_and_vacuum(ray_session, tmp_path, capsys):
+    import numpy as np
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64), "role": ["u", "a"] * 250})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(src / "t.parquet"))
+    seg = str(tmp_path / "seg")
+    assert cli_main(["encode", str(src), seg, "--sort-keys", "k"]) == 0
+    capsys.readouterr()
+
+    assert cli_main(["snapshot", seg, "--note", "first"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["version"] == 1 and rec["note"] == "first"
+
+    assert cli_main(["snapshot", seg, "--list"]) == 0
+    lst = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [s["version"] for s in lst] == [1]
+
+    assert cli_main(["vacuum", seg]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == []  # nothing orphaned on a fresh encode
+
+    assert cli_main(["snapshot", seg, "--drop", "1"]) == 0
+    capsys.readouterr()
+    assert cli_main(["snapshot", seg, "--list"]) == 0
+    lst2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lst2 == []

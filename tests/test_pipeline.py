@@ -826,3 +826,48 @@ def test_encode_dataset_identical_blocks_keep_multiset(ray_session, tmp_path):
     back = dec.decode_dataset(segd).to_pandas()
     assert len(back) == 4096 and (np.sort(back["a"].to_numpy()) ==
                                   np.sort(df["a"].to_numpy())).all()
+
+
+def test_vacuum_dict_store(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_delete
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # two shared-dict columns; "tool" values live ONLY in rows we delete
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "role": ["user", "assistant"] * (n // 2),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), shared_dict_columns=["role"], target_rows=1000)
+    dicts_before = glob.glob(os.path.join(segd, "dicts", "*.arrow"))
+    assert dicts_before  # the role vocab is in the store
+
+    # nothing orphaned yet: vacuum keeps everything
+    out = lin.vacuum_dict_store(segd)
+    assert out["removed"] == []
+    assert glob.glob(os.path.join(segd, "dicts", "*.arrow")) == dicts_before
+
+    # delete ALL rows → no segment references any dict; the manifest
+    # registry still pins the vocab for future appends, so simulate a
+    # registry-less dir by dropping that entry
+    merge_delete(segd, rd.from_pandas(pd.DataFrame({"k": np.arange(n, dtype=np.int64)})), "k")
+    man = lin.read_manifest(segd)
+    assert man["n_rows"] == 0
+    man.pop("shared_dicts", None)
+    lin.write_manifest(segd, man["partitions"], extra={k: man[k] for k in ("source", "sort_keys") if k in man})
+    out2 = lin.vacuum_dict_store(segd)
+    assert len(out2["removed"]) == len(dicts_before)
+    assert glob.glob(os.path.join(segd, "dicts", "*.arrow")) == []
