@@ -2135,6 +2135,113 @@ def distinct_users_hll(sf_dir: str):
     return pa.table({"approx_distinct": pa.array([est], pa.float64())})
 
 
+def funnel_events(sf_dir: str):
+    """Ordered conversion funnel (view → click → purchase, strictly
+    increasing timestamps per user) — the event-analytics sequential
+    pattern. One USER-bucket shuffle of only the three stage types (three
+    narrow columns); inside each bucket the cascade is vectorized across
+    every user at once (three groupby-min passes with per-user threshold
+    masks); each bucket emits ONE partial row of stage counts and the
+    driver sums a bucket-count-bounded table."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    stages = ("view", "click", "purchase")
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["event_type"], pa.array(list(stages))))
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g.event_type == stages[0]].groupby("user_id")["ts"].min()
+        counts = [len(t)]
+        for stage in stages[1:]:
+            rows = g[g.event_type == stage]
+            thresh = rows["user_id"].map(t)
+            rows = rows[thresh.notna() & (rows["ts"] > thresh)]
+            t = rows.groupby("user_id")["ts"].min()
+            counts.append(len(t))
+        return pd.DataFrame(
+            {
+                "n_view": [counts[0]],
+                "n_view_click": [counts[1]],
+                "n_view_click_purchase": [counts[2]],
+            }
+        )
+
+    partials = bucketed_map_groups(pruned, ["user_id"], per_bucket)
+    t = collect_small_table(partials)
+    out = {
+        c: pa.array([int(pc.sum(t[c]).as_py() or 0)], pa.int64())
+        for c in ("n_view", "n_view_click", "n_view_click_purchase")
+    }
+    return pa.table(out)
+
+
+FUNNEL_EVENTS_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+"""
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_user_events(sf_dir: str):
+    """Crosstab: one row per user, one count column per event type (the
+    wide feature table a per-user model consumes). Per-batch Arrow
+    (user, type) partials shrink the shuffle to distinct pairs; one
+    USER-bucket pass pivots wide with a fixed, schema-stable column set."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"user_id": "user_id", "event_type": "event_type", "count_all": "n"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"].sum().unstack(
+                fill_value=0
+            )
+        )
+        out = pd.DataFrame({"user_id": w.index.to_numpy()})
+        for t in _PIVOT_TYPES:
+            out[f"n_{t}"] = (
+                w[t].to_numpy(np.int64) if t in w.columns else np.zeros(len(w), np.int64)
+            )
+        return out
+
+    return bucketed_map_groups(partials, ["user_id"], pivot)
+
+
+PIVOT_USER_EVENTS_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 def heavy_hitters_cms(sf_dir: str):
     """Point-frequency estimates from a count-min sketch (Cormode &
     Muthukrishnan 2005) over the events stream: per-batch partials are at
@@ -3724,6 +3831,8 @@ QUERIES = {
     "weighted_sample": weighted_sample,
     "distinct_users_hll": distinct_users_hll,
     "heavy_hitters_cms": heavy_hitters_cms,
+    "funnel_events": funnel_events,
+    "pivot_user_events": pivot_user_events,
     "decontaminate": decontaminate_corpus,
     "quantiles_by_type": quantiles_by_type,
     "revenue_rollup": revenue_rollup,
@@ -3818,6 +3927,8 @@ ORACLE_SQL = {
     "weighted_sample": _weighted_sample_sql(),
     "distinct_users_hll": _distinct_users_hll_sql(),
     "heavy_hitters_cms": _heavy_hitters_cms_sql(),
+    "funnel_events": FUNNEL_EVENTS_SQL,
+    "pivot_user_events": PIVOT_USER_EVENTS_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "quantiles_by_type": QUANTILES_BY_TYPE_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
