@@ -105,9 +105,12 @@ def keyed_window(ds, key: str, order_cols: list[str], specs: list[tuple]):
     coarse-bucket shuffle plus one vectorized pandas pass per bucket.
 
     ``specs`` is a list of ``(op, value_col, param, out_col)`` with op in
-    ``{'lag','lead','cumsum','row_number','rolling_mean'}`` (``param`` =
-    shift periods / rolling width; ignored for cumsum/row_number, pass
-    ``value_col=None`` for row_number). All ops for all keys in a bucket run
+    ``{'lag','lead','cumsum','row_number','rolling_mean','dense_rank',
+    'percent_rank','ntile'}`` (``param`` = shift periods / rolling width /
+    ntile tile count; ignored for cumsum/row_number/ranks, pass
+    ``value_col=None`` for row_number and ntile — they follow the sort
+    order, while the rank ops order by their own value column, SQL
+    semantics). All ops for all keys in a bucket run
     through pandas' C groupby engine at once — Python cost is per bucket,
     never per key or row. Deterministic output requires ``order_cols`` to be
     a total order within each key (include a unique id column).
@@ -138,6 +141,28 @@ def keyed_window(ds, key: str, order_cols: list[str], specs: list[tuple]):
                     .mean()
                     .reset_index(level=0, drop=True)
                 )
+            elif op == "dense_rank":
+                out[out_col] = gb[col].rank(method="dense").astype(np.int64)
+            elif op == "percent_rank":
+                r = gb[col].rank(method="min").to_numpy(np.float64)
+                n = gb[col].transform("count").to_numpy(np.float64)
+                out[out_col] = np.round(
+                    np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0), 9
+                )
+            elif op == "ntile":
+                # SQL NTILE(k): the first n%k tiles get ceil(n/k) rows —
+                # follows the SORT order (include a unique tiebreak column
+                # in order_cols for determinism)
+                rn = gb.cumcount().to_numpy(np.int64)  # 0-based within key
+                n = g.groupby(key, sort=False)[key].transform("size").to_numpy(np.int64)
+                k = int(param)
+                q, r_ = n // k, n % k
+                big = r_ * (q + 1)  # rows covered by the (q+1)-sized tiles
+                out[out_col] = np.where(
+                    rn < big,
+                    rn // np.maximum(q + 1, 1) + 1,
+                    r_ + (rn - big) // np.maximum(q, 1) + 1,
+                ).astype(np.int64)
             else:
                 raise ValueError(f"unknown window op {op!r}")
         for c, v in out.items():

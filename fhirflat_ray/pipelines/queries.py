@@ -1646,8 +1646,19 @@ def customer_order_counts(sf_dir: str):
             {
                 "c_custkey": b["c_custkey"],
                 "n_orders": pc.fill_null(pc.cast(b["n"], pa.int64()), 0),
-                "total_price": pc.round(
-                    pc.fill_null(b["t"], pa.scalar(0.0, pa.float64())), 2
+                # exact integer cents: at 1e6+ magnitudes two engines' round(2)
+                # can land on ADJACENT doubles (spacing ~5e-10), which the
+                # oracle canonicalizer cannot normalize; *100 → rint → int64
+                # is error-free because true sums are multiples of 0.01
+                "total_cents": pc.cast(
+                    pc.round(
+                        pc.multiply(
+                            pc.fill_null(b["t"], pa.scalar(0.0, pa.float64())),
+                            pa.scalar(100.0),
+                        ),
+                        0,
+                    ),
+                    pa.int64(),
                 ),
             }
         )
@@ -1749,7 +1760,7 @@ FULL OUTER JOIN (
 CUSTOMER_ORDER_COUNTS_SQL = """
 SELECT c.c_custkey,
        CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
-       round(COALESCE(o.t, 0.0), 2) AS total_price
+       CAST(round(COALESCE(o.t, 0.0) * 100, 0) AS BIGINT) AS total_cents
 FROM customer c
 LEFT JOIN (
   SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS t
@@ -1996,6 +2007,37 @@ WHERE c_custkey = o_custkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+"""
+
+
+def user_value_ranks(sf_dir: str):
+    """Rank-family window functions (DENSE_RANK / PERCENT_RANK / NTILE)
+    per user over event values — the same single-shuffle `keyed_window`
+    machinery as `user_event_windows`, extended with the rank ops. NTILE
+    follows the sort order (value, event_id — deterministic tiebreak);
+    the rank ops order by the value column, SQL semantics."""
+    from fhirflat_ray.functions.windows import keyed_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = keyed_window(
+        ds,
+        "user_id",
+        ["value", "event_id"],
+        [
+            ("dense_rank", "value", None, "dr"),
+            ("percent_rank", "value", None, "pr"),
+            ("ntile", None, 4, "quartile"),
+        ],
+    )
+    return out.select_columns(["event_id", "user_id", "value", "dr", "pr", "quartile"])
+
+
+USER_VALUE_RANKS_SQL = """
+SELECT event_id, user_id, value,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS dr,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value), 9) AS pr,
+       CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events
 """
 
 
@@ -3827,6 +3869,7 @@ QUERIES = {
     "nation_coverage_full_outer": nation_coverage_full_outer,
     "q5_region_revenue": q5_region_revenue,
     "user_event_windows": user_event_windows,
+    "user_value_ranks": user_value_ranks,
     "user_type_seq": user_type_seq,
     "weighted_sample": weighted_sample,
     "distinct_users_hll": distinct_users_hll,
@@ -3923,6 +3966,7 @@ ORACLE_SQL = {
     "nation_coverage_full_outer": NATION_COVERAGE_SQL,
     "q5_region_revenue": Q5_REGION_REVENUE_SQL,
     "user_event_windows": USER_EVENT_WINDOWS_SQL,
+    "user_value_ranks": USER_VALUE_RANKS_SQL,
     "user_type_seq": USER_TYPE_SEQ_SQL,
     "weighted_sample": _weighted_sample_sql(),
     "distinct_users_hll": _distinct_users_hll_sql(),

@@ -86,3 +86,48 @@ def test_quantile_cont_matches_numpy(ray_session, vals, q):
     # numpy's 'linear' interpolation == SQL quantile_cont semantics
     want = float(np.quantile(np.asarray(vals, dtype=np.float64), q))
     assert math.isclose(got["value"][0], want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(frames())
+@settings(max_examples=15, deadline=None)
+def test_rank_windows_match_duckdb(ray_session, df):
+    """dense_rank / percent_rank / ntile vs DuckDB window functions —
+    random keys, tied values, single-row keys."""
+    import duckdb
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import keyed_window
+
+    df = df.copy().reset_index(drop=True)
+    df["rid"] = np.arange(len(df), dtype=np.int64)  # unique tiebreak
+
+    got = (
+        keyed_window(
+            rd.from_pandas(df).repartition(3),
+            "k",
+            ["v", "rid"],
+            [
+                ("dense_rank", "v", None, "dr"),
+                ("percent_rank", "v", None, "pr"),
+                ("ntile", None, 3, "tile"),
+            ],
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)[["rid", "dr", "pr", "tile"]]
+    )
+
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """
+        SELECT rid,
+               CAST(DENSE_RANK() OVER (PARTITION BY k ORDER BY v) AS BIGINT) AS dr,
+               ROUND(PERCENT_RANK() OVER (PARTITION BY k ORDER BY v), 9) AS pr,
+               CAST(NTILE(3) OVER (PARTITION BY k ORDER BY v, rid) AS BIGINT) AS tile
+        FROM t ORDER BY rid
+        """
+    ).fetchdf()
+    assert got["dr"].tolist() == exp["dr"].tolist()
+    assert got["tile"].tolist() == exp["tile"].tolist()
+    assert np.allclose(got["pr"].to_numpy(), exp["pr"].to_numpy(), atol=1e-9)
