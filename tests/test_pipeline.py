@@ -871,3 +871,89 @@ def test_vacuum_dict_store(ray_session, tmp_path):
     out2 = lin.vacuum_dict_store(segd)
     assert len(out2["removed"]) == len(dicts_before)
     assert glob.glob(os.path.join(segd, "dicts", "*.arrow")) == []
+
+
+def test_lakehouse_lifecycle(ray_session, tmp_path):
+    """The whole mutation/metadata surface in one lifecycle, checking the
+    interactions: snapshot isolation across merge+delete, evolution
+    gating keyed mutations, compaction materializing evolution, vacuum
+    after dict-orphaning, and the incremental view detecting rewrites."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines import evolve as evo
+    from fhirflat_ray.pipelines import snapshots as snap
+    from fhirflat_ray.pipelines.incremental import refresh_value_counts
+    from fhirflat_ray.pipelines.merge import append_dataset, merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = 6000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "v": np.arange(n, dtype=np.float64),
+            "role": [["user", "assistant", "tool"][i % 3] for i in range(n)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",),
+                     shared_dict_columns=["role"], target_rows=1000)
+
+    # 1. view build + snapshot
+    state = str(tmp_path / "view.json")
+    view1, info1 = refresh_value_counts(segd, state, "role")
+    assert info1["mode"] == "full"
+    s1 = snap.create_snapshot(segd, note="v1")
+
+    # 2. append → incremental refresh touches only the new segments
+    extra = pd.DataFrame(
+        {"k": np.arange(n, n + 1200, dtype=np.int64)}
+    )
+    extra["v"] = 0.0
+    extra["role"] = "tool"
+    append_dataset(segd, rd.from_pandas(extra), target_rows=600)
+    view2, info2 = refresh_value_counts(segd, state, "role")
+    assert info2["mode"] == "incremental" and info2["segments_processed"] == 2
+    got2 = dict(zip(view2["role"].to_pylist(), view2["n"].to_pylist()))
+    assert got2["tool"] == 2000 + 1200
+
+    # 3. keyed mutation → the view detects the rewrite and full-rebuilds
+    upd = pd.DataFrame({"k": [0, 1], "v": [-1.0, -1.0], "role": ["user", "user"]})
+    merge_upsert(segd, rd.from_pandas(upd), "k")
+    view3, info3 = refresh_value_counts(segd, state, "role")
+    assert info3["mode"] == "full"
+
+    # 4. evolution gates keyed mutations until compaction materializes it
+    evo.add_column(segd, "split", "string", "train")
+    evo.drop_column(segd, "v")
+    with pytest.raises(RuntimeError, match="pending schema evolution"):
+        merge_upsert(segd, rd.from_pandas(upd), "k")
+    segd2 = str(tmp_path / "enc2")
+    enc.compact_segments(segd, segd2, sort_keys=("k",), target_rows=4000)
+    assert evo.pending_evolution(segd2) == []
+    live = dec.decode_dataset(segd2).to_pandas()
+    assert "split" in live.columns and "v" not in live.columns
+    assert len(live) == n + 1200 and (live["split"] == "train").all()
+
+    # 5. snapshot v1 still reads the ORIGINAL table (pre-append, pre-merge,
+    # pre-evolution) even though live segments were rewritten since
+    old = (
+        dec.decode_dataset(snap.snapshot_path(segd, 1))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(old.columns) == ["k", "v", "role"] and len(old) == n
+    assert old.equals(df)
+
+    # 6. vacuum: the compacted dir re-encoded with NO shared dicts pinned
+    # in its manifest registry keeps only referenced vocabularies
+    out = lin.vacuum_dict_store(segd2)
+    assert isinstance(out["removed"], list)  # runs clean end to end
