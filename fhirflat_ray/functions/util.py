@@ -219,6 +219,31 @@ def intersect_keys(ds_a, ds_b, column: str, num_buckets: int | None = None):
     return bucketed_map_groups(tagged, [column], per_bucket, num_buckets=num_buckets)
 
 
+def except_keys(ds_a, ds_b, column: str, num_buckets: int | None = None):
+    """Distinct values of ``column`` in ``ds_a`` but NOT in ``ds_b`` (SQL
+    ``EXCEPT``) — the same tagged-union machinery as :func:`intersect_keys`
+    with the keep rule flipped: a value survives iff every sighting carries
+    the side-A bit."""
+
+    def _tag(bit: int):
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[column]].drop_duplicates().copy()
+            out["__bits"] = np.int64(bit)
+            return out
+
+        return tag
+
+    tagged = ds_a.map_batches(_tag(1), batch_format="pandas").union(
+        ds_b.map_batches(_tag(2), batch_format="pandas")
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mm = g.groupby(column, sort=False)["__bits"].agg(["min", "max"])
+        return mm[(mm["min"] == 1) & (mm["max"] == 1)].index.to_frame(index=False)
+
+    return bucketed_map_groups(tagged, [column], per_bucket, num_buckets=num_buckets)
+
+
 def default_num_buckets() -> int:
     import ray
 

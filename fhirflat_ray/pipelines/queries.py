@@ -145,10 +145,15 @@ def compacted_roundtrip(sf_dir: str):
     os.makedirs(src_dir, exist_ok=True)
     transcript_build(sf_dir).write_parquet(src_dir)
     small = os.path.join(work, "small")
-    enc.encode_files(src_dir, small, target_rows=256)
-    big = os.path.join(work, "compacted")
-    enc.compact_segments(small, big, target_rows=4096)
+    m_small = enc.encode_files(src_dir, small, target_rows=256)
     n_small = len(dec.segment_paths(small))
+    # compact into segments ~4x the measured small size: the encode planner
+    # cannot split below input row-group granularity, so a FIXED compact
+    # target can exceed what "small" actually produced at larger scales —
+    # size the target from the observed layout, as a real compactor would
+    per_small = -(-int(m_small["n_rows"]) // max(1, n_small))
+    big = os.path.join(work, "compacted")
+    enc.compact_segments(small, big, target_rows=max(4096, per_small * 4))
     n_big = len(dec.segment_paths(big))
     if n_big >= n_small:
         raise AssertionError(
@@ -1546,6 +1551,30 @@ USERS_INTERSECT_SQL = """
 SELECT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def users_except(sf_dir: str):
+    """Distinct user_ids with a high-value purchase but NO high-value error
+    (SQL EXCEPT) — the set-difference sibling of `users_intersect`, same
+    tagged-union + coarse-bucket machinery
+    (`functions/util.py:except_keys`)."""
+    from fhirflat_ray.functions.util import except_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    a = ds.filter(expr="event_type == 'purchase' and value > 80").select_columns(
+        ["user_id"]
+    )
+    b = ds.filter(expr="event_type == 'error' and value > 80").select_columns(
+        ["user_id"]
+    )
+    return except_keys(a, b, "user_id")
+
+
+USERS_EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 80
 """
 
 
@@ -3863,6 +3892,7 @@ QUERIES = {
     "quantiles_qty": quantiles_qty,
     "hopping_window": hopping_window,
     "users_intersect": users_intersect,
+    "users_except": users_except,
     "stratified_sample": stratified_sample,
     "q3_top_orders": q3_top_orders,
     "customer_order_counts": customer_order_counts,
@@ -3960,6 +3990,7 @@ ORACLE_SQL = {
     "quantiles_qty": QUANTILES_QTY_SQL,
     "hopping_window": HOPPING_WINDOW_SQL,
     "users_intersect": USERS_INTERSECT_SQL,
+    "users_except": USERS_EXCEPT_SQL,
     "stratified_sample": _stratified_sample_sql(),
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
