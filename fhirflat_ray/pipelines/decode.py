@@ -213,11 +213,19 @@ def decode_dataset(
     )
 
     # catalog-only schema evolution: read once on the driver, map the column
-    # request back to stored names, apply the ops vectorized after decode
+    # request back to stored names, apply the ops vectorized after decode.
+    # With a predicate, the segment-level read must ALSO cover the predicate
+    # columns (the residual filter needs them even when the caller did not
+    # request them); they are dropped again after filtering.
     evolution = pending_evolution(seg_dir)
-    stored_columns = columns
-    if evolution and columns is not None:
-        stored_columns = stored_columns_for(evolution, columns)
+    read_cols = columns
+    if columns is not None and predicate is not None:
+        read_cols = list(
+            dict.fromkeys(list(columns) + [c for c, _, _ in predicate])
+        )
+    stored_columns = read_cols
+    if evolution and read_cols is not None:
+        stored_columns = stored_columns_for(evolution, read_cols)
         if not stored_columns:
             # request is added-columns-only: still read one stored column so
             # each decoded batch carries its row count for the synthesizer
@@ -231,7 +239,7 @@ def decode_dataset(
         if not evolution:
             return ds
         return ds.map_batches(
-            apply_evolution(evolution, columns), batch_format="pyarrow"
+            apply_evolution(evolution, read_cols), batch_format="pyarrow"
         )
 
     if predicate is not None:
@@ -259,7 +267,10 @@ def decode_dataset(
                 seg_dir, kept, stored_columns, concurrency, verify_checksums, compute
             )
         )
-        return inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
+        filtered = inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
+        if columns is not None and read_cols != columns:
+            filtered = filtered.select_columns(list(columns))
+        return filtered
 
     paths = segment_paths(seg_dir)
     if not paths:

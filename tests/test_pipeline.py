@@ -984,3 +984,36 @@ def test_zone_pruning_sees_through_renames(ray_session, tmp_path):
     assert len(got) == 1000 and list(got.columns) == ["key_id", "v"]
     # and the plan only opened the matching segment's share of rows — prune
     # behaviour equals the stored-name prune above by construction
+
+
+def test_decode_columns_plus_predicate(ray_session, tmp_path):
+    # a pruned column read whose predicate column is NOT requested must
+    # still filter (the segment read covers it, the output drops it)
+    import numpy as np
+    import pandas as pd
+
+    from fhirflat_ray.pipelines import evolve as evo
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = pd.DataFrame(
+        {"k": np.arange(2000, dtype=np.int64), "v": np.arange(2000) * 1.0,
+         "s": ["x", "y"] * 1000}
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=500,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), target_rows=500)
+
+    out = dec.decode_dataset(segd, columns=["s"], predicate=[("k", "<", 100)]).to_pandas()
+    assert len(out) == 100 and list(out.columns) == ["s"]
+
+    # … and the same composition through a rename
+    evo.rename_column(segd, "k", "key_id")
+    out2 = dec.decode_dataset(
+        segd, columns=["s"], predicate=[("key_id", "<", 100)]
+    ).to_pandas()
+    assert len(out2) == 100 and list(out2.columns) == ["s"]
