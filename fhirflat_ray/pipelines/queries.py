@@ -3837,6 +3837,333 @@ GROUP BY 1 ORDER BY n DESC, transition LIMIT 20
 
 
 # =====================================================================
+# Wave 7: join/aggregate breadth (TPC-H Q4/Q13/Q18 shapes) + product
+# analytics (cohort retention, distributed histogram) + corpus filtering
+# =====================================================================
+
+
+def q4_priority_exists(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: count orders per priority that
+    have at least one line item shipped AFTER the order date.
+
+    Scale shape: the EXISTS collapses lineitem to ONE row per orderkey
+    (max(l_shipdate) — Arrow partial per batch + coarse-bucket final)
+    BEFORE the distributed hash join, so the exchange moves |orders in
+    window| + |distinct orderkeys| rows, never raw line items. The
+    correlated predicate (ship > orderdate) becomes a vectorized
+    post-join filter; the priority rollup is a low-cardinality partial
+    aggregate."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    lo = pa.scalar(dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1996, 7, 1), pa.timestamp("us"))
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem"])
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("l_shipdate", "max")])
+        return agg_select(g, {"l_orderkey": "l_orderkey", "l_shipdate_max": "max_ship"})
+
+    def li_final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("l_orderkey", sort=False, as_index=False)
+            .agg(max_ship=("max_ship", "max"))
+        )
+
+    per_order = bucketed_map_groups(
+        li.map_batches(li_partial, batch_format="pyarrow"), ["l_orderkey"], li_final
+    ).repartition(max(4, n_parts))
+
+    j = orders.join(
+        per_order, "inner", n_parts, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+
+    def late_partial(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater(b["max_ship"], b["o_orderdate"]))
+        g = keep.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"o_orderpriority": "o_orderpriority", "count_all": "order_count"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+
+
+Q4_PRIORITY_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_order_distribution(sf_dir: str):
+    """TPC-H-Q13-shaped two-level aggregate: distribution of per-customer
+    order counts (how many customers placed exactly N non-urgent orders),
+    zero-order customers included.
+
+    Scale shape: orders collapse to one (custkey, count) row per key
+    before the left-outer join (aggregate-before-join, as in
+    ``customer_order_counts``); the second-level histogram is another
+    partial aggregate over the count column — tiny by construction."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    n_parts = _join_partitions(sf_dir, ["customer", "orders"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.not_equal(b["o_orderpriority"], "1-URGENT"))
+        g = keep.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return agg_select(g, {"o_custkey": "o_custkey", "count_all": "n"})
+
+    per_cust = bucketed_map_groups(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"],
+        lambda g: g.groupby("o_custkey", sort=False, as_index=False).agg(n=("n", "sum")),
+    ).repartition(max(4, n_parts))
+
+    j = cust.join(
+        per_cust, "left_outer", n_parts, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        c = pc.fill_null(pc.cast(b["n"], pa.int64()), 0)
+        g = pa.table({"c_count": c}).group_by(["c_count"]).aggregate([([], "count_all")])
+        return agg_select(g, {"c_count": "c_count", "count_all": "custdist"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+Q13_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped HAVING filter on a high-cardinality aggregate:
+    orders whose total quantity exceeds 250, joined back to orders and
+    customer for the report columns.
+
+    Scale shape: the HAVING threshold is applied inside the coarse-bucket
+    final combine, so only qualifying orderkeys (a tiny fraction) enter
+    the two report joins; l_quantity is integral so the double sum is
+    exact under any combine order."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return agg_select(g, {"l_orderkey": "l_orderkey", "l_quantity_sum": "sum_qty"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_orderkey", sort=False, as_index=False).agg(
+            sum_qty=("sum_qty", "sum")
+        )
+        return out[out["sum_qty"] > 250.0]
+
+    big = bucketed_map_groups(
+        li.map_batches(partial, batch_format="pyarrow"), ["l_orderkey"], final
+    ).repartition(max(4, n_parts))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    j = big.join(orders, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["c_name", "l_orderkey", "o_totalprice", "sum_qty"])
+
+
+Q18_LARGE_ORDERS_SQL = """
+SELECT c_name, l_orderkey, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by the ISO week of their
+    FIRST event; for each (cohort_week, weeks_since_cohort) the count of
+    distinct active users.
+
+    Scale shape: ONE user-key bucket shuffle — each bucket derives every
+    user's cohort (min event week) and its distinct (cohort, age) pairs
+    vectorized; because a user lives entirely in one bucket, the partial
+    distinct-user counts are disjoint and a tiny Sum finishes the matrix
+    (no count-distinct shuffle, no join back to the corpus)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"]
+        # Monday-start week truncation, mirroring date_trunc('week', ts)
+        week = ts.dt.normalize() - pd.to_timedelta(ts.dt.weekday, unit="D")
+        cohort = week.groupby(g["user_id"], sort=False).transform("min")
+        age = ((week - cohort).dt.days // 7).astype(np.int64)
+        d = pd.DataFrame(
+            {"user_id": g["user_id"], "cohort_week": cohort, "age_weeks": age}
+        ).drop_duplicates()
+        out = (
+            d.groupby(["cohort_week", "age_weeks"], sort=False)
+            .agg(active_users=("user_id", "size"))
+            .reset_index()
+        )
+        out["active_users"] = out["active_users"].astype(np.int64)
+        return out
+
+    partial = bucketed_map_groups(ds, ["user_id"], per_bucket)
+
+    from ray.data.aggregate import Sum
+
+    return partial.groupby(["cohort_week", "age_weeks"]).aggregate(
+        Sum("active_users", alias_name="active_users")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       datediff('week', f.cohort_week, date_trunc('week', e.ts)) AS age_weeks,
+       count(DISTINCT e.user_id) AS active_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def value_histogram(sf_dir: str):
+    """Distributed equi-width histogram of ``l_extendedprice`` (width
+    5000): per-bin count plus exact min/max. Map-only partials (floor
+    division + Arrow group_by per batch) and a tiny final combine — the
+    profile-style sketch every ingest pipeline runs before picking codec
+    or partition bounds. Bin edges are IEEE-exact (divide + floor), so
+    the result is bit-identical across engines."""
+    from fhirflat_ray.functions.util import agg_select
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        binv = pc.cast(
+            pc.floor(pc.divide(b["l_extendedprice"], pa.scalar(5000.0))), pa.int64()
+        )
+        t = pa.table({"bin": binv, "price": b["l_extendedprice"]})
+        g = t.group_by(["bin"]).aggregate(
+            [([], "count_all"), ("price", "min"), ("price", "max")]
+        )
+        return agg_select(
+            g,
+            {"bin": "bin", "count_all": "n", "price_min": "lo", "price_max": "hi"},
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+       count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM lineitem GROUP BY bin
+"""
+
+
+#: multi-pattern blocklist as ONE compiled RE2 alternation — the
+#: Aho-Corasick-style corpus filter a training pipeline runs over every
+#: document; both Arrow and DuckDB execute the identical RE2 pattern
+BLOCKLIST_PATTERN = r"\b(spark|slow|error)\b"
+
+
+def blocklist_filter(sf_dir: str):
+    """Corpus blocklist screening: per source, how many documents match a
+    banned-term list. The N-term list compiles to one RE2 alternation
+    evaluated vectorized per batch (map-only; one pass over the text
+    column), with a low-cardinality partial aggregate — no shuffle of
+    text bytes anywhere."""
+    from fhirflat_ray.functions.util import agg_select
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hit = pc.cast(
+            pc.match_substring_regex(b["text"], BLOCKLIST_PATTERN), pa.int64()
+        )
+        t = pa.table({"source": b["source"], "hit": hit})
+        g = t.group_by(["source"]).aggregate([([], "count_all"), ("hit", "sum")])
+        return agg_select(
+            g, {"source": "source", "count_all": "n_docs", "hit_sum": "n_flagged"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_flagged", alias_name="n_flagged"),
+        )
+    )
+
+
+BLOCKLIST_FILTER_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE regexp_matches(text, '{BLOCKLIST_PATTERN}')) AS BIGINT) AS n_flagged
+FROM documents GROUP BY source
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -3942,6 +4269,12 @@ QUERIES = {
     "alternation_audit": alternation_audit,
     "sft_pack_examples": sft_pack_examples,
     "tool_transitions": tool_transitions,
+    "q4_priority_exists": q4_priority_exists,
+    "q13_order_distribution": q13_order_distribution,
+    "q18_large_orders": q18_large_orders,
+    "retention_cohorts": retention_cohorts,
+    "value_histogram": value_histogram,
+    "blocklist_filter": blocklist_filter,
 }
 
 ORACLE_SQL = {
@@ -4039,6 +4372,12 @@ ORACLE_SQL = {
     "alternation_audit": ALTERNATION_AUDIT_SQL,
     "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
     "tool_transitions": TOOL_TRANSITIONS_SQL,
+    "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
+    "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
+    "q18_large_orders": Q18_LARGE_ORDERS_SQL,
+    "retention_cohorts": RETENTION_COHORTS_SQL,
+    "value_histogram": VALUE_HISTOGRAM_SQL,
+    "blocklist_filter": BLOCKLIST_FILTER_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
