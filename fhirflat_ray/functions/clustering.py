@@ -1,0 +1,144 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+Scale shape: every corpus pass is MAP-ONLY — centroids are broadcast once
+per iteration (``ray.put``: K x dim floats, constant-size state) and each
+batch computes its assignments against the zero-copy (n, dim) float block
+in one vectorized distance evaluation. The only data that ever leaves a
+map task is K rows of per-cluster partial sums (count + sum-vector), so
+the per-iteration "shuffle" is K x num_batches tiny rows folded on the
+driver — no all-to-all of the corpus, ever. This is the canonical
+Ray-Data-first iterative-ML shape: broadcast model state down, fold
+constant-size partials up.
+
+The reference has no clustering; this extends the training-data operator
+surface (embedding bucketing for dedup/curation). Deterministic by
+construction: init = the K vectors with the smallest ids, distance
+evaluated as the same elementwise (x - c)^2 sum the SQL oracle's
+``list_distance`` computes, ties broken toward the smallest cluster id
+(argmin takes the first minimum).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["kmeans_fit_assign"]
+
+
+def _matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    # elementwise (x - c)^2, NOT the |x|^2 - 2xc + |c|^2 expansion: the
+    # expansion rounds differently and can flip near-tie assignments vs
+    # the SQL oracle's list_distance
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1).astype(np.int64)
+
+
+def kmeans_fit_assign(
+    ds,
+    k: int = 4,
+    iters: int = 3,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Run ``iters`` Lloyd iterations; return a per-cluster summary Dataset
+    with columns (cluster_id, n_members, id_sum) — integer outputs, so the
+    result is hash-comparable across engines with no float tolerance."""
+    import ray
+
+    from fhirflat_ray.functions.util import (
+        collect_small_table,
+        streaming_topk,
+        worker_cached_stage,
+    )
+
+    vecs = ds.select_columns([id_column, vec_column])
+
+    # deterministic init: the K vectors with the smallest ids (streaming
+    # per-block top-k — no global sort; returns a driver-side Arrow table)
+    seed_t = streaming_topk(vecs, [id_column], k)
+    cent = _matrix(seed_t.sort_by(id_column)[vec_column])
+
+    class PartialSums:
+        """One (cl, n, sum-vector) row per cluster per batch."""
+
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch[vec_column])
+            cl = _assign(mat, self.cent)
+            kk, dim = self.cent.shape
+            n = np.bincount(cl, minlength=kk).astype(np.int64)
+            s = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(s, cl, mat)
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(kk), pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                    "s": pa.FixedSizeListArray.from_arrays(
+                        pa.array(s.reshape(-1), pa.float64()), dim
+                    ),
+                }
+            )
+
+    for _ in range(iters - 1):
+        ref = ray.put(cent)
+        parts = collect_small_table(
+            vecs.map_batches(
+                worker_cached_stage(PartialSums, ref=ref), batch_format="pyarrow"
+            )
+        )
+        cl = parts["cl"].to_numpy(zero_copy_only=False)
+        n = parts["n"].to_numpy(zero_copy_only=False)
+        s = _matrix(parts["s"])
+        kk, dim = cent.shape
+        tot_n = np.zeros(kk, dtype=np.int64)
+        tot_s = np.zeros((kk, dim), dtype=np.float64)
+        np.add.at(tot_n, cl, n)
+        np.add.at(tot_s, cl, s)
+        nonzero = tot_n > 0
+        cent = cent.copy()
+        cent[nonzero] = tot_s[nonzero] / tot_n[nonzero, None]
+
+    class FinalSummary:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch[vec_column])
+            cl = _assign(mat, self.cent)
+            ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = self.cent.shape[0]
+            n = np.bincount(cl, minlength=kk).astype(np.int64)
+            id_sum = np.zeros(kk, dtype=np.int64)
+            np.add.at(id_sum, cl, ids)
+            keep = n > 0
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(kk)[keep], pa.int64()),
+                    "n_members": pa.array(n[keep], pa.int64()),
+                    "id_sum": pa.array(id_sum[keep], pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(cent)
+    return (
+        vecs.map_batches(
+            worker_cached_stage(FinalSummary, ref=ref), batch_format="pyarrow"
+        )
+        .groupby("cluster_id")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("id_sum", alias_name="id_sum"),
+        )
+    )

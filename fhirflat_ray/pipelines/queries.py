@@ -4164,6 +4164,178 @@ FROM documents GROUP BY source
 
 
 # =====================================================================
+# Wave 8: iterative / numerical operators (per-dimension profile,
+# distributed k-means, distributed PageRank)
+# =====================================================================
+
+
+def embed_dim_stats(sf_dir: str):
+    """Per-dimension mean/variance profile of the embedding table — the
+    normalization-statistics pass a training pipeline runs before
+    whitening or quantizing vectors.
+
+    Map-only: each batch reduces its zero-copy (n, dim) float block to
+    ``dim`` partial rows (n, sum, sum-of-squares); a tiny Sum combine
+    finishes. No shuffle of vector data anywhere."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), -1)
+        dim = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1), pa.int64()),
+                "cnt": pa.array(np.full(dim, mat.shape[0]), pa.int64()),
+                "s": pa.array(mat.sum(axis=0), pa.float64()),
+                "ss": pa.array((mat * mat).sum(axis=0), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False)
+        ss = b["ss"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table(
+            {
+                "dim": b["dim"],
+                "mean_v": pa.array(np.round(mean, 6), pa.float64()),
+                "var_v": pa.array(np.round(var, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EMBED_DIM_STATS_SQL = """
+SELECT i AS dim, round(avg(v), 6) AS mean_v, round(var_pop(v), 6) AS var_v
+FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY i
+"""
+
+
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (k=4, 3 iterations) over the embedding
+    table: broadcast centroids down, fold K-row partial sums up — every
+    corpus pass map-only (``functions/clustering.py``). Output is the
+    integer per-cluster summary (size + id checksum), fully
+    hash-comparable against the unrolled-CTE SQL oracle."""
+    from fhirflat_ray.functions.clustering import kmeans_fit_assign
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_fit_assign(ds, k=4, iters=3)
+
+
+def _kmeans_sql(k: int = 4) -> str:
+    def assign_cte(prev_cent: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cluster_id FROM {prev_cent} c
+          ORDER BY list_distance(e.embedding, c.c), c.cluster_id LIMIT 1) AS cl
+  FROM embeddings e)"""
+
+    def cent_cte(assign: str, name: str) -> str:
+        return f"""{name}_d AS (
+  SELECT cl, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM {assign}),
+{name} AS (
+  SELECT cl AS cluster_id, list(avg_v ORDER BY i) AS c FROM (
+    SELECT cl, i, avg(v) AS avg_v FROM {name}_d GROUP BY cl, i) GROUP BY cl)"""
+
+    return f"""WITH c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+         embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})),
+{assign_cte('c0', 'a1')},
+{cent_cte('a1', 'c1')},
+{assign_cte('c1', 'a2')},
+{cent_cte('a2', 'c2')},
+{assign_cte('c2', 'a3')}
+SELECT cl AS cluster_id, count(*) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a3 GROUP BY cl"""
+
+
+KMEANS_EMBEDDINGS_SQL = _kmeans_sql(4)
+
+#: node-id offset separating part nodes from supplier nodes in the
+#: lineitem co-occurrence graph (shared with the SQL oracle)
+PAGERANK_SUPP_OFFSET = 10_000_000
+
+
+def pagerank_partsupp(sf_dir: str):
+    """Distributed PageRank (3 iterations, d=0.85) over the bipartite
+    part↔supplier co-occurrence graph mined from lineitem.
+
+    Scale shape: distinct edge extraction is one narrow shuffle of two
+    int64 columns; each iteration is one distributed hash join + one
+    bucketed combine (``functions/graph.py``) — the rank vector never
+    leaves the cluster. Returns the FULL ranking (node, pr) so the
+    oracle comparison has no top-k tie boundary."""
+    from fhirflat_ray.functions.graph import pagerank
+    from fhirflat_ray.functions.util import distinct_rows
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_edge(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": b["l_partkey"],
+                "v": pc.add(
+                    b["l_suppkey"], pa.scalar(PAGERANK_SUPP_OFFSET, pa.int64())
+                ),
+            }
+        )
+
+    edges = distinct_rows(li.map_batches(to_edge, batch_format="pyarrow"), ["u", "v"])
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    return pagerank(edges, iters=3, damping=0.85, num_partitions=n_parts)
+
+
+def _pagerank_sql() -> str:
+    d, off = 0.85, PAGERANK_SUPP_OFFSET
+
+    def iter_cte(prev: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT b.v AS node,
+         (1 - {d}) / (SELECT cnt FROM n) + {d} * sum(p.pr / dg.deg) AS pr
+  FROM bi b JOIN {prev} p ON p.node = b.u JOIN deg dg ON dg.node = b.u
+  GROUP BY b.v)"""
+
+    return f"""WITH edges AS (
+  SELECT DISTINCT l_partkey AS u, {off} + l_suppkey AS v FROM lineitem),
+bi AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT u AS node, CAST(count(*) AS DOUBLE) AS deg FROM bi GROUP BY u),
+n AS (SELECT count(DISTINCT u) AS cnt FROM bi),
+r0 AS (SELECT u AS node, 1.0 / (SELECT cnt FROM n) AS pr
+       FROM (SELECT DISTINCT u FROM bi)),
+{iter_cte('r0', 'r1')},
+{iter_cte('r1', 'r2')},
+{iter_cte('r2', 'r3')}
+SELECT node, round(pr, 9) AS pr FROM r3"""
+
+
+PAGERANK_PARTSUPP_SQL = _pagerank_sql()
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -4275,6 +4447,9 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "value_histogram": value_histogram,
     "blocklist_filter": blocklist_filter,
+    "embed_dim_stats": embed_dim_stats,
+    "kmeans_embeddings": kmeans_embeddings,
+    "pagerank_partsupp": pagerank_partsupp,
 }
 
 ORACLE_SQL = {
@@ -4378,6 +4553,9 @@ ORACLE_SQL = {
     "retention_cohorts": RETENTION_COHORTS_SQL,
     "value_histogram": VALUE_HISTOGRAM_SQL,
     "blocklist_filter": BLOCKLIST_FILTER_SQL,
+    "embed_dim_stats": EMBED_DIM_STATS_SQL,
+    "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -1,0 +1,119 @@
+"""Unit tests for the iterative operators (k-means, PageRank)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _vec_ds(mat: np.ndarray):
+    import ray.data as rd
+
+    n, dim = mat.shape
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float64()), dim
+            ),
+        }
+    )
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_kmeans_planted_clusters(ray_session):
+    """Three tight planted blobs must resolve to three clusters holding
+    exactly their members (k=3, well-separated centers)."""
+    from fhirflat_ray.functions.clustering import kmeans_fit_assign
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    # interleave blob membership (point i belongs to blob i%3) so the
+    # id-ordered init seeds one centroid inside each blob
+    mat = np.empty((150, 2))
+    for b, c in enumerate(centers):
+        mat[b::3] = c + 0.1 * rng.standard_normal((50, 2))
+    out = (
+        kmeans_fit_assign(_vec_ds(mat), k=3, iters=5)
+        .to_pandas()
+        .sort_values("cluster_id")
+    )
+    assert sorted(out["n_members"].tolist()) == [50, 50, 50]
+    blob_sums = {sum(range(b, 150, 3)) for b in range(3)}
+    assert set(out["id_sum"].tolist()) == blob_sums
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
+    """If every point collapses onto two seeds, the starved cluster keeps
+    its previous centroid instead of dividing by zero."""
+    from fhirflat_ray.functions.clustering import kmeans_fit_assign
+
+    # seeds are ids 0,1,2; all later points sit exactly on seed 0 or 1,
+    # and seed 2's point itself moves into blob 1's basin after round 1
+    mat = np.array(
+        [[0.0, 0.0], [10.0, 0.0], [9.0, 0.0]] + [[0.0, 0.0]] * 20 + [[10.0, 0.0]] * 20
+    )
+    out = kmeans_fit_assign(_vec_ds(mat), k=3, iters=4).to_pandas()
+    # no NaN blowup: total membership conserved
+    assert out["n_members"].sum() == len(mat)
+
+
+def test_pagerank_path_graph_analytic(ray_session):
+    """PageRank on the 3-node path a-b-c (undirected): b has twice the
+    degree; symmetric ends must tie exactly, and the distribution sums
+    to 1 (teleport + conserved mass)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import pagerank
+
+    edges = rd.from_arrow(
+        pa.table({"u": pa.array([1, 2], pa.int64()), "v": pa.array([2, 3], pa.int64())})
+    )
+    out = pagerank(edges, iters=10, num_partitions=4).to_pandas()
+    pr = dict(zip(out["node"], out["pr"]))
+    assert pr[1] == pr[3]
+    assert pr[2] > pr[1]
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed PageRank equals the dense matrix-power reference on a
+    random graph (same teleport/damping/iterations)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    n = 40
+    u = rng.integers(0, n, 150)
+    v = rng.integers(0, n, 150)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+    edges = rd.from_arrow(
+        pa.table(
+            {"u": pa.array(pairs[:, 0], pa.int64()), "v": pa.array(pairs[:, 1], pa.int64())}
+        )
+    ).repartition(4)
+
+    out = pagerank(edges, iters=4, num_partitions=4).to_pandas()
+
+    # dense reference over the mirrored graph
+    bu = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    bv = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    nodes = np.unique(bu)
+    idx = {int(x): i for i, x in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    np.add.at(deg, [idx[int(x)] for x in bu], 1.0)
+    pr = np.full(N, 1.0 / N)
+    for _ in range(4):
+        s = np.zeros(N)
+        contrib = pr[[idx[int(x)] for x in bu]] / deg[[idx[int(x)] for x in bu]]
+        np.add.at(s, [idx[int(x)] for x in bv], contrib)
+        pr = 0.15 / N + 0.85 * s
+
+    got = dict(zip(out["node"], out["pr"]))
+    for x, i in idx.items():
+        assert got[x] == pytest.approx(pr[i], abs=1e-9)
