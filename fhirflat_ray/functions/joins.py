@@ -342,3 +342,250 @@ def broadcast_range_join(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- bloom semi join
+
+#: distinct odd multipliers for the bloom probe family (splitmix-style
+#: mixing, signed-int64 arithmetic only — unsigned numpy ops are
+#: pathologically slow on some hosts)
+_BLOOM_SALTS = (
+    -7046029254386353131,
+    -4417276706812531889,
+    2545012342345697057,
+    6238072747940578789,
+)
+
+
+def _bloom_positions(vals: np.ndarray, n_bits: int, k: int) -> list[np.ndarray]:
+    """k independent bit positions per value (n_bits must be a power of 2)."""
+    mask = np.int64(n_bits - 1)
+    x = vals.astype(np.int64)
+    out = []
+    with np.errstate(over="ignore"):
+        for salt in _BLOOM_SALTS[:k]:
+            h = x * np.int64(salt)
+            h ^= h >> np.int64(29)
+            h *= np.int64(-49064778989728563)
+            h ^= h >> np.int64(32)
+            out.append((h & mask).astype(np.int64))
+    return out
+
+
+def bloom_semi_join(
+    ds,
+    keys_ds,
+    on: str,
+    right_on: str,
+    n_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    num_partitions: int = 16,
+):
+    """Semi join of a LARGE corpus against a LARGE key set via a Bloom
+    pre-filter: keep rows of ``ds`` whose ``on`` appears in
+    ``keys_ds[right_on]``.
+
+    Scale shape: the key set folds to a CONSTANT-size bitmap (one packed
+    per-batch partial bitmap per map task, OR-merged — here on the driver;
+    on a real cluster the OR is an associative tree reduce), which ships
+    once via ``ray.put``. The corpus pass is then MAP-ONLY: rows failing
+    any probe bit are definite non-members and drop immediately, so the
+    exact-verification hash join (Bloom false positives only) exchanges
+    just the surviving candidates + the distinct keys — never the corpus.
+    This is the semi-join analogue of the segment-level bloom pushdown in
+    ``state/segments.py``. Integer keys only (int64-safe mixing shared
+    with the probe stage)."""
+    import ray
+
+    from fhirflat_ray.functions.util import distinct_rows
+
+    assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of 2"
+    assert 1 <= k_hashes <= len(_BLOOM_SALTS)
+
+    def to_bitmap(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        vals = batch[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        for pos in _bloom_positions(vals, n_bits, k_hashes):
+            byte = (pos >> 3).astype(np.int64)
+            np.bitwise_or.at(bits, byte, np.left_shift(1, (pos & 7)).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bits.tobytes()], pa.binary())})
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    parts = collect_small_table(keys_ds.map_batches(to_bitmap, batch_format="pyarrow"))
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    for buf in parts["bitmap"].to_pylist():
+        bitmap |= np.frombuffer(buf, dtype=np.uint8)
+    ref = ray.put(bitmap)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        vals = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.ones(len(vals), dtype=bool)
+        for pos in _bloom_positions(vals, n_bits, k_hashes):
+            keep &= (bm[(pos >> 3)] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return batch.filter(pa.array(keep))
+
+    candidates = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    # exact verification: false positives drop in a distributed hash join
+    # over the (small) candidate set and the pre-deduped key set
+    keys = distinct_rows(keys_ds.select_columns([right_on]), [right_on])
+    key_field = next(f for f in _dataset_fields(keys_ds) if f.name == right_on)
+    target = pa.schema([key_field])
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or right_on not in batch.column_names:
+            return target.empty_table()
+        return pa.table({right_on: batch[right_on].cast(key_field.type)})
+
+    keys = keys.map_batches(coerce, batch_format="pyarrow").repartition(
+        max(2, num_partitions // 2)
+    )
+    joined = candidates.join(
+        keys, "inner", num_partitions, on=(on,), right_on=(right_on,)
+    )
+    drop = [right_on] if right_on != on else []
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([c for c in drop if c in batch.column_names])
+
+    return joined.map_batches(clean, batch_format="pyarrow")
+
+
+# ------------------------------------------------- bucketed range join
+
+
+def bucketed_range_join(
+    ds,
+    intervals_ds,
+    ts_col: str,
+    bucket_width_us: int,
+    interval_id_col: str = "interval_id",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    n_buckets_cap: int = 1 << 20,
+    chunk_rows: int = 4096,
+):
+    """Interval (range) join for TWO LARGE SIDES: emit one row per
+    (event, interval) pair with ``start <= ts < end``, co-partitioning
+    both sides on a TIME bucket (``us // bucket_width_us``) instead of
+    broadcasting the interval table (:func:`broadcast_range_join`'s cap).
+
+    Scale shape: events take one narrow shuffle on their own time bucket;
+    each interval replicates only to the buckets its span covers (fan-out
+    = span / bucket_width — pick the width near the typical interval
+    length so replication stays O(1) per interval). Every pair meets in
+    exactly one bucket (the event's), so no post-dedup is needed. The
+    per-bucket kernel is a chunked vectorized mask (chunk_rows x
+    intervals-in-bucket boolean block), never a Python loop over rows.
+
+    Partitioning assumption: one time bucket's events + overlapping
+    intervals fit in a worker — the same assumption any time-sliced join
+    makes; widen or narrow ``bucket_width_us`` to rebalance."""
+    import pandas as pd
+
+    ev_fields = _dataset_fields(ds)
+    ev_names = [f.name for f in ev_fields]
+    id_field = next(
+        f for f in _dataset_fields(intervals_ds) if f.name == interval_id_col
+    )
+    union_fields = (
+        [pa.field("__bucket", pa.int64()), pa.field("__side", pa.int8())]
+        + ev_fields
+        + [id_field, pa.field("__start", pa.int64()), pa.field("__end", pa.int64())]
+    )
+    union_schema = pa.schema(union_fields)
+    w = np.int64(bucket_width_us)
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        ts_us = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "__bucket": pa.array(ts_us // w, pa.int64()),
+            "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        }
+        for f in union_fields[2:]:
+            if f.name in ev_names:
+                cols[f.name] = batch[f.name].cast(f.type) if f.name != ts_col else batch[f.name]
+            else:
+                cols[f.name] = pa.nulls(batch.num_rows, f.type)
+        return pa.table(cols, schema=union_schema)
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        start = batch[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        end = batch[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        first = start // w
+        last = np.maximum(first, (end - 1) // w)
+        counts = (last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        if total > n_buckets_cap * 64:
+            raise ValueError(
+                "bucketed_range_join: interval replication blow-up "
+                f"({total} tagged rows from {len(start)} intervals); "
+                "increase bucket_width_us"
+            )
+        row_idx = np.repeat(np.arange(len(start), dtype=np.int64), counts)
+        # within-interval bucket ordinal: arange per group via cumsum reset
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        bucket = first[row_idx] + offs
+        ids = batch[interval_id_col].take(pa.array(row_idx))
+        cols = {
+            "__bucket": pa.array(bucket, pa.int64()),
+            "__side": pa.array(np.ones(total, dtype=np.int8)),
+        }
+        for f in union_fields[2:]:
+            if f.name == interval_id_col:
+                cols[f.name] = ids.cast(f.type)
+            elif f.name == "__start":
+                cols[f.name] = pa.array(start[row_idx], pa.int64())
+            elif f.name == "__end":
+                cols[f.name] = pa.array(end[row_idx], pa.int64())
+            else:
+                cols[f.name] = pa.nulls(total, f.type)
+        return pa.table(cols, schema=union_schema)
+
+    tagged = ds.map_batches(tag_events, batch_format="pyarrow").union(
+        intervals_ds.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(ev_fields + [id_field])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        ev = g[side == 0]
+        iv = g[side == 1]
+        if len(ev) == 0 or len(iv) == 0:
+            return out_schema.empty_table().to_pandas()
+        ts = ev[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts_us = ts.astype(np.int64)
+        starts = iv["__start"].to_numpy().astype(np.int64)
+        ends = iv["__end"].to_numpy().astype(np.int64)
+        ev_take: list[np.ndarray] = []
+        iv_take: list[np.ndarray] = []
+        for lo in range(0, len(ev), chunk_rows):
+            t = ts_us[lo : lo + chunk_rows]
+            m = (t[:, None] >= starts[None, :]) & (t[:, None] < ends[None, :])
+            e_i, i_i = np.nonzero(m)
+            if len(e_i):
+                ev_take.append(e_i + lo)
+                iv_take.append(i_i)
+        if not ev_take:
+            return out_schema.empty_table().to_pandas()
+        e_idx = np.concatenate(ev_take)
+        i_idx = np.concatenate(iv_take)
+        out = ev.iloc[e_idx][ev_names].reset_index(drop=True)
+        # the union carries nulls on the event side, so pandas widened the
+        # id column to float64 — restore the declared arrow type
+        ids = iv.iloc[i_idx][interval_id_col].to_numpy()
+        out[interval_id_col] = ids.astype(id_field.type.to_pandas_dtype())
+        return out
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

@@ -411,3 +411,68 @@ def chunk_documents_batch(
             "chunk_text": text_out,
         }
     )
+
+
+def levenshtein_probe_batch(
+    texts: "pa.Array", probe: str, prefix_chars: int | None = None
+) -> np.ndarray:
+    """Vectorized Levenshtein distance of every text (optionally its first
+    ``prefix_chars`` characters) against ONE probe string.
+
+    The DP runs column-wise across the WHOLE batch at once: for an
+    m-char probe and L-char texts it is m x L numpy ops over (n,) vectors
+    — no Python loop over rows (the fuzzy-match scoring kernel for
+    blocklist/near-miss screening; ASCII-safe, mirroring SQL
+    ``levenshtein`` which counts characters)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts, "")
+    if prefix_chars is not None:
+        t = pc.utf8_slice_codeunits(t, 0, prefix_chars)
+    n = len(t)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    # zero-copy (n, L) byte matrix straight from the Arrow buffers (byte
+    # Levenshtein == char Levenshtein on ASCII, which is the documented
+    # domain); 0-padding never equals a probe char
+    off_buf, data_buf = t.buffers()[1], t.buffers()[2]
+    offsets = np.frombuffer(off_buf, np.int32)[t.offset : t.offset + n + 1].astype(
+        np.int64
+    )
+    data = (
+        np.frombuffer(data_buf, np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = offsets[1:] - offsets[:-1]
+    L = int(lens.max())
+    A = np.zeros((n, L), dtype=np.int32)
+    if L:
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(np.concatenate([[0], lens[:-1]])), lens
+        )
+        A[row, col] = data[offsets[0] : offsets[-1]][
+            np.repeat(offsets[:-1] - offsets[0], lens)
+            + col
+        ]
+    m = len(probe)
+    pcodes = np.frombuffer(probe.encode("latin-1", "replace"), np.uint8).astype(
+        np.int32
+    )
+    # prev[j] = distance(probe[:i], text[:j]) for the whole batch
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub_cost = (A != pcodes[i - 1]).astype(np.int64)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub_cost[:, j - 1],
+            )
+        prev = cur
+    return prev[np.arange(n), lens]

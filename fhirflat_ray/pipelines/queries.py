@@ -4336,6 +4336,229 @@ PAGERANK_PARTSUPP_SQL = _pagerank_sql()
 
 
 # =====================================================================
+# Wave 9: scale-join breadth (bloom semi join, two-large-sides range
+# join), CUBE grouping sets, fuzzy-match scoring
+# =====================================================================
+
+
+def bloom_semi_orders(sf_dir: str):
+    """Bloom-prefiltered semi join: revenue of line items whose order is
+    URGENT-priority, grouped by return flag. The urgent-order key set
+    folds to a constant-size Bloom bitmap (broadcast once); the lineitem
+    pass is map-only with definite non-members dropped before the exact
+    verification join ever sees them — the semi-join shape that avoids
+    shuffling the corpus at 100 TB (``functions/joins.py:bloom_semi_join``)."""
+    from fhirflat_ray.functions.joins import bloom_semi_join
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["orders", "lineitem"])
+    keys = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'"
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    semi = bloom_semi_join(
+        li, keys, on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        # per-ROW integer cents before any summation: prices are 2-decimal,
+        # so rint(x*100) is error-free per row and the int64 sum is exact
+        # under ANY combine order — float sums over 10^5+ rows at 1e10
+        # magnitude can drift past the canonicalizer's rounding across
+        # engines (the customer_order_counts lesson, aggregate-sized)
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)), 0),
+            pa.int64(),
+        )
+        t = pa.table({"l_returnflag": b["l_returnflag"], "cents": cents})
+        g = t.group_by(["l_returnflag"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return agg_select(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "cents_sum": "rev_cents",
+                "count_all": "n",
+            },
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        semi.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Sum("n", alias_name="n"))
+    )
+
+
+BLOOM_SEMI_ORDERS_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+       count(*) AS n
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+def range_join_bucketed(sf_dir: str):
+    """Same interval-overlap aggregate as ``range_join_agg`` but through
+    the TWO-LARGE-SIDES path: both events and intervals co-partition on a
+    time bucket (one narrow shuffle each; each interval replicates only to
+    the ~3 buckets its span covers) and match per bucket with a chunked
+    vectorized mask — no broadcast, no interval cap
+    (``functions/joins.py:bucketed_range_join``). Same SQL oracle as the
+    broadcast path, so the two implementations also check each other."""
+    from fhirflat_ray.functions.joins import bucketed_range_join
+    from fhirflat_ray.functions.util import agg_select
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    tmin = int(pd.Timestamp(mm["min(ts)"]).value // 1000)
+    tmax = int(pd.Timestamp(mm["max(ts)"]).value // 1000)
+    width = (tmax - tmin) // 25
+    starts = np.array([tmin + i * width for i in range(25)], dtype=np.int64)
+    import ray.data as rd
+
+    iv = rd.from_arrow(
+        pa.table(
+            {
+                "interval_id": pa.array(np.arange(25, dtype=np.int64)),
+                "start_us": pa.array(starts),
+                "end_us": pa.array(starts + (3 * width) // 2),
+            }
+        )
+    )
+    joined = bucketed_range_join(ds, iv, "ts", bucket_width_us=max(1, width // 2))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["interval_id", "value"]).group_by(["interval_id"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        )
+        return agg_select(
+            g,
+            {
+                "interval_id": "interval_id",
+                "value_sum": "sum_value",
+                "count_all": "n_events",
+            },
+        )
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("interval_id")
+        .aggregate(
+            Sum("sum_value", alias_name="sum_value"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("sum_value"),
+            "sum_value",
+            pc.round(b["sum_value"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_cube(sf_dir: str):
+    """CUBE grouping sets: revenue at (flag, status), per-flag, per-status
+    and grand-total levels. Like ``revenue_rollup``, the corpus is scanned
+    ONCE (distributed partial+final aggregate, 6 base groups); all four
+    cube levels derive from that tiny result on the driver — grouping-set
+    breadth costs zero extra shuffles."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "rev": rev,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("rev", "sum")])
+        )
+        return agg_select(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "l_linestatus": "l_linestatus",
+                "rev_sum": "rev",
+            },
+        )
+
+    base = collect_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    ).to_pandas()
+
+    by_flag = (
+        base.groupby("l_returnflag", as_index=False)["rev"].sum().assign(l_linestatus=None)
+    )
+    by_status = (
+        base.groupby("l_linestatus", as_index=False)["rev"].sum().assign(l_returnflag=None)
+    )
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "rev": [base["rev"].sum()]}
+    )
+    out = pd.concat([base, by_flag, by_status, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "rev"]
+    ]
+    out["rev"] = out["rev"].round(2)
+    return out
+
+
+REVENUE_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+#: fixed fuzzy-match probe shared with the SQL oracle
+EDIT_PROBE = "the table scan fast row"
+
+
+def edit_distance_probe(sf_dir: str):
+    """Fuzzy-match scoring: Levenshtein distance of every document's
+    32-char prefix against a fixed probe phrase — map-only, the DP fully
+    vectorized across the batch (``functions/text.py:
+    levenshtein_probe_batch``); the near-miss screen used alongside exact
+    blocklists."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        from fhirflat_ray.functions.text import levenshtein_probe_batch
+
+        d = levenshtein_probe_batch(b["text"], EDIT_PROBE, prefix_chars=32)
+        return pa.table({"doc_id": b["doc_id"], "lev": pa.array(d, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+EDIT_DISTANCE_PROBE_SQL = f"""
+SELECT doc_id, levenshtein(substr(text, 1, 32), '{EDIT_PROBE}') AS lev
+FROM documents
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -4450,6 +4673,10 @@ QUERIES = {
     "embed_dim_stats": embed_dim_stats,
     "kmeans_embeddings": kmeans_embeddings,
     "pagerank_partsupp": pagerank_partsupp,
+    "bloom_semi_orders": bloom_semi_orders,
+    "range_join_bucketed": range_join_bucketed,
+    "revenue_cube": revenue_cube,
+    "edit_distance_probe": edit_distance_probe,
 }
 
 ORACLE_SQL = {
@@ -4556,6 +4783,10 @@ ORACLE_SQL = {
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
+    "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,
+    "range_join_bucketed": RANGE_JOIN_AGG_SQL,
+    "revenue_cube": REVENUE_CUBE_SQL,
+    "edit_distance_probe": EDIT_DISTANCE_PROBE_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }

@@ -270,3 +270,80 @@ def test_cms_estimate_accuracy_and_merge_invariance(ray_session):
     for d in range(CMS_D):
         b = cms_buckets(big, d)
         assert ((b >= 0) & (b < CMS_W)).all()
+
+
+def test_bloom_semi_join_exact_vs_reference(ray_session):
+    """Bloom semi join must equal the exact set-membership filter even
+    with a tiny bitmap that guarantees false positives reach the
+    verification join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import bloom_semi_join
+
+    rng = np.random.default_rng(11)
+    corpus_keys = rng.integers(0, 10_000, 5_000)
+    member = rng.choice(np.unique(corpus_keys), 300, replace=False)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(corpus_keys, pa.int64()),
+                "payload": pa.array(np.arange(5_000), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    keys = rd.from_arrow(pa.table({"kk": pa.array(member, pa.int64())})).repartition(3)
+
+    # 256-bit bloom: heavy false-positive rate, so correctness must come
+    # from the exact verification join
+    out = bloom_semi_join(ds, keys, on="k", right_on="kk", n_bits=256, k_hashes=2)
+    got = out.to_pandas().sort_values("payload").reset_index(drop=True)
+    want_mask = np.isin(corpus_keys, member)
+    assert got["payload"].tolist() == np.arange(5_000)[want_mask].tolist()
+    assert set(got.columns) == {"k", "payload"}
+
+
+def test_bucketed_range_join_matches_broadcast(ray_session):
+    """Two-large-sides range join emits exactly the broadcast path's pairs
+    on overlapping intervals that straddle bucket boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import (
+        broadcast_range_join,
+        bucketed_range_join,
+    )
+
+    rng = np.random.default_rng(5)
+    ts = np.sort(rng.integers(0, 100_000, 2_000)).astype(np.int64)
+    ev = pa.table(
+        {"ts": pa.array(ts, pa.int64()), "eid": pa.array(np.arange(2_000), pa.int64())}
+    )
+    starts = np.arange(0, 100_000, 4_000, dtype=np.int64)
+    iv = pa.table(
+        {
+            "interval_id": pa.array(np.arange(len(starts)), pa.int64()),
+            "start_us": pa.array(starts),
+            "end_us": pa.array(starts + 6_000),  # overlaps its successor
+        }
+    )
+    ev_ds = rd.from_arrow(ev).repartition(4)
+
+    want = (
+        broadcast_range_join(ev_ds, iv, "ts")
+        .to_pandas()
+        .sort_values(["eid", "interval_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        bucketed_range_join(
+            ev_ds, rd.from_arrow(iv).repartition(2), "ts", bucket_width_us=3_000
+        )
+        .to_pandas()
+        .sort_values(["eid", "interval_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 2_000  # overlaps fan out
+    assert (got[["eid", "interval_id"]].to_numpy() == want[["eid", "interval_id"]].to_numpy()).all()
