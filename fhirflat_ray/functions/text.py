@@ -413,6 +413,44 @@ def chunk_documents_batch(
     )
 
 
+def _byte_matrix(
+    texts, prefix_chars: int | None, pad_to: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n, L) zero-padded byte-code matrix + per-text byte lengths, built
+    zero-copy from the Arrow string buffers (byte == char on ASCII, the
+    documented domain of the Levenshtein kernels)."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    t = pc.fill_null(texts, "")
+    if prefix_chars is not None:
+        t = pc.utf8_slice_codeunits(t, 0, prefix_chars)
+    t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    n = len(t)
+    off_buf, data_buf = t.buffers()[1], t.buffers()[2]
+    offsets = np.frombuffer(off_buf, np.int32)[t.offset : t.offset + n + 1].astype(
+        np.int64
+    )
+    data = (
+        np.frombuffer(data_buf, np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = offsets[1:] - offsets[:-1]
+    L = pad_to if pad_to is not None else (int(lens.max()) if n else 0)
+    A = np.zeros((n, L), dtype=np.int32)
+    if L and n and int(lens.sum()):
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(np.concatenate([[0], lens[:-1]])), lens
+        )
+        A[row, col] = data[offsets[0] : offsets[-1]][
+            np.repeat(offsets[:-1] - offsets[0], lens) + col
+        ]
+    return A, lens
+
+
 def levenshtein_probe_batch(
     texts: "pa.Array", probe: str, prefix_chars: int | None = None
 ) -> np.ndarray:
@@ -424,41 +462,11 @@ def levenshtein_probe_batch(
     — no Python loop over rows (the fuzzy-match scoring kernel for
     blocklist/near-miss screening; ASCII-safe, mirroring SQL
     ``levenshtein`` which counts characters)."""
-    import pyarrow.compute as pc
-
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    t = pc.fill_null(texts, "")
-    if prefix_chars is not None:
-        t = pc.utf8_slice_codeunits(t, 0, prefix_chars)
-    n = len(t)
+    n = len(texts)
     if n == 0:
         return np.array([], dtype=np.int64)
-    t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
-    # zero-copy (n, L) byte matrix straight from the Arrow buffers (byte
-    # Levenshtein == char Levenshtein on ASCII, which is the documented
-    # domain); 0-padding never equals a probe char
-    off_buf, data_buf = t.buffers()[1], t.buffers()[2]
-    offsets = np.frombuffer(off_buf, np.int32)[t.offset : t.offset + n + 1].astype(
-        np.int64
-    )
-    data = (
-        np.frombuffer(data_buf, np.uint8)
-        if data_buf is not None
-        else np.zeros(0, np.uint8)
-    )
-    lens = offsets[1:] - offsets[:-1]
-    L = int(lens.max())
-    A = np.zeros((n, L), dtype=np.int32)
-    if L:
-        row = np.repeat(np.arange(n, dtype=np.int64), lens)
-        col = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(np.concatenate([[0], lens[:-1]])), lens
-        )
-        A[row, col] = data[offsets[0] : offsets[-1]][
-            np.repeat(offsets[:-1] - offsets[0], lens)
-            + col
-        ]
+    A, lens = _byte_matrix(texts, prefix_chars)
+    L = A.shape[1]
     m = len(probe)
     pcodes = np.frombuffer(probe.encode("latin-1", "replace"), np.uint8).astype(
         np.int32
@@ -476,3 +484,40 @@ def levenshtein_probe_batch(
             )
         prev = cur
     return prev[np.arange(n), lens]
+
+
+def levenshtein_pairs_batch(
+    left: "pa.Array", right: "pa.Array", prefix_chars: int | None = None
+) -> np.ndarray:
+    """Vectorized PAIRWISE Levenshtein: distance(left[i], right[i]) for
+    every aligned pair in one batch-wide DP — Lmax x L numpy ops over
+    (n_pairs,) vectors, no Python loop over pairs. The verification
+    kernel for blocked fuzzy joins (ASCII-safe, mirrors SQL
+    ``levenshtein``)."""
+    n = len(left)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    A, lens_l = _byte_matrix(left, prefix_chars)
+    B, lens_r = _byte_matrix(right, prefix_chars, pad_to=None)
+    L = B.shape[1]
+    m = A.shape[1]
+    res = np.zeros(n, dtype=np.int64)
+    rows = np.arange(n)
+    done0 = lens_l == 0
+    res[done0] = lens_r[done0]
+    # prev[p, j] = distance(left[p][:i], right[p][:j])
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub_cost = (B != A[:, i - 1 : i]).astype(np.int64)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + sub_cost[:, j - 1],
+            )
+        hit = lens_l == i
+        if hit.any():
+            res[hit] = cur[rows[hit], lens_r[hit]]
+        prev = cur
+    return res

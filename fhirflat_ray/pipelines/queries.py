@@ -4559,6 +4559,274 @@ FROM documents
 
 
 # =====================================================================
+# Wave 10: blocked fuzzy join, time-series gap fill, SCD2 intervals,
+# histogram-based approximate percentiles
+# =====================================================================
+
+
+def fuzzy_block_join(sf_dir: str):
+    """Blocked fuzzy self-join (record linkage): document pairs in the
+    same (lang, length-bucket) block whose 24-char prefixes are within
+    Levenshtein distance 8.
+
+    Scale shape: blocking bounds the candidate set to within-block pairs
+    (the standard record-linkage trick); ONE narrow shuffle of
+    (block key, doc_id, prefix) co-locates each block, and the verify is
+    the batch-wide pairwise DP (``levenshtein_pairs_batch``) across ALL
+    pairs of the bucket at once — no Python loop over pairs. Oversized
+    blocks raise instead of silently going quadratic."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "cb": pc.divide(b["n_chars"], pa.scalar(16, pa.int64())),
+                "doc_id": b["doc_id"],
+                "prefix": pc.utf8_slice_codeunits(pc.fill_null(b["text"], ""), 0, 24),
+            }
+        )
+
+    MAX_BLOCK = 4096
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        from fhirflat_ray.functions.text import levenshtein_pairs_batch
+
+        g = g.sort_values(["lang", "cb", "doc_id"], kind="mergesort")
+        key = g["lang"].astype(str) + "\x00" + g["cb"].astype(str)
+        _, first, counts = np.unique(key.to_numpy(), return_index=True, return_counts=True)
+        if counts.max(initial=0) > MAX_BLOCK:
+            raise ValueError(
+                f"fuzzy_block_join: block of {counts.max()} docs exceeds "
+                f"{MAX_BLOCK}; narrow the blocking key"
+            )
+        li: list[np.ndarray] = []
+        ri: list[np.ndarray] = []
+        for f, c in zip(first, counts):
+            if c >= 2:
+                a, b_ = np.triu_indices(int(c), k=1)
+                li.append(a + f)
+                ri.append(b_ + f)
+        if not li:
+            return pd.DataFrame(
+                {
+                    "l_doc": pd.Series([], dtype=np.int64),
+                    "r_doc": pd.Series([], dtype=np.int64),
+                    "lev": pd.Series([], dtype=np.int64),
+                }
+            )
+        lidx = np.concatenate(li)
+        ridx = np.concatenate(ri)
+        ids = g["doc_id"].to_numpy()
+        pref = pa.array(g["prefix"].to_numpy(), pa.string())
+        d = levenshtein_pairs_batch(pref.take(pa.array(lidx)), pref.take(pa.array(ridx)))
+        keep = d <= 8
+        return pd.DataFrame(
+            {
+                "l_doc": ids[lidx[keep]],
+                "r_doc": ids[ridx[keep]],
+                "lev": d[keep],
+            }
+        )
+
+    return bucketed_map_groups(
+        ds.map_batches(prep, batch_format="pyarrow"), ["lang", "cb"], per_bucket
+    )
+
+
+FUZZY_BLOCK_JOIN_SQL = """
+SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+       levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS lev
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16 AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+def resample_fill(sf_dir: str):
+    """Time-series resample with gap fill: hourly event counts per type
+    over the full observed range, missing (type, hour) cells filled with
+    0 — the dense-grid input a forecasting/monitoring job needs.
+
+    Scale shape: the heavy pass is the ordinary distributed partial+final
+    count; the dense grid derives from that BOUNDED aggregate on the
+    driver (types x hours — O(result), no corpus rescan or join)."""
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.multiply(
+            pc.divide(b["ts"].cast(pa.int64()), pa.scalar(_HOUR_US, pa.int64())),
+            pa.scalar(_HOUR_US, pa.int64()),
+        )
+        t = pa.table({"event_type": b["event_type"], "h": hour})
+        g = t.group_by(["event_type", "h"]).aggregate([([], "count_all")])
+        return agg_select(g, {"event_type": "event_type", "h": "h", "count_all": "n"})
+
+    agg = collect_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+
+    lo, hi = int(agg["h"].min()), int(agg["h"].max())
+    hours = np.arange(lo, hi + 1, _HOUR_US, dtype=np.int64)
+    types = np.sort(agg["event_type"].unique())
+    grid = pd.DataFrame(
+        {
+            "event_type": np.repeat(types, len(hours)),
+            "h": np.tile(hours, len(types)),
+        }
+    )
+    out = grid.merge(agg, on=["event_type", "h"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["hour_ts"] = pd.to_datetime(out["h"], unit="us")
+    return out[["event_type", "hour_ts", "n"]]
+
+
+RESAMPLE_FILL_SQL = """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(h) AS lo, max(h) AS hi FROM c),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b) g
+)
+SELECT grid.event_type, grid.h AS hour_ts, coalesce(c.n, 0) AS n
+FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.h = grid.h
+"""
+
+
+def scd2_intervals(sf_dir: str):
+    """Slowly-changing-dimension (SCD2) interval derivation: per user, the
+    validity interval of each event-type regime — a new version row opens
+    whenever the type CHANGES (ordered by ts, event_id), closed by the
+    next change (open-ended for the current regime).
+
+    Scale shape: ONE user-key bucket shuffle; inside a bucket the change
+    detection and interval close are two vectorized shifts across ALL
+    users at once (same-user + same-type masks) — the CDC compaction
+    pattern for building dimension tables from event logs."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same_user = np.concatenate([[False], u[1:] == u[:-1]])
+        same_type = np.concatenate([[False], t[1:] == t[:-1]])
+        is_change = ~(same_user & same_type)
+        ch = g[is_change]
+        cu = ch["user_id"].to_numpy()
+        ts = ch["ts"].to_numpy()
+        nxt_same = np.concatenate([cu[1:] == cu[:-1], [False]])
+        valid_to = np.concatenate([ts[1:], [np.datetime64("NaT", "us")]])
+        valid_to[~nxt_same] = np.datetime64("NaT", "us")
+        return pd.DataFrame(
+            {
+                "user_id": cu,
+                "event_type": ch["event_type"].to_numpy(),
+                "valid_from": ts,
+                "valid_to": valid_to,
+            }
+        )
+
+    return bucketed_map_groups(ds, ["user_id"], per_bucket)
+
+
+SCD2_INTERVALS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+FROM ch
+"""
+
+
+def approx_percentile_hist(sf_dir: str):
+    """Histogram-sketch percentiles (p50/p90/p99 of l_extendedprice):
+    the distributed pass is the same map-only equi-width histogram as
+    ``value_histogram``; percentile extraction is integer rank arithmetic
+    over the BOUNDED bin table plus one linear interpolation whose float
+    expression is written identically in the SQL oracle — so even the
+    approximation is hash-checked, the HLL/CMS discipline applied to
+    quantile sketches."""
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        binv = pc.cast(
+            pc.floor(pc.divide(b["l_extendedprice"], pa.scalar(5000.0))), pa.int64()
+        )
+        g = pa.table({"bin": binv}).group_by(["bin"]).aggregate([([], "count_all")])
+        return agg_select(g, {"bin": "bin", "count_all": "n"})
+
+    bins = (
+        collect_small_table(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"))
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    n = bins["n"].to_numpy().astype(np.int64)
+    b = bins["bin"].to_numpy().astype(np.int64)
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    out_rows = []
+    for pct in (50, 90, 99):
+        t = (total * pct + 99) // 100  # 1-based target rank, exact ints
+        i = int(np.searchsorted(cum, t))
+        cum_before = int(cum[i - 1]) if i else 0
+        val = b[i] * 5000.0 + 5000.0 * ((t - cum_before) / n[i])
+        out_rows.append((pct, round(val, 6)))
+    return pd.DataFrame(out_rows, columns=["pct", "approx_value"])
+
+
+APPROX_PERCENTILE_HIST_SQL = """
+WITH h AS (
+  SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin, count(*) AS n
+  FROM lineitem GROUP BY bin
+),
+c AS (
+  SELECT bin, n,
+         sum(n) OVER (ORDER BY bin) AS cum,
+         sum(n) OVER () AS total
+  FROM h
+),
+p AS (SELECT unnest([50, 90, 99]) AS pct)
+SELECT p.pct,
+       round(c.bin * 5000.0 + 5000.0 * (((c.total * p.pct + 99) // 100 - (c.cum - c.n)) * 1.0 / c.n), 6) AS approx_value
+FROM p JOIN c
+  ON c.cum >= (c.total * p.pct + 99) // 100
+ AND (c.cum - c.n) < (c.total * p.pct + 99) // 100
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -4677,6 +4945,10 @@ QUERIES = {
     "range_join_bucketed": range_join_bucketed,
     "revenue_cube": revenue_cube,
     "edit_distance_probe": edit_distance_probe,
+    "fuzzy_block_join": fuzzy_block_join,
+    "resample_fill": resample_fill,
+    "scd2_intervals": scd2_intervals,
+    "approx_percentile_hist": approx_percentile_hist,
 }
 
 ORACLE_SQL = {
@@ -4787,6 +5059,10 @@ ORACLE_SQL = {
     "range_join_bucketed": RANGE_JOIN_AGG_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "edit_distance_probe": EDIT_DISTANCE_PROBE_SQL,
+    "fuzzy_block_join": FUZZY_BLOCK_JOIN_SQL,
+    "resample_fill": RESAMPLE_FILL_SQL,
+    "scd2_intervals": SCD2_INTERVALS_SQL,
+    "approx_percentile_hist": APPROX_PERCENTILE_HIST_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
