@@ -4827,6 +4827,190 @@ FROM p JOIN c
 
 
 # =====================================================================
+# Wave 11: correlated-aggregate join shapes (TPC-H Q17, argmin
+# join-back) + mirrored statistical moments
+# =====================================================================
+
+
+def q17_small_quantity(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-average filter: total revenue of line
+    items whose quantity is below 20% of their part's average quantity.
+
+    Scale shape: the correlated subquery becomes an aggregate-before-join
+    — lineitem collapses to one (partkey, sum, count) row per part before
+    the distributed hash join back to itself; the inequality is a
+    vectorized post-join filter. Integer cents per row keep the final sum
+    exact under any combine order."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["l_partkey"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")]
+        )
+        return agg_select(
+            g, {"l_partkey": "l_partkey", "l_quantity_sum": "s", "count_all": "c"}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_partkey", sort=False, as_index=False).agg(
+            s=("s", "sum"), c=("c", "sum")
+        )
+        # threshold = 0.2 * avg(qty); quantities are integral doubles, so
+        # s is exact and the float expression mirrors the SQL one-to-one
+        out["threshold"] = 0.2 * (out["s"] / out["c"])
+        return out[["l_partkey", "threshold"]]
+
+    per_part = bucketed_map_groups(
+        li.map_batches(partial, batch_format="pyarrow"), ["l_partkey"], final
+    ).repartition(max(4, n_parts))
+
+    j = li.join(per_part, "inner", n_parts, on=("l_partkey",))
+
+    def keep_small(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.less(b["l_quantity"], b["threshold"]))
+        cents = pc.cast(
+            pc.round(pc.multiply(keep["l_extendedprice"], pa.scalar(100.0)), 0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "cents": pa.array(
+                    [int(pc.sum(cents).as_py() or 0)], pa.int64()
+                ),
+                "n": pa.array([keep.num_rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = j.map_batches(keep_small, batch_format="pyarrow").aggregate(
+        Sum("cents", alias_name="rev_cents"), Sum("n", alias_name="n")
+    )
+    return pd.DataFrame(
+        [(int(out["rev_cents"] or 0), int(out["n"] or 0))], columns=["rev_cents", "n"]
+    )
+
+
+Q17_SMALL_QUANTITY_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
+       count(*) AS n
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def part_min_supplier(sf_dir: str):
+    """Argmin join-back (TPC-H-Q2 shape): for every part, the supplier
+    offering its MINIMUM extended price (ties toward the smallest
+    suppkey).
+
+    Scale shape: a pure per-key argmin — one narrow bucket shuffle of
+    (partkey, price, suppkey) with a per-batch argmin PRE-REDUCE (one
+    candidate row per in-batch part), so the exchange carries one row per
+    (batch, part), never raw line items; no join is needed at all because
+    the argmin carries its witness columns along."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+
+    def local_argmin(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+                "price": b["l_extendedprice"].to_numpy(zero_copy_only=False),
+                "l_suppkey": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df = df.sort_values(
+            ["l_partkey", "price", "l_suppkey"], kind="mergesort"
+        ).drop_duplicates("l_partkey")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "price", "l_suppkey"], kind="mergesort")
+        return g.drop_duplicates("l_partkey")[["l_partkey", "l_suppkey", "price"]]
+
+    return bucketed_map_groups(
+        li.map_batches(local_argmin, batch_format="pyarrow"), ["l_partkey"], final
+    )
+
+
+PART_MIN_SUPPLIER_SQL = """
+SELECT l_partkey, l_suppkey, l_extendedprice AS price
+FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey
+) = 1
+"""
+
+
+def qty_price_corr(sf_dir: str):
+    """Pearson correlation of (l_quantity, l_extendedprice) as a
+    distributed moment aggregate: each batch folds to ONE row of raw
+    moments (n, sx, sy, sxx, syy, sxy); the closed-form correlation is
+    written with the IDENTICAL expression in the SQL oracle, so even this
+    float statistic is hash-checked (6dp)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["l_quantity"].to_numpy(zero_copy_only=False)
+        y = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([x.sum()], pa.float64()),
+                "sy": pa.array([y.sum()], pa.float64()),
+                "sxx": pa.array([(x * x).sum()], pa.float64()),
+                "syy": pa.array([(y * y).sum()], pa.float64()),
+                "sxy": pa.array([(x * y).sum()], pa.float64()),
+            }
+        )
+
+    m = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    n = float(m["n"])
+    cov = m["sxy"] / n - (m["sx"] / n) * (m["sy"] / n)
+    vx = m["sxx"] / n - (m["sx"] / n) * (m["sx"] / n)
+    vy = m["syy"] / n - (m["sy"] / n) * (m["sy"] / n)
+    corr = cov / ((vx**0.5) * (vy**0.5))
+    return pd.DataFrame([(round(corr, 6),)], columns=["corr_qty_price"])
+
+
+QTY_PRICE_CORR_SQL = """
+WITH m AS (
+  SELECT count(*) AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem
+)
+SELECT round(
+  (sxy / n - (sx / n) * (sy / n)) /
+  (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))),
+  6) AS corr_qty_price
+FROM m
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -4949,6 +5133,9 @@ QUERIES = {
     "resample_fill": resample_fill,
     "scd2_intervals": scd2_intervals,
     "approx_percentile_hist": approx_percentile_hist,
+    "q17_small_quantity": q17_small_quantity,
+    "part_min_supplier": part_min_supplier,
+    "qty_price_corr": qty_price_corr,
 }
 
 ORACLE_SQL = {
@@ -5063,6 +5250,9 @@ ORACLE_SQL = {
     "resample_fill": RESAMPLE_FILL_SQL,
     "scd2_intervals": SCD2_INTERVALS_SQL,
     "approx_percentile_hist": APPROX_PERCENTILE_HIST_SQL,
+    "q17_small_quantity": Q17_SMALL_QUANTITY_SQL,
+    "part_min_supplier": PART_MIN_SUPPLIER_SQL,
+    "qty_price_corr": QTY_PRICE_CORR_SQL,
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
