@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "sft_pack_examples",
     "merge_events",
     "chunk_docs",
+    "bloom_semi_orders",
+    "fuzzy_block_join",
+    "pagerank_partsupp",
 ]
 
 

@@ -240,3 +240,70 @@ SELECT q.{query_col}, CAST(LEAST({least}) AS BIGINT) AS est_count
 FROM q
 {joins}
 """
+
+
+# ------------------------------------------------- grouped HyperLogLog
+
+
+def hll_grouped_register_table(ds, group_col: str, column: str):
+    """Per-group (g, reg, mx) register partials — the grouped extension of
+    :func:`hll_register_table`; each batch still reduces to at most
+    ``M x groups-in-batch`` rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[column].to_numpy(zero_copy_only=False)
+        h = hll_mix(np.asarray(ids, dtype=np.int64))
+        reg = h >> REST_BITS
+        rest = h & REST_MASK
+        bl = np.searchsorted(_POW2, rest, side="right")
+        rho = (MAX_RHO - bl).astype(np.int64)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "reg": reg, "mx": rho})
+        out = df.groupby(["g", "reg"], sort=False)["mx"].max().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def hll_grouped_estimate(ds, group_col: str, column: str) -> "pd.DataFrame":
+    """Per-group approximate distinct counts (bounded driver state:
+    groups x M register maxima). Returns (g, approx_distinct) with the
+    same deterministic estimator as :func:`hll_estimate`, rounded to 3
+    decimals to match the SQL mirror."""
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(hll_grouped_register_table(ds, group_col, column))
+    df = t.to_pandas()
+    merged = df.groupby(["g", "reg"], sort=False)["mx"].max().reset_index()
+    rows = []
+    for g, sub in merged.groupby("g", sort=False):
+        regs = np.zeros(M, dtype=np.int64)
+        regs[sub["reg"].to_numpy()] = sub["mx"].to_numpy()
+        rows.append((g, round(_estimate_from_registers(regs), 3)))
+    return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])
+
+
+def hll_grouped_estimate_sql(group_expr: str, column_expr: str, table: str) -> str:
+    """The grouped sketch as ANSI SQL — identical hash/mix/register/
+    estimator math as :func:`hll_estimate_sql`, with the group key carried
+    through every CTE."""
+    h = hash32_sql(column_expr)
+    rest = f"(h % {REST_MASK + 1})"
+    return f"""
+WITH h0 AS (SELECT {group_expr} AS g, {h} AS h FROM {table}),
+h1 AS (SELECT g, ((xor(h, h >> 16) % {1 << 31}) * {_MIX1}) % {1 << 32} AS h FROM h0),
+h2 AS (SELECT g, ((xor(h, h >> 13) % {1 << 31}) * {_MIX2}) % {1 << 32} AS h FROM h1),
+hm AS (SELECT g, xor(h, h >> 16) AS h FROM h2),
+regs AS (SELECT g, h // {REST_MASK + 1} AS reg,
+                MAX(CASE WHEN {rest} = 0 THEN {MAX_RHO}
+                         ELSE {MAX_RHO} - length(printf('%b', {rest})) END) AS mx
+         FROM hm GROUP BY g, reg),
+s AS (SELECT g, sum(pow(2.0, -mx)) + ({M} - count(*)) AS sm,
+             {M} - count(*) AS v
+      FROM regs GROUP BY g),
+e AS (SELECT g, CAST({ALPHA!r} AS DOUBLE) * {M} * {M} / sm AS raw, v FROM s)
+SELECT g, round(CASE WHEN raw <= 2.5 * {M} AND v > 0
+                     THEN {M} * ln(CAST({M} AS DOUBLE) / v)
+                     ELSE raw END, 3) AS approx_distinct
+FROM e
+"""

@@ -5011,6 +5011,80 @@ FROM m
 
 
 # =====================================================================
+# Wave 12: grouped distincts — exact (Q16 shape) and sketched (grouped
+# HLL)
+# =====================================================================
+
+
+def brand_supplier_counts(sf_dir: str):
+    """TPC-H-Q16-shaped grouped COUNT DISTINCT: distinct suppliers per
+    (brand, type) of the parts they ship.
+
+    Scale shape: lineitem FIRST collapses to its distinct (partkey,
+    suppkey) pairs (one narrow two-int64 shuffle) before the distributed
+    hash join attaches part attributes; a second distinct on (brand,
+    type, suppkey) then makes the count a plain size-per-group — the
+    two-level-distinct pattern that keeps COUNT(DISTINCT) shuffle-narrow."""
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        distinct_rows,
+    )
+
+    n_parts = _join_partitions(sf_dir, ["lineitem", "part"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pairs = distinct_rows(li, ["l_partkey", "l_suppkey"]).repartition(max(4, n_parts))
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type"])
+    j = pairs.join(part, "inner", n_parts, on=("l_partkey",), right_on=("p_partkey",))
+    trip = distinct_rows(
+        j.select_columns(["p_brand", "p_type", "l_suppkey"]),
+        ["p_brand", "p_type", "l_suppkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_brand", "p_type"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"p_brand": "p_brand", "p_type": "p_type", "count_all": "supplier_cnt"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        trip.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
+BRAND_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand, p_type
+"""
+
+
+def distinct_users_hll_by_type(sf_dir: str):
+    """GROUPED HyperLogLog: approximate distinct users per event type —
+    the same deterministic, SQL-expressible sketch as
+    ``distinct_users_hll`` with the group key carried through partials,
+    merge, and estimator (bounded driver state: groups x 4096 register
+    maxima). Even the grouped APPROXIMATION is hash-checked bit-for-bit
+    against DuckDB."""
+    from fhirflat_ray.functions.sketches import hll_grouped_estimate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_grouped_estimate(ds, "event_type", "user_id")
+    return out.rename(columns={"g": "event_type"}) if "g" in out.columns else out
+
+
+def _distinct_users_hll_by_type_sql() -> str:
+    from fhirflat_ray.functions.sketches import hll_grouped_estimate_sql
+
+    sql = hll_grouped_estimate_sql("event_type", "user_id", "events")
+    return f"SELECT g AS event_type, approx_distinct FROM ({sql}) t"
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5136,6 +5210,8 @@ QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "part_min_supplier": part_min_supplier,
     "qty_price_corr": qty_price_corr,
+    "brand_supplier_counts": brand_supplier_counts,
+    "distinct_users_hll_by_type": distinct_users_hll_by_type,
 }
 
 ORACLE_SQL = {
@@ -5253,6 +5329,8 @@ ORACLE_SQL = {
     "q17_small_quantity": Q17_SMALL_QUANTITY_SQL,
     "part_min_supplier": PART_MIN_SUPPLIER_SQL,
     "qty_price_corr": QTY_PRICE_CORR_SQL,
+    "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
+    "distinct_users_hll_by_type": _distinct_users_hll_by_type_sql(),
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
