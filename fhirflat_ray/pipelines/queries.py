@@ -2697,15 +2697,18 @@ GROUP BY label, i
 
 
 def media_features(sf_dir: str):
-    """Multimodal plumbing end to end through the driver gate (rows-only:
-    no SQL can decode image bytes): synthesize a deterministic PPM image
-    per document (pixels = the text's own bytes tiled to 16x12 RGB), run
-    the REAL stdlib PPM decode + color-feature extraction in the
-    actor-pool stage (``multimodal.ImageFeatureExtractor``, small batches —
-    binary rows are heavy), and return (doc_id, n_payload_bytes, f0) with
-    f0 the first real feature (mean red channel). Covers the binary-column
-    schema, the actor decode path, and the feature layout at query level;
-    `test_media_*` assert the decode math itself."""
+    """Multimodal decode end to end through the driver gate, under a FULL
+    oracle: synthesize a deterministic PPM image per document (pixels =
+    the text's own bytes tiled to 16x12 RGB), run the REAL stdlib PPM
+    decode + color-feature extraction in the actor-pool stage
+    (``multimodal.ImageFeatureExtractor``, small batches — binary rows
+    are heavy), and return (doc_id, n_payload_bytes, f0) with f0 the
+    first real feature (mean red channel). Because the pixel bytes are
+    the text's own ASCII codes, the SQL oracle recomputes the SAME mean
+    via ord()/generate_series — and the float32 feature cast is mirrored
+    with CAST AS REAL, which quantizes away float64 summation-order noise
+    on both sides. Covers binary-column schema, actor decode path, and
+    feature layout; `test_media_*` assert the decode math itself."""
     from fhirflat_ray.functions.multimodal import _encode_ppm
     from fhirflat_ray.functions.util import worker_cached_stage
 
@@ -5331,6 +5334,19 @@ ORACLE_SQL = {
     "qty_price_corr": QTY_PRICE_CORR_SQL,
     "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
     "distinct_users_hll_by_type": _distinct_users_hll_by_type_sql(),
+    # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
+    # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
+    # feature quantization, absorbing float64 sum-order noise on both sides
+    "media_features": """
+WITH px AS (
+  SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
+  FROM documents, generate_series(0, 573, 3) s(p)
+)
+SELECT doc_id,
+       589 AS n_payload_bytes,
+       round(CAST(CAST(CAST(avg(red) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0
+FROM px GROUP BY doc_id
+""",
     # lang_id, dedup_minhash, dedup_simhash, knn_ivf: rows-only (heuristic /
     # hash-construction ops with no faithful ANSI-SQL equivalent)
 }
