@@ -1,19 +1,30 @@
-"""Distributed PageRank over an edge Dataset (fixed iteration count).
+"""PageRank over an edge Dataset (fixed iteration count), hybrid scale.
 
-Scale shape: the rank vector is NEVER driver-materialized — each
-iteration is one distributed hash join (edges x ranks on the source
-node) followed by a per-batch partial sum of contributions and a
-coarse-bucket final combine per destination node, i.e. exactly the
-groupby-only message-passing shape ``functions/components.py`` uses for
-connected components. Per-iteration state = one node-sized Dataset
-(node, pr); edges stream through the join. Ranks are materialized once
-per iteration so iteration i+1's join does not re-execute iteration i's
-plan (the alternative — a lazy chain — re-runs every prior iteration
-per consumer and makes the plan depth O(iters^2)).
+Two execution paths behind one entry point (the broadcast-vs-distributed
+hybrid discipline of ``dedup._verify_edges_*``):
 
-Undirected treatment: callers pass directed edges; ``pagerank`` mirrors
-them so every node has out-degree >= 1 and no dangling-mass correction
-is needed (the SQL oracle mirrors identically).
+- **broadcast** (node count <= ``BROADCAST_NODE_BUDGET``): the rank vector
+  lives on the driver as one numpy array per iteration; each iteration is
+  ONE map-only pass over the (pre-degree-attached) edge Dataset — every
+  batch folds its contributions to a per-batch (v, s) partial, merged by
+  ``np.add.at`` on the driver. No join, no shuffle, per-iteration cost =
+  one corpus stream. Exactly the ``ray.put``-model-down / fold-partials-up
+  shape ``clustering.kmeans_fit_assign`` uses.
+- **distributed** (above the budget): the rank vector is NEVER
+  driver-materialized — each iteration is one distributed hash join
+  (edges x ranks on the source node) followed by a per-batch partial sum
+  and a coarse-bucket final combine per destination node (the
+  groupby-only message-passing shape of ``functions/components.py``).
+  Source degrees are attached to the mirrored edges ONCE, so iterations
+  need a single join each. Ranks materialize once per iteration so
+  iteration i+1's join does not re-execute iteration i's plan.
+
+Both paths compute bit-comparable contributions (pr/deg per edge, summed
+per destination, teleport + damping outside); results are rounded to
+``round_digits`` so combine-order float noise cannot leak into oracle
+hashes. Undirected treatment: callers pass directed edges; ``pagerank``
+mirrors them so every node has out-degree >= 1 and no dangling-mass
+correction is needed (the SQL oracle mirrors identically).
 """
 
 from __future__ import annotations
@@ -22,7 +33,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "BROADCAST_NODE_BUDGET"]
+
+#: broadcast-path cap: 2M nodes x (8B id + 8B rank + 8B degree) = 48 MB of
+#: driver/broadcast state — past this the distributed join path runs
+BROADCAST_NODE_BUDGET = 2_000_000
 
 
 def pagerank(
@@ -31,11 +46,13 @@ def pagerank(
     damping: float = 0.85,
     num_partitions: int | None = None,
     round_digits: int = 9,
+    mode: str = "auto",
 ):
     """PageRank over DIRECTED edge Dataset (u, v), mirrored to undirected.
 
     Returns a Dataset (node, pr) covering every node, ``pr`` rounded to
-    ``round_digits`` so the float is stable under any combine order."""
+    ``round_digits`` so the float is stable under any combine order.
+    ``mode``: "auto" (node-count dispatch), "broadcast", "distributed"."""
     from fhirflat_ray.functions.util import (
         agg_select,
         bucketed_map_groups,
@@ -74,6 +91,23 @@ def pagerank(
     n_nodes = deg.count()
     teleport = (1.0 - damping) / n_nodes
 
+    if mode == "broadcast" or (mode == "auto" and n_nodes <= BROADCAST_NODE_BUDGET):
+        return _pagerank_broadcast(
+            bi, deg, n_nodes, iters, damping, teleport, round_digits
+        )
+
+    # pre-attach the SOURCE degree to each mirrored edge ONCE, so every
+    # iteration needs a single hash join (edges x ranks) instead of two
+    # (ranks x deg, then edges x that): (u, v, du)
+    bi_d = (
+        bi.join(deg, "inner", n_parts, on=("u",), right_on=("node",))
+        .map_batches(
+            lambda b: pa.table({"u": b["u"], "v": b["v"], "du": b["deg"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
     # ranks: (node, pr); initial pr = 1/N
     ranks = deg.map_batches(
         lambda b: pa.table(
@@ -88,12 +122,10 @@ def pagerank(
     ).materialize()
 
     for _ in range(iters):
-        # contribution pass: edges join (ranks ⋈ deg) on the source node
-        src = ranks.join(deg, "inner", n_parts, on=("node",))
-        j = bi.join(src, "inner", n_parts, on=("u",), right_on=("node",))
+        j = bi_d.join(ranks, "inner", n_parts, on=("u",), right_on=("node",))
 
         def contrib_partial(b: pa.Table) -> pa.Table:
-            c = b["pr"].to_numpy(zero_copy_only=False) / b["deg"].to_numpy(
+            c = b["pr"].to_numpy(zero_copy_only=False) / b["du"].to_numpy(
                 zero_copy_only=False
             )
             t = pa.table({"v": b["v"], "c": pa.array(c, pa.float64())})
@@ -120,3 +152,82 @@ def pagerank(
         return pa.table({"node": b["node"], "pr": pa.array(pr, pa.float64())})
 
     return ranks.map_batches(round_pr, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(
+    bi,
+    deg,
+    n_nodes: int,
+    iters: int,
+    damping: float,
+    teleport: float,
+    round_digits: int,
+):
+    """Broadcast-path iterations: rank vector down via ``ray.put``, one
+    map-only edge pass per iteration, per-batch (v, s) partials folded on
+    the driver. State is O(nodes) and the caller guaranteed it fits
+    ``BROADCAST_NODE_BUDGET``."""
+    import ray
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    deg_t = collect_small_table(deg)
+    nodes = deg_t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    degs = deg_t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+    nodes_ref = ray.put(nodes)
+
+    class Contrib:
+        """Per-batch contribution partial against the broadcast rank/deg.
+
+        ``ray.get`` of the shared refs is zero-copy from plasma; the
+        per-worker cache keys on (nodes_ref, ratio_ref), so each iteration
+        builds one instance per worker."""
+
+        def __init__(self, nodes_ref, ratio_ref):
+            self.nodes = ray.get(nodes_ref)
+            self.ratio = ray.get(ratio_ref)  # pr/deg per node position
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ratio = self.ratio
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            c = ratio[np.searchsorted(self.nodes, u)]
+            vp = np.searchsorted(self.nodes, v)
+            s = np.zeros(len(self.nodes), dtype=np.float64)
+            np.add.at(s, vp, c)
+            nz = np.nonzero(s)[0]
+            return pa.table(
+                {
+                    "p": pa.array(nz.astype(np.int64), pa.int64()),
+                    "s": pa.array(s[nz], pa.float64()),
+                }
+            )
+
+    pr = np.full(n_nodes, 1.0 / n_nodes)
+    for _ in range(iters):
+        ratio_ref = ray.put(pr / degs)
+        parts = collect_small_table(
+            bi.map_batches(
+                worker_cached_stage(Contrib, nodes_ref=nodes_ref, ratio_ref=ratio_ref),
+                batch_format="pyarrow",
+            )
+        )
+        s = np.zeros(n_nodes, dtype=np.float64)
+        np.add.at(
+            s,
+            parts["p"].to_numpy(zero_copy_only=False),
+            parts["s"].to_numpy(zero_copy_only=False),
+        )
+        pr = teleport + damping * s
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "pr": pa.array(np.round(pr, round_digits), pa.float64()),
+            }
+        )
+    )

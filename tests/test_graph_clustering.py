@@ -117,3 +117,27 @@ def test_pagerank_matches_dense_reference(ray_session):
     got = dict(zip(out["node"], out["pr"]))
     for x, i in idx.items():
         assert got[x] == pytest.approx(pr[i], abs=1e-9)
+
+
+def test_pagerank_distributed_equals_broadcast(ray_session):
+    """The distributed join path and the broadcast map-only path must agree
+    exactly (both round to the same digits)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(9)
+    pairs = np.unique(
+        np.stack([rng.integers(0, 60, 200), rng.integers(60, 90, 200)], axis=1), axis=0
+    )
+    edges = rd.from_arrow(
+        pa.table(
+            {"u": pa.array(pairs[:, 0], pa.int64()), "v": pa.array(pairs[:, 1], pa.int64())}
+        )
+    ).repartition(4)
+    a = pagerank(edges, iters=3, num_partitions=4, mode="broadcast").to_pandas()
+    b = pagerank(edges, iters=3, num_partitions=4, mode="distributed").to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert (a["pr"] == b["pr"]).all()
