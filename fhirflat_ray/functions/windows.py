@@ -262,3 +262,102 @@ def hopping_aggregate(ds, ts_col: str, width_us: int, hop_us: int, value_col: st
     return bucketed_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"), ["ws"], combine
     )
+
+
+def global_running(
+    ds,
+    ts_col: str,
+    tiebreak_col: str,
+    sum_cols: list[str],
+    max_cols: list[str],
+    bucket_width_us: int,
+):
+    """GLOBAL running aggregates — SQL ``OVER (ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING)`` with NO partition key — as a two-pass
+    distributed prefix scan.
+
+    Pass 1 (map-only): every batch folds to one partial row per TIME
+    bucket (``ts // width``): bucket sums / maxima / counts. The bounded
+    bucket table prefix-combines on the driver (exclusive prefix per
+    bucket — O(buckets), the Blelloch scan shape).
+    Pass 2 (one narrow bucket shuffle): each bucket sorts locally by
+    (ts, tiebreak) and adds its exclusive prefix offset — every row gets
+    its exact global running value without any global sort.
+
+    Exactness: callers pass integer columns for ``sum_cols`` (e.g. cents)
+    so prefix sums are combine-order-free; running max/count are exact by
+    construction. Output = input rows + ``run_<col>`` columns + ``rn``
+    (global row number)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    w = np.int64(bucket_width_us)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__gb", pa.array(tsv // w, pa.int64()))
+
+    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        cols = {"__gb": b["__gb"]}
+        for c in sum_cols:
+            cols[f"s_{c}"] = b[c]
+        for c in max_cols:
+            cols[f"m_{c}"] = b[c]
+        t = pa.table(cols)
+        aggs = [([], "count_all")]
+        aggs += [(f"s_{c}", "sum") for c in sum_cols]
+        aggs += [(f"m_{c}", "max") for c in max_cols]
+        return t.group_by(["__gb"]).aggregate(aggs)
+
+    parts = collect_small_table(
+        with_bucket.map_batches(bucket_partial, batch_format="pyarrow")
+    ).to_pandas()
+    agg_spec = {"count_all": "sum"}
+    agg_spec.update({f"s_{c}_sum": "sum" for c in sum_cols})
+    agg_spec.update({f"m_{c}_max": "max" for c in max_cols})
+    per_bucket = parts.groupby("__gb", sort=True).agg(agg_spec)
+
+    # exclusive prefix per bucket (driver-side Blelloch up-sweep over the
+    # bounded table) — arrays keyed by the SORTED bucket ids so pass 2 can
+    # look offsets up with one vectorized searchsorted
+    gb_sorted = per_bucket.index.to_numpy().astype(np.int64)
+    cnts = per_bucket["count_all"].to_numpy().astype(np.int64)
+    off_cnt = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    off_sum = {
+        c: np.concatenate(
+            [[0], np.cumsum(per_bucket[f"s_{c}_sum"].to_numpy().astype(np.int64))[:-1]]
+        )
+        for c in sum_cols
+    }
+    off_max = {}
+    for c in max_cols:
+        mx = per_bucket[f"m_{c}_max"].to_numpy().astype(np.float64)
+        off_max[c] = np.concatenate(
+            [[-np.inf], np.maximum.accumulate(mx)[:-1]]
+        )
+
+    def per_bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        # a coarse bucket holds SEVERAL time buckets — scan them all in one
+        # vectorized pass (sort by (gb, ts, tiebreak), per-gb cumulatives,
+        # searchsorted offset lookup)
+        g = g.sort_values(["__gb", ts_col, tiebreak_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        gb = g["__gb"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(gb_sorted, gb)
+        grp = g.groupby("__gb", sort=False)
+        g["rn"] = grp.cumcount().to_numpy().astype(np.int64) + 1 + off_cnt[pos]
+        for c in sum_cols:
+            g[f"run_{c}"] = grp[c].cumsum().to_numpy().astype(np.int64) + off_sum[c][pos]
+        for c in max_cols:
+            g[f"run_{c}"] = np.maximum(grp[c].cummax().to_numpy(), off_max[c][pos])
+        return g.drop(columns=["__gb"])
+
+    return bucketed_map_groups(with_bucket, ["__gb"], per_bucket_scan)

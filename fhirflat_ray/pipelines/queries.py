@@ -5088,6 +5088,62 @@ def _distinct_users_hll_by_type_sql() -> str:
 
 
 # =====================================================================
+# Wave 13: global running aggregates (distributed prefix scan)
+# =====================================================================
+
+
+def running_totals(sf_dir: str):
+    """GLOBAL running aggregates over the whole event stream — SQL
+    ``OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` with NO
+    partition key, i.e. the window family a per-key shuffle cannot serve.
+
+    Scale shape: the two-pass distributed prefix scan
+    (``functions/windows.py:global_running``) — pass 1 folds each batch
+    to per-TIME-bucket partials (map-only), the driver prefix-combines
+    the bounded bucket table, pass 2 is ONE narrow bucket shuffle where
+    every bucket adds its exclusive offset. No global sort, no sequential
+    bottleneck. Running money is integer cents (exact under any order);
+    running max picks real elements, so every output row is
+    hash-comparable."""
+    from fhirflat_ray.functions.windows import global_running
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["value"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "value": b["value"],
+                "cents": cents,
+            }
+        )
+
+    out = global_running(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ts_col="ts",
+        tiebreak_col="event_id",
+        sum_cols=["cents"],
+        max_cols=["value"],
+        bucket_width_us=_HOUR_US,
+    )
+    return out.select_columns(["event_id", "rn", "run_cents", "run_value"])
+
+
+RUNNING_TOTALS_SQL = """
+SELECT event_id,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS run_cents,
+       max(value) OVER w AS run_value
+FROM events
+WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5215,6 +5271,7 @@ QUERIES = {
     "qty_price_corr": qty_price_corr,
     "brand_supplier_counts": brand_supplier_counts,
     "distinct_users_hll_by_type": distinct_users_hll_by_type,
+    "running_totals": running_totals,
 }
 
 ORACLE_SQL = {
@@ -5334,6 +5391,7 @@ ORACLE_SQL = {
     "qty_price_corr": QTY_PRICE_CORR_SQL,
     "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
     "distinct_users_hll_by_type": _distinct_users_hll_by_type_sql(),
+    "running_totals": RUNNING_TOTALS_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides

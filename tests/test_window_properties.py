@@ -131,3 +131,45 @@ def test_rank_windows_match_duckdb(ray_session, df):
     assert got["dr"].tolist() == exp["dr"].tolist()
     assert got["tile"].tolist() == exp["tile"].tolist()
     assert np.allclose(got["pr"].to_numpy(), exp["pr"].to_numpy(), atol=1e-9)
+
+
+def test_global_running_prefix_scan(ray_session):
+    """Two-pass distributed prefix scan equals the sequential reference,
+    including ties on the order column at bucket boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import global_running
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    # coarse ts: heavy ties, several per bucket boundary (width 100)
+    ts = np.sort(rng.integers(0, 1_000, n)).astype(np.int64)
+    tie = rng.permutation(n).astype(np.int64)
+    cents = rng.integers(-500, 500, n).astype(np.int64)
+    val = rng.standard_normal(n)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.int64()),
+                "eid": pa.array(tie, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "v": pa.array(val, pa.float64()),
+            }
+        )
+    ).repartition(8)
+    out = (
+        global_running(
+            ds, ts_col="ts", tiebreak_col="eid", sum_cols=["cents"],
+            max_cols=["v"], bucket_width_us=100,
+        )
+        .to_pandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((tie, ts))
+    assert out["rn"].tolist() == list(range(1, n + 1))
+    assert (out["eid"].to_numpy() == tie[order]).all()
+    assert (out["run_cents"].to_numpy() == np.cumsum(cents[order])).all()
+    assert (out["run_v"].to_numpy() == np.maximum.accumulate(val[order])).all()
