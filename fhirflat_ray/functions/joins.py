@@ -28,8 +28,11 @@ def broadcast_asof_join(
     by_left: str,
     by_right: str,
     right_value_cols: list[str],
+    direction: str = "backward",
 ):
-    """Left as-of join; adds ``right_value_cols`` from the matched row."""
+    """Left as-of join; adds ``right_value_cols`` from the matched row.
+    ``direction``: "backward" (latest right at or before left, the default)
+    or "forward" (earliest right at or after left)."""
     import ray
 
     right = right.sort_values(right_on, kind="mergesort").reset_index(drop=True)
@@ -56,7 +59,7 @@ def broadcast_asof_join(
                 right_on=right_on,
                 left_by=by_left,
                 right_by=by_right,
-                direction="backward",
+                direction=direction,
             )
             # restore input order so downstream ordering is untouched
             merged = merged.iloc[np.argsort(order, kind="stable")]

@@ -5144,6 +5144,128 @@ WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT 
 
 
 # =====================================================================
+# Wave 14: gaps-and-islands interval coalescing + forward as-of join
+# =====================================================================
+
+_ISLAND_WIDTH_US = 300_000_000  # 5-minute interval per event
+
+
+def merge_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing: every event opens a 5-minute
+    half-open interval; per user, overlapping/touching intervals merge
+    into islands. Output per user: island count, covered microseconds,
+    longest island.
+
+    Scale shape: ONE user-bucket shuffle; island detection is the
+    vectorized shifted-running-max trick across ALL users in the bucket
+    (per-user cummax of ends, shift, compare) — the same one-pass
+    gaps-and-islands kernel SQL expresses with two window functions."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"u": g["user_id"].to_numpy(), "s": s, "e": s + _ISLAND_WIDTH_US}
+        ).sort_values(["u", "s", "e"], kind="mergesort")
+        grp = df.groupby("u", sort=False)
+        prev_max = grp["e"].cummax().shift(1)
+        first = grp.cumcount().to_numpy() == 0
+        new_island = first | (df["s"].to_numpy() > prev_max.to_numpy())
+        df["island"] = np.cumsum(new_island)  # globally unique per (u, island)
+        isl = df.groupby(["u", "island"], sort=False).agg(
+            is_=("s", "min"), ie=("e", "max")
+        )
+        isl["span"] = isl["ie"] - isl["is_"]
+        out = isl.groupby("u", sort=False).agg(
+            n_islands=("span", "size"),
+            covered_us=("span", "sum"),
+            max_island_us=("span", "max"),
+        )
+        out = out.reset_index().rename(columns={"u": "user_id"})
+        for c in ("n_islands", "covered_us", "max_island_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(ds, ["user_id"], per_bucket)
+
+
+MERGE_INTERVALS_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_ISLAND_WIDTH_US} AS e
+  FROM events
+),
+o AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM o
+),
+g AS (
+  SELECT user_id, island, min(s) AS is_, max(e) AS ie
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(ie - is_) AS BIGINT) AS covered_us,
+       CAST(max(ie - is_) AS BIGINT) AS max_island_us
+FROM g GROUP BY user_id
+"""
+
+
+def asof_join_forward(sf_dir: str):
+    """FORWARD as-of join: for every event, its user's NEXT order at or
+    after the event time (the backward family's mirror — `asof_join`
+    finds the latest preceding). Same broadcast shape; the per-batch
+    kernel is ``merge_asof(direction='forward')``. The SQL oracle
+    expresses forward-asof by negating the time axis of DuckDB's
+    backward-only ASOF JOIN."""
+    import pyarrow.parquet as pq2
+
+    from fhirflat_ray.functions.joins import broadcast_asof_join
+
+    orders = (
+        pq2.read_table(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+        )
+        .to_pandas()
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .first()  # dedupe ties so the matched o_orderdate is deterministic
+    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = broadcast_asof_join(
+        ds,
+        orders.rename(columns={"o_orderdate": "order_ts"}),
+        left_on="ts",
+        right_on="order_ts",
+        by_left="user_id",
+        by_right="o_custkey",
+        right_value_cols=[],
+        direction="forward",
+    )
+    return out.select_columns(["event_id", "order_ts"])
+
+
+ASOF_JOIN_FORWARD_SQL = """
+WITH ee AS (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM events),
+     oe AS (SELECT o_custkey, o_orderdate, -epoch_us(o_orderdate) AS nts
+            FROM orders),
+j AS (
+  SELECT ee.event_id, oe.o_orderdate
+  FROM ee ASOF LEFT JOIN oe
+    ON ee.user_id = oe.o_custkey AND ee.nts >= oe.nts
+)
+SELECT event_id, o_orderdate AS order_ts FROM j
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5272,6 +5394,8 @@ QUERIES = {
     "brand_supplier_counts": brand_supplier_counts,
     "distinct_users_hll_by_type": distinct_users_hll_by_type,
     "running_totals": running_totals,
+    "merge_intervals": merge_intervals,
+    "asof_join_forward": asof_join_forward,
 }
 
 ORACLE_SQL = {
@@ -5392,6 +5516,8 @@ ORACLE_SQL = {
     "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
     "distinct_users_hll_by_type": _distinct_users_hll_by_type_sql(),
     "running_totals": RUNNING_TOTALS_SQL,
+    "merge_intervals": MERGE_INTERVALS_SQL,
+    "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
