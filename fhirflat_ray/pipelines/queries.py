@@ -5265,6 +5265,26 @@ SELECT event_id, o_orderdate AS order_ts FROM j
 """
 
 
+def turn_sum_encoded(sf_dir: str):
+    """SUM pushed INTO the encoded format: total turn_idx + row count
+    computed from per-codec closed forms over the encoded int stream —
+    RLE sums as dot(run_values, run_lengths) with nothing expanded, FOR
+    as n*ref + g*sum(residuals), delta as a weighted-suffix dot — one
+    task per segment returning two ints
+    (``encoded_agg.segment_int_sum``). The fourth encoded-domain
+    aggregate after COUNT/DISTINCT/MIN-MAX."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_sum
+
+    s, n = encoded_sum(_transcript_segdir(sf_dir, "ts"), "turn_idx")
+    return pd.DataFrame([(s, n)], columns=["turn_sum", "n_rows"])
+
+
+TURN_SUM_ENCODED_SQL = f"""
+SELECT CAST(sum(turn_idx) AS BIGINT) AS turn_sum, count(*) AS n_rows
+FROM ({TRANSCRIPT_BUILD_SQL})
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5396,6 +5416,7 @@ QUERIES = {
     "running_totals": running_totals,
     "merge_intervals": merge_intervals,
     "asof_join_forward": asof_join_forward,
+    "turn_sum_encoded": turn_sum_encoded,
 }
 
 ORACLE_SQL = {
@@ -5518,6 +5539,7 @@ ORACLE_SQL = {
     "running_totals": RUNNING_TOTALS_SQL,
     "merge_intervals": MERGE_INTERVALS_SQL,
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
+    "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides

@@ -133,3 +133,54 @@ def test_counts_never_decode_strings(seg_dir, monkeypatch):
     col = next(c for c in hdr["columns"] if c["name"] == "role")
     assert col["hdr"]["h"]["c"] == "dict" and "shared" in col["hdr"]["h"]
     assert int(pa.compute.sum(t.column("n")).as_py()) == hdr["n_rows"]
+
+
+def test_int_stream_sum_matches_decode_all_codecs():
+    """Encoded-domain SUM closed forms equal decode-then-sum for every int
+    codec, including int64 wraparound and RLE's recursive run streams."""
+    import numpy as np
+
+    from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+    from fhirflat_ray.pipelines.encoded_agg import _int_stream_sum
+
+    rng = np.random.default_rng(2)
+    cases = [
+        np.repeat(rng.integers(-5, 5, 50), rng.integers(1, 40, 50)),  # rle
+        rng.integers(1000, 1100, 5000),  # for
+        np.cumsum(rng.integers(0, 3, 5000)) + 10**12,  # delta
+        rng.integers(-(2**62), 2**62, 300),  # wide range, wraparound
+        np.array([], dtype=np.int64),
+        rng.integers(0, 50, 4000) * 3600 + 7,  # gcd-factored for
+        np.array([7], dtype=np.int64),
+    ]
+    for v in cases:
+        v = v.astype(np.int64)
+        hdr, blob = encode_ints(v)
+        got = _int_stream_sum(hdr, blob, len(v))
+        with np.errstate(over="ignore"):
+            want = int(decode_ints(hdr, blob, len(v)).sum()) if len(v) else 0
+        assert got == want, (hdr["c"], got, want)
+
+
+def test_segment_int_sum_null_fallback(ray_session, tmp_path):
+    """Columns with validity bitmaps fall back to the pruned decode and
+    skip nulls like SQL SUM."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fhirflat_ray.pipelines.encoded_agg import segment_int_sum
+    from fhirflat_ray.state import segments as seg
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 3, None, 5], pa.int64()),
+            "x": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    hdr, payload = seg.encode_table(t, {})
+    p = tmp_path / "s.seg"
+    seg.write_segment(str(p), hdr, payload)
+    s, n = segment_int_sum(str(p), "k")
+    assert (s, n) == (9, 5)
+    s2, n2 = segment_int_sum(str(p), "x")
+    assert (s2, n2) == (15, 5)
