@@ -5265,6 +5265,77 @@ SELECT event_id, o_orderdate AS order_ts FROM j
 """
 
 
+def export_shards(sf_dir: str):
+    """Deterministic seeded shuffle + balanced export sharding: documents
+    get a reproducible global shuffle position (rank in id-hash order —
+    same permutation on any cluster size or partitioning), then round-robin
+    into 16 shards; output per shard: doc count + total whitespace tokens.
+
+    Scale shape: the global rank is the distributed prefix scan
+    (``global_running`` bucketed on hash ranges — no global sort); the
+    shard aggregate is a tiny partial+final. The export step every
+    training run needs: reshuffle-free, resumable, and identical across
+    reruns because position depends only on ids."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.windows import global_running
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.cast(pc.count_substring_regex(b["text"], r"\S+"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h": pa.array(hash32(ids), pa.int64()),
+                "n_tokens": toks,
+            }
+        )
+
+    ranked = global_running(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ts_col="h",
+        tiebreak_col="doc_id",
+        sum_cols=[],
+        max_cols=[],
+        bucket_width_us=1 << 26,  # hash space 2^32 → ~64 rank buckets
+    )
+
+    def shard_partial(b: pa.Table) -> pa.Table:
+        rn = b["rn"].to_numpy(zero_copy_only=False)
+        shard = pa.array((rn - 1) % 16, pa.int64())
+        t = pa.table({"shard": shard, "n_tokens": b["n_tokens"]})
+        g = t.group_by(["shard"]).aggregate([([], "count_all"), ("n_tokens", "sum")])
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(
+            g, {"shard": "shard", "count_all": "n_docs", "n_tokens_sum": "tok_sum"}
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ranked.map_batches(shard_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("tok_sum", alias_name="tok_sum"))
+    )
+
+
+def _export_shards_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    return f"""
+WITH r AS (
+  SELECT doc_id, length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         row_number() OVER (ORDER BY {hash32_sql('doc_id')}, doc_id) AS rn
+  FROM documents
+)
+SELECT (rn - 1) % 16 AS shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+FROM r GROUP BY 1
+"""
+
+
 def turn_sum_encoded(sf_dir: str):
     """SUM pushed INTO the encoded format: total turn_idx + row count
     computed from per-codec closed forms over the encoded int stream —
@@ -5417,6 +5488,7 @@ QUERIES = {
     "merge_intervals": merge_intervals,
     "asof_join_forward": asof_join_forward,
     "turn_sum_encoded": turn_sum_encoded,
+    "export_shards": export_shards,
 }
 
 ORACLE_SQL = {
@@ -5540,6 +5612,7 @@ ORACLE_SQL = {
     "merge_intervals": MERGE_INTERVALS_SQL,
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
+    "export_shards": _export_shards_sql(),
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
