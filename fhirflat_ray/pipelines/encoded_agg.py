@@ -368,3 +368,107 @@ def encoded_sum(seg_dir: str, column: str) -> tuple[int, int]:
         int(pc.sum(t["s"]).as_py() or 0),
         int(pc.sum(t["n"]).as_py() or 0),
     )
+
+
+def segment_grouped_sum(
+    path: str,
+    key_column: str,
+    value_column: str,
+    dict_store: dict[str, pa.Array] | None = None,
+) -> pa.Table:
+    """One segment's (key, sum, n) partial for ``GROUP BY key → SUM(value)``.
+
+    Fast path: null-free dict-coded string key + null-free int value — the
+    group sums are one ``np.bincount(codes, weights=values)`` over the
+    decoded code/int streams; strings never materialize (the vocab maps
+    code → key at the very end, vocab-bounded). Falls back to a two-column
+    pruned decode + Arrow group_by otherwise."""
+    header, payload_off = seg.read_segment_header(path)
+    kcol = _find_column(header, key_column)
+    vcol = _find_column(header, value_column)
+    khdr, vhdr = kcol["hdr"], vcol["hdr"]
+    sh = khdr.get("h")
+    if (
+        khdr.get("c") == "str"
+        and "valid_len" not in khdr
+        and isinstance(sh, dict)
+        and sh.get("c") == "dict"
+        and vhdr.get("c") == "ints"
+        and "valid_len" not in vhdr
+    ):
+        kblob = _read_col_blob(path, payload_off, kcol)
+        nb = sh["codes"]["len"]
+        codes = decode_ints(sh["codes"]["h"], kblob[:nb], khdr["n"])
+        vals = decode_ints(
+            vhdr["h"], _read_col_blob(path, payload_off, vcol), vhdr["n"]
+        )
+        if "shared" in sh:
+            if not dict_store or sh["shared"] not in dict_store:
+                raise KeyError(f"shared dictionary {sh['shared']} not in store")
+            vocab = dict_store[sh["shared"]]
+        else:
+            vocab = decode_plain(sh["vocab"]["h"], kblob[nb:], sh["vocab"]["n"])
+        m = len(vocab)
+        # int64 scatter-add, not bincount(weights=float): float weights lose
+        # exactness past 2^53 — group sums at 10^12-turn scale exceed that
+        sums = np.zeros(m, dtype=np.int64)
+        np.add.at(sums, codes, vals)
+        cnts = np.bincount(codes, minlength=m)
+        mask = cnts > 0
+        return pa.table(
+            {
+                key_column: vocab.cast(pa.string()).filter(pa.array(mask)),
+                "s": pa.array(sums[mask], pa.int64()),
+                "n": pa.array(cnts[mask].astype(np.int64), pa.int64()),
+            }
+        )
+    tbl = seg.read_segment(path, dict_store, columns=[key_column, value_column])
+    g = tbl.group_by([key_column]).aggregate([(value_column, "sum"), ([], "count_all")])
+    names = {key_column: key_column, f"{value_column}_sum": "s", "count_all": "n"}
+    out = {}
+    for src, dst in names.items():
+        out[dst] = g[src]
+    return pa.table(
+        {
+            key_column: out[key_column],
+            "s": out["s"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        }
+    )
+
+
+def encoded_grouped_sum(seg_dir: str, key_column: str, value_column: str):
+    """Distributed ``GROUP BY key → SUM(value), COUNT(*)`` over encoded
+    segments — vocab-bounded partials, one task per segment, bucketed
+    combine."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    paths = segment_paths(seg_dir)
+    if not paths:
+        raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        return pa.concat_tables(
+            [
+                segment_grouped_sum(str(p), key_column, value_column, store)
+                for p in batch["item"]
+            ]
+        )
+
+    partials = rd.from_items(paths).map_batches(
+        partial, batch_size=1, batch_format="numpy", num_cpus=1
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(key_column, sort=False, dropna=False)
+            .agg(s=("s", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    return bucketed_map_groups(partials, [key_column], combine)

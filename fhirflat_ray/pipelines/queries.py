@@ -5356,6 +5356,30 @@ FROM ({TRANSCRIPT_BUILD_SQL})
 """
 
 
+def role_turn_sum_encoded(sf_dir: str):
+    """GROUP BY key → SUM(value) pushed INTO the encoded format: per-role
+    turn_idx totals from the role column's dict CODES + the turn_idx int
+    stream — one int64 scatter-add per segment, strings mapped in only at
+    the vocab-bounded end (``encoded_agg.segment_grouped_sum``). Completes
+    the encoded-domain aggregate matrix (COUNT / DISTINCT / MIN-MAX /
+    SUM / grouped SUM)."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_grouped_sum
+
+    out = encoded_grouped_sum(_transcript_segdir(sf_dir, "gs"), "role", "turn_idx")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"role": b["role"], "turn_sum": b["s"], "n": b["n"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+ROLE_TURN_SUM_ENCODED_SQL = f"""
+SELECT role, CAST(sum(turn_idx) AS BIGINT) AS turn_sum, count(*) AS n
+FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY role
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5489,6 +5513,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "turn_sum_encoded": turn_sum_encoded,
     "export_shards": export_shards,
+    "role_turn_sum_encoded": role_turn_sum_encoded,
 }
 
 ORACLE_SQL = {
@@ -5613,6 +5638,7 @@ ORACLE_SQL = {
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
+    "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides

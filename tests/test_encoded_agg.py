@@ -184,3 +184,47 @@ def test_segment_int_sum_null_fallback(ray_session, tmp_path):
     assert (s, n) == (9, 5)
     s2, n2 = segment_int_sum(str(p), "x")
     assert (s2, n2) == (15, 5)
+
+
+def test_segment_grouped_sum_fast_and_fallback(ray_session, tmp_path):
+    """Grouped encoded SUM: dict-code fast path equals Arrow group_by, and
+    the null-carrying fallback path agrees."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fhirflat_ray.pipelines.encoded_agg import segment_grouped_sum
+    from fhirflat_ray.state import segments as seg
+
+    rng = np.random.default_rng(4)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, 400)]
+    vals = rng.integers(-100, 100, 400)
+    t = pa.table(
+        {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.int64())}
+    )
+    hdr, payload = seg.encode_table(t, {})
+    p = tmp_path / "g.seg"
+    seg.write_segment(str(p), hdr, payload)
+    got = segment_grouped_sum(str(p), "k", "v").to_pandas().set_index("k")
+    for k in "abc":
+        m = keys == k
+        assert got.loc[k, "s"] == vals[m].sum()
+        assert got.loc[k, "n"] == m.sum()
+
+    # fallback: value column with nulls (validity bitmap present)
+    t2 = pa.table(
+        {
+            "k": pa.array(keys, pa.string()),
+            "v": pa.array(
+                [None if i % 7 == 0 else int(x) for i, x in enumerate(vals)],
+                pa.int64(),
+            ),
+        }
+    )
+    hdr2, payload2 = seg.encode_table(t2, {})
+    p2 = tmp_path / "g2.seg"
+    seg.write_segment(str(p2), hdr2, payload2)
+    got2 = segment_grouped_sum(str(p2), "k", "v").to_pandas().set_index("k")
+    vv = np.array([0 if i % 7 == 0 else int(x) for i, x in enumerate(vals)])
+    for k in "abc":
+        m = keys == k
+        assert got2.loc[k, "s"] == vv[m].sum()
