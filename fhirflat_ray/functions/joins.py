@@ -426,7 +426,8 @@ def bloom_semi_join(
         vals = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = np.ones(len(vals), dtype=bool)
         for pos in _bloom_positions(vals, n_bits, k_hashes):
-            keep &= (bm[(pos >> 3)] >> (pos & 7).astype(np.uint8)) & 1 == 1
+            bit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+            keep &= bit.astype(bool)
         return batch.filter(pa.array(keep))
 
     candidates = ds.map_batches(prefilter, batch_format="pyarrow")
