@@ -5381,6 +5381,195 @@ FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY role
 
 
 # =====================================================================
+# Wave 16: corpus normalization, dedup provenance mapping, conversation
+# length distribution, per-group standardization
+# =====================================================================
+
+
+def normalize_text(sf_dir: str):
+    """Corpus text normalization (the pre-tokenization cleanup pass):
+    lowercase, strip non-alphanumeric/space characters, collapse runs of
+    whitespace, trim. Map-only Arrow/RE2 kernels; the oracle runs the
+    identical regex chain in DuckDB, so the transform is hash-checked
+    byte-for-byte."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(b["text"], ""))
+        t = pc.replace_substring_regex(t, r"[^a-z0-9 ]", " ")
+        t = pc.replace_substring_regex(t, r" +", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": b["doc_id"], "norm_text": t})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+NORMALIZE_TEXT_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def dedup_mapping(sf_dir: str):
+    """Dedup PROVENANCE mapping — every document mapped to the canonical
+    (minimum) doc_id of its exact-content group, not just the survivor
+    list: the id-rewrite table a downstream join uses to repoint
+    references after dedup.
+
+    Scale shape: the shuffle ships (content-hash, doc_id) — never text —
+    and one bucketed pass computes the per-hash min and assigns it back
+    to every member (vectorized transform per bucket)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        import pandas.util as pdu
+
+        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
+        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table({"h": pa.array(h, pa.int64()), "doc_id": b["doc_id"]})
+
+    hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.groupby("h", sort=False)["doc_id"].transform("min")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "canonical_id": canon.astype(np.int64)}
+        )
+
+    return bucketed_map_groups(hashed, ["h"], per_bucket)
+
+
+DEDUP_MAPPING_SQL = """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id
+FROM documents
+"""
+
+
+def conv_turn_histogram(sf_dir: str):
+    """Conversation-length distribution: how many conversations have
+    exactly N turns — the two-level aggregate (per-conv count, then
+    histogram of counts) every transcript-curation job starts with. The
+    conv-level count fuses into the transcript bucket pass; the second
+    level is a tiny partial+Sum."""
+    from fhirflat_ray.functions.util import agg_select
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("conv_id", sort=False).size()
+        return pd.DataFrame({"n_turns": c.to_numpy(np.int64)})
+
+    partial = _transcript_grouped(sf_dir, counts, columns=["conv_id"])
+
+    empty = pa.schema([("n_turns", pa.int64()), ("n_convs", pa.int64())])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        # groupby pipelines can emit SCHEMA-LESS empty blocks
+        if b.num_rows == 0 or "n_turns" not in b.column_names:
+            return empty.empty_table()
+        g = b.group_by(["n_turns"]).aggregate([([], "count_all")])
+        return agg_select(g, {"n_turns": "n_turns", "count_all": "n_convs"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        partial.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_turns")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+    )
+
+
+CONV_TURN_HISTOGRAM_SQL = f"""
+SELECT n_turns, count(*) AS n_convs FROM (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+  FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY conv_id
+) GROUP BY n_turns
+"""
+
+
+def value_zscore_by_type(sf_dir: str):
+    """Per-group standardization (feature engineering): each event's value
+    z-scored against ITS TYPE's population mean/std.
+
+    Scale shape: one tiny moment aggregate per type (partial+Sum — the
+    corpus never shuffles), broadcast of the bounded stats table, then a
+    MAP-ONLY standardization pass. The z formula is written expression-
+    for-expression in the SQL oracle and rounded to 6dp."""
+    import ray
+
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moment_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "v": b["value"],
+                "vv": pc.multiply(b["value"], b["value"]),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("v", "sum"), ("vv", "sum"), ([], "count_all")]
+        )
+        return agg_select(
+            g,
+            {"event_type": "event_type", "v_sum": "s", "vv_sum": "ss", "count_all": "n"},
+        )
+
+    stats = collect_small_table(
+        ds.map_batches(moment_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"), Sum("ss", alias_name="ss")
+        )
+    ).to_pandas()
+    stats["mean"] = stats["s"] / stats["n"]
+    stats["sd"] = np.sqrt(stats["ss"] / stats["n"] - stats["mean"] * stats["mean"])
+    ref = ray.put(
+        {
+            r["event_type"]: (float(r["mean"]), float(r["sd"]))
+            for _, r in stats.iterrows()
+        }
+    )
+
+    def z(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        types = b["event_type"].to_numpy(zero_copy_only=False)
+        keys = np.array(sorted(m))
+        means = np.array([m[k][0] for k in keys])
+        sds = np.array([m[k][1] for k in keys])
+        pos = np.searchsorted(keys, types)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        zv = (v - means[pos]) / sds[pos]
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "z": pa.array(np.round(zv, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow")
+
+
+VALUE_ZSCORE_BY_TYPE_SQL = """
+WITH m AS (
+  SELECT event_type, sum(value) AS s, count(*) AS n, sum(value * value) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       round((e.value - (m.s / m.n)) /
+             sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS z
+FROM events e JOIN m USING (event_type)
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5514,6 +5703,10 @@ QUERIES = {
     "turn_sum_encoded": turn_sum_encoded,
     "export_shards": export_shards,
     "role_turn_sum_encoded": role_turn_sum_encoded,
+    "normalize_text": normalize_text,
+    "dedup_mapping": dedup_mapping,
+    "conv_turn_histogram": conv_turn_histogram,
+    "value_zscore_by_type": value_zscore_by_type,
 }
 
 ORACLE_SQL = {
@@ -5639,6 +5832,10 @@ ORACLE_SQL = {
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
     "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,
+    "normalize_text": NORMALIZE_TEXT_SQL,
+    "dedup_mapping": DEDUP_MAPPING_SQL,
+    "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
+    "value_zscore_by_type": VALUE_ZSCORE_BY_TYPE_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
