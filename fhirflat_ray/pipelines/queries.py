@@ -5569,6 +5569,83 @@ FROM events e JOIN m USING (event_type)
 """
 
 
+def leakfree_split(sf_dir: str):
+    """Leakage-free train/val/test split at CONVERSATION granularity:
+    every turn of a conversation lands in the same split (assignment
+    hashes the conv key, not the row), so no conversation straddles
+    train and eval — the grouping-aware split a transcript pipeline
+    must use instead of row-level sampling. Output per split: distinct
+    conversations and total turns.
+
+    Scale shape: assignment is map-only (shared int64 hash); the per-split
+    conv count is a two-level distinct (distinct (split, user) pairs via
+    one narrow shuffle, then size-per-group)."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        h = hash32(ids) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "user_id": b["user_id"],
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["split", "user_id"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"split": "split", "user_id": "user_id", "count_all": "n"}
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        per_user = g.groupby(["split", "user_id"], sort=False, as_index=False).agg(
+            n=("n", "sum")
+        )
+        out = per_user.groupby("split", sort=False).agg(
+            n_convs=("user_id", "size"), n_turns=("n", "sum")
+        )
+        return out.reset_index()
+
+    pairs = bucketed_map_groups(
+        assigned.map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id"],
+        combine,
+    )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        pairs.groupby("split")
+        .aggregate(
+            Sum("n_convs", alias_name="n_convs"), Sum("n_turns", alias_name="n_turns")
+        )
+    )
+
+
+def _leakfree_split_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    h = hash32_sql("user_id")
+    return f"""
+WITH a AS (
+  SELECT user_id,
+         CASE WHEN ({h}) % 100 < 80 THEN 'train'
+              WHEN ({h}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events
+)
+SELECT split, count(DISTINCT user_id) AS n_convs, count(*) AS n_turns
+FROM a GROUP BY split
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -5707,6 +5784,7 @@ QUERIES = {
     "dedup_mapping": dedup_mapping,
     "conv_turn_histogram": conv_turn_histogram,
     "value_zscore_by_type": value_zscore_by_type,
+    "leakfree_split": leakfree_split,
 }
 
 ORACLE_SQL = {
@@ -5836,6 +5914,7 @@ ORACLE_SQL = {
     "dedup_mapping": DEDUP_MAPPING_SQL,
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
     "value_zscore_by_type": VALUE_ZSCORE_BY_TYPE_SQL,
+    "leakfree_split": _leakfree_split_sql(),
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
