@@ -5647,6 +5647,157 @@ FROM a GROUP BY split
 
 
 # =====================================================================
+# Wave 17: co-occurrence mining + rolling-window distinct counts
+# =====================================================================
+
+
+def type_cooccurrence(sf_dir: str):
+    """Basket co-occurrence mining: for every unordered pair of event
+    types that fire for the SAME user on the SAME day, the number of
+    (user, day) baskets containing both — the association-rule input for
+    recommendation/affinity analysis.
+
+    Scale shape: ONE user-bucket shuffle; inside a bucket the basket
+    self-join is a vectorized pandas merge over the (user, day, type)
+    DISTINCT set (baskets are small — pairs per basket are bounded by the
+    type vocabulary squared), emitting per-bucket partial pair counts."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "u": g["user_id"].to_numpy(),
+                "day": g["ts"].to_numpy().astype("datetime64[D]"),
+                "t": g["event_type"].to_numpy(),
+            }
+        ).drop_duplicates()
+        j = d.merge(d, on=["u", "day"])
+        j = j[j["t_x"] < j["t_y"]]
+        out = (
+            j.groupby(["t_x", "t_y"], sort=False)
+            .size()
+            .rename("n_baskets")
+            .reset_index()
+            .rename(columns={"t_x": "type_a", "t_y": "type_b"})
+        )
+        out["n_baskets"] = out["n_baskets"].astype(np.int64)
+        return out
+
+    partial = bucketed_map_groups(ds, ["user_id"], per_bucket)
+    return partial.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n_baskets", alias_name="n_baskets")
+    )
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH b AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type FROM events
+)
+SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS n_baskets
+FROM b a JOIN b c
+  ON a.user_id = c.user_id AND a.day = c.day AND a.event_type < c.event_type
+GROUP BY 1, 2
+"""
+
+
+def weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day (the DAU/WAU board
+    metric) — an exact rolling COUNT DISTINCT, which no plain windowed sum
+    can produce.
+
+    Scale shape: events first dedupe to (user, active-day) pairs (one
+    narrow shuffle); each pair then fans out to the ≤7 report days whose
+    trailing window contains it (map-only, bounded 7x expansion of the
+    ALREADY-deduped pairs — never raw events); a second distinct on
+    (report_day, user) + size-per-group finishes. Report days are
+    restricted to the observed day range."""
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        distinct_rows,
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    day_us = 86_400_000_000
+    lo_day = int(pd.Timestamp(mm["min(ts)"]).value // 1000) // day_us
+    hi_day = int(pd.Timestamp(mm["max(ts)"]).value // 1000) // day_us
+
+    def to_days(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": pa.array(ts // day_us, pa.int64()),
+            }
+        )
+
+    pairs = distinct_rows(
+        ds.map_batches(to_days, batch_format="pyarrow"), ["user_id", "day"]
+    )
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 7)
+        w = d[rep] + np.tile(np.arange(7, dtype=np.int64), n)
+        keep = w <= hi_day
+        return pa.table(
+            {
+                "report_day": pa.array(w[keep], pa.int64()),
+                "user_id": pa.array(u[rep][keep], pa.int64()),
+            }
+        )
+
+    windowed = distinct_rows(
+        pairs.map_batches(fan_out, batch_format="pyarrow"),
+        ["report_day", "user_id"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["report_day"]).aggregate([([], "count_all")])
+        return agg_select(g, {"report_day": "report_day", "count_all": "wau"})
+
+    out = (
+        windowed.map_batches(partial, batch_format="pyarrow")
+        .groupby("report_day")
+        .aggregate(Sum("wau", alias_name="wau"))
+    )
+
+    def to_ts(b: pa.Table) -> pa.Table:
+        d = b["report_day"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "report_day": pa.array(
+                    (d * day_us).astype("datetime64[us]"), pa.timestamp("us")
+                ),
+                "wau": b["wau"],
+            }
+        )
+
+    return out.map_batches(to_ts, batch_format="pyarrow")
+
+
+WEEKLY_ACTIVE_USERS_SQL = """
+WITH p AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+     bounds AS (SELECT max(date_trunc('day', ts)) AS hi FROM events),
+     f AS (
+       SELECT p.user_id, p.day + to_days(CAST(s.i AS INTEGER)) AS report_day
+       FROM p, generate_series(0, 6) s(i), bounds
+       WHERE p.day + to_days(CAST(s.i AS INTEGER)) <= bounds.hi
+     )
+SELECT CAST(report_day AS TIMESTAMP) AS report_day,
+       count(DISTINCT user_id) AS wau
+FROM f GROUP BY 1
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5785,6 +5936,8 @@ QUERIES = {
     "conv_turn_histogram": conv_turn_histogram,
     "value_zscore_by_type": value_zscore_by_type,
     "leakfree_split": leakfree_split,
+    "type_cooccurrence": type_cooccurrence,
+    "weekly_active_users": weekly_active_users,
 }
 
 ORACLE_SQL = {
@@ -5915,6 +6068,8 @@ ORACLE_SQL = {
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
     "value_zscore_by_type": VALUE_ZSCORE_BY_TYPE_SQL,
     "leakfree_split": _leakfree_split_sql(),
+    "type_cooccurrence": TYPE_COOCCURRENCE_SQL,
+    "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
