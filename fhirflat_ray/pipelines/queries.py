@@ -5798,6 +5798,136 @@ FROM f GROUP BY 1
 
 
 # =====================================================================
+# Wave 18: cyclic date-part seasonality + global quantile bucketing
+# =====================================================================
+
+
+def orders_monthly_seasonality(sf_dir: str):
+    """Cyclic seasonality rollup: order volume and revenue by calendar
+    MONTH-OF-YEAR across all years (the cyclic date-part group that
+    calendar-truncation windows cannot express). Map-only partials with
+    integer cents; 12-row result."""
+    from fhirflat_ray.functions.util import agg_select
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        month = pc.cast(pc.month(b["o_orderdate"]), pa.int64())
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        t = pa.table({"month": month, "cents": cents})
+        g = t.group_by(["month"]).aggregate([([], "count_all"), ("cents", "sum")])
+        return agg_select(
+            g, {"month": "month", "count_all": "n_orders", "cents_sum": "rev_cents"}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("rev_cents", alias_name="rev_cents"),
+        )
+    )
+
+
+ORDERS_MONTHLY_SEASONALITY_SQL = """
+SELECT CAST(month(o_orderdate) AS BIGINT) AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders GROUP BY 1
+"""
+
+
+def user_ltv_deciles(sf_dir: str):
+    """Global quantile bucketing: users ranked by lifetime value (total
+    event value, integer cents) and NTILE'd into 10 deciles; per decile
+    the user count and total cents.
+
+    Scale shape: per-user totals via one bucketed aggregate; the GLOBAL
+    rank comes from the distributed prefix scan ordered by (cents,
+    user_id) — cents-range buckets replace a global sort — and the NTILE
+    boundary is integer arithmetic on (rank, N), mirrored exactly in
+    SQL's first-(n%k)-tiles-larger rule."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+    from fhirflat_ray.functions.windows import global_running
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["value"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        t = pa.table({"user_id": b["user_id"], "cents": cents})
+        g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
+        return agg_select(g, {"user_id": "user_id", "cents_sum": "cents"})
+
+    per_user = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        lambda g: g.groupby("user_id", sort=False, as_index=False).agg(
+            cents=("cents", "sum")
+        ),
+    )
+    n_users = per_user.count()
+
+    ranked = global_running(
+        per_user,
+        ts_col="cents",
+        tiebreak_col="user_id",
+        sum_cols=[],
+        max_cols=[],
+        bucket_width_us=1 << 14,  # cents-range buckets (LTVs span ~10^5-10^6)
+    )
+
+    def decile_partial(b: pa.Table) -> pa.Table:
+        rn = b["rn"].to_numpy(zero_copy_only=False)
+        # SQL NTILE(10): first (n % 10) tiles get ceil(n/10) rows
+        n, k = n_users, 10
+        big = n % k
+        size_big = -(-n // k)
+        size_small = n // k
+        cut = big * size_big
+        dec = np.where(
+            rn <= cut,
+            (rn - 1) // max(1, size_big) + 1,
+            big + (rn - cut - 1) // max(1, size_small) + 1,
+        ).astype(np.int64)
+        t = pa.table({"decile": pa.array(dec, pa.int64()), "cents": b["cents"]})
+        g = t.group_by(["decile"]).aggregate([([], "count_all"), ("cents", "sum")])
+        from fhirflat_ray.functions.util import agg_select as sel
+
+        return sel(
+            g, {"decile": "decile", "count_all": "n_users", "cents_sum": "ltv_cents"}
+        )
+
+    return (
+        ranked.map_batches(decile_partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("ltv_cents", alias_name="ltv_cents"),
+        )
+    )
+
+
+USER_LTV_DECILES_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+),
+r AS (SELECT user_id, cents, ntile(10) OVER (ORDER BY cents, user_id) AS decile FROM u)
+SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS ltv_cents
+FROM r GROUP BY decile
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -5938,6 +6068,8 @@ QUERIES = {
     "leakfree_split": leakfree_split,
     "type_cooccurrence": type_cooccurrence,
     "weekly_active_users": weekly_active_users,
+    "orders_monthly_seasonality": orders_monthly_seasonality,
+    "user_ltv_deciles": user_ltv_deciles,
 }
 
 ORACLE_SQL = {
@@ -6070,6 +6202,8 @@ ORACLE_SQL = {
     "leakfree_split": _leakfree_split_sql(),
     "type_cooccurrence": TYPE_COOCCURRENCE_SQL,
     "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
+    "orders_monthly_seasonality": ORDERS_MONTHLY_SEASONALITY_SQL,
+    "user_ltv_deciles": USER_LTV_DECILES_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
