@@ -5928,6 +5928,119 @@ FROM r GROUP BY decile
 
 
 # =====================================================================
+# Wave 19: first-touch attribution + derived-column exact quantiles
+# =====================================================================
+
+
+def first_touch_attribution(sf_dir: str):
+    """First-touch attribution: every user's purchase revenue attributed
+    to the event type of their FIRST event (ordered by ts, event_id) —
+    the marketing-attribution rollup.
+
+    Scale shape: ONE user-bucket shuffle; inside the bucket the first
+    event per user and the per-user purchase cents are two vectorized
+    groupby passes, emitting one (first_type, cents) partial row per
+    user; a tiny Sum finishes."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type", "value"]
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = g.drop_duplicates("user_id")[["user_id", "event_type"]].rename(
+            columns={"event_type": "first_type"}
+        )
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        rev = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"],
+                    "c": np.where(g["event_type"].to_numpy() == "purchase", cents, 0),
+                }
+            )
+            .groupby("user_id", sort=False, as_index=False)
+            .agg(c=("c", "sum"))
+        )
+        m = first.merge(rev, on="user_id")
+        out = m.groupby("first_type", sort=False).agg(
+            n_users=("user_id", "size"), attributed_cents=("c", "sum")
+        )
+        out = out.reset_index()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        out["attributed_cents"] = out["attributed_cents"].astype(np.int64)
+        return out
+
+    partial = bucketed_map_groups(ds, ["user_id"], per_bucket)
+    return partial.groupby("first_type").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("attributed_cents", alias_name="attributed_cents"),
+    )
+
+
+FIRST_TOUCH_ATTRIBUTION_SQL = """
+WITH f AS (
+  SELECT user_id,
+         first_value(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS first_type
+  FROM events QUALIFY row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) = 1
+),
+r AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+)
+SELECT f.first_type, count(*) AS n_users,
+       CAST(sum(r.c) AS BIGINT) AS attributed_cents
+FROM f JOIN r USING (user_id)
+GROUP BY f.first_type
+"""
+
+
+def gap_quantiles(sf_dir: str):
+    """Exact quantiles of a DERIVED column: p50/p90/p99 of the
+    microsecond gap between a user's consecutive events. The gap
+    derivation is one user-bucket shuffle (vectorized shift per bucket);
+    the quantiles then run as distributed value counts over the derived
+    stream (``functions/quantiles.quantile_disc`` — DuckDB
+    ``quantile_disc`` position semantics)."""
+    from fhirflat_ray.functions.quantiles import quantile_disc
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        gap = np.concatenate([[0], t[1:] - t[:-1]])
+        return pd.DataFrame({"gap_us": gap[same].astype(np.float64)})
+
+    gaps = bucketed_map_groups(ds, ["user_id"], per_bucket)
+    return quantile_disc(gaps, "gap_us", [0.5, 0.9, 0.99])
+
+
+GAP_QUANTILES_SQL = """
+WITH g AS (
+  SELECT CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id)) AS DOUBLE) AS gap_us
+  FROM events
+), v AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+SELECT 0.5 AS q, quantile_disc(gap_us, 0.5) AS value FROM v
+UNION ALL
+SELECT 0.9 AS q, quantile_disc(gap_us, 0.9) AS value FROM v
+UNION ALL
+SELECT 0.99 AS q, quantile_disc(gap_us, 0.99) AS value FROM v
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -6070,6 +6183,8 @@ QUERIES = {
     "weekly_active_users": weekly_active_users,
     "orders_monthly_seasonality": orders_monthly_seasonality,
     "user_ltv_deciles": user_ltv_deciles,
+    "first_touch_attribution": first_touch_attribution,
+    "gap_quantiles": gap_quantiles,
 }
 
 ORACLE_SQL = {
@@ -6204,6 +6319,8 @@ ORACLE_SQL = {
     "weekly_active_users": WEEKLY_ACTIVE_USERS_SQL,
     "orders_monthly_seasonality": ORDERS_MONTHLY_SEASONALITY_SQL,
     "user_ltv_deciles": USER_LTV_DECILES_SQL,
+    "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
+    "gap_quantiles": GAP_QUANTILES_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
