@@ -173,3 +173,27 @@ def test_global_running_prefix_scan(ray_session):
     assert (out["eid"].to_numpy() == tie[order]).all()
     assert (out["run_cents"].to_numpy() == np.cumsum(cents[order])).all()
     assert (out["run_v"].to_numpy() == np.maximum.accumulate(val[order])).all()
+
+
+def test_global_running_rank_only(ray_session):
+    """Prefix scan with no sum/max columns still yields exact global row
+    numbers (the seeded-shuffle/export path)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.windows import global_running
+
+    rng = np.random.default_rng(21)
+    h = rng.permutation(1000).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"h": pa.array(h, pa.int64()), "id": pa.array(np.arange(1000), pa.int64())})
+    ).repartition(5)
+    out = (
+        global_running(ds, ts_col="h", tiebreak_col="id", sum_cols=[], max_cols=[],
+                       bucket_width_us=100)
+        .to_pandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    assert out["rn"].tolist() == list(range(1, 1001))

@@ -347,3 +347,27 @@ def test_bucketed_range_join_matches_broadcast(ray_session):
     )
     assert len(got) == len(want) and len(got) > 2_000  # overlaps fan out
     assert (got[["eid", "interval_id"]].to_numpy() == want[["eid", "interval_id"]].to_numpy()).all()
+
+
+def test_bucketed_range_join_replication_guard():
+    """An interval spanning vastly more buckets than the cap raises
+    instead of silently exploding the tagged side."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import bucketed_range_join
+
+    ev = rd.from_arrow(pa.table({"ts": pa.array([5], pa.int64())}))
+    iv = rd.from_arrow(
+        pa.table(
+            {
+                "interval_id": pa.array([0], pa.int64()),
+                "start_us": pa.array([0], pa.int64()),
+                "end_us": pa.array([10**15], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="replication blow-up"):
+        bucketed_range_join(ev, iv, "ts", bucket_width_us=1, n_buckets_cap=4).take_all()
