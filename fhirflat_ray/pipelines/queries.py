@@ -6041,6 +6041,101 @@ SELECT 0.99 AS q, quantile_disc(gap_us, 0.99) AS value FROM v
 
 
 # =====================================================================
+# Wave 20: flagship transcript-curation composition
+# =====================================================================
+
+_PREP_BUDGET = 64  # tokens per packed training chunk
+
+
+def transcript_prep(sf_dir: str):
+    """FLAGSHIP transcript curation, end to end in one streaming pipeline
+    (the payload-native sibling of ``corpus_prep``): build transcripts →
+    keep only STRICTLY ALTERNATING dialogues → conversation-level exact
+    dedup (min conv survives) → per-conversation token totals + packed
+    chunk counts at a fixed context budget.
+
+    Scale shape: ONE user-bucket pass derives per-conversation content
+    hash, alternation breaks, and token totals (everything fused into the
+    transcript build — no second corpus shuffle); the dedup ships only
+    (hash, conv, tokens) through one narrow keep-min shuffle. The whole
+    multi-stage composition sits under a single SQL oracle."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        import pandas.util as pdu
+
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        same_conv = np.concatenate([[False], conv[1:] == conv[:-1]])
+        brk = (same_conv & (role == np.concatenate([[""], role[:-1]]))).astype(np.int64)
+        toks = (
+            pd.Series(g["text"].to_numpy()).str.count(r"\S+").to_numpy(np.int64)
+        )
+        content = pd.Series(role).str.cat(pd.Series(g["text"].to_numpy()), sep="|")
+        d = pd.DataFrame(
+            {"conv_id": conv, "brk": brk, "tok": toks, "piece": content}
+        )
+        agg = d.groupby("conv_id", sort=False).agg(
+            breaks=("brk", "sum"),
+            n_turns=("brk", "size"),
+            n_tokens=("tok", "sum"),
+            content=("piece", lambda s: "\x1f".join(s)),
+        )
+        agg = agg.reset_index()
+        h = (
+            pdu.hash_array(agg["content"].to_numpy(object)) >> np.uint64(1)
+        ).astype(np.int64)
+        # dialogue-quality gate: fewer than half the turns break alternation
+        keep = (agg["breaks"].to_numpy() * 2 < agg["n_turns"].to_numpy())
+        out = agg[keep][["conv_id", "n_tokens"]].copy()
+        out["h"] = h[keep]
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out[["h", "conv_id", "n_tokens"]]
+
+    convs = _transcript_grouped(
+        sf_dir, per_conv, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "conv_id"], kind="mergesort").drop_duplicates("h")
+        out = g[["conv_id", "n_tokens"]].copy()
+        out["n_chunks"] = (out["n_tokens"] + _PREP_BUDGET - 1) // _PREP_BUDGET
+        return out
+
+    return bucketed_map_groups(convs, ["h"], keep_min)
+
+
+TRANSCRIPT_PREP_SQL = f"""
+WITH t AS ({TRANSCRIPT_BUILD_SQL}),
+per_turn AS (
+  SELECT conv_id, turn_idx, role, text,
+         CASE WHEN role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 1 ELSE 0 END AS brk,
+         length(regexp_extract_all(text, '\\S+')) AS tok
+  FROM t
+),
+per_conv AS (
+  SELECT conv_id,
+         CAST(sum(brk) AS BIGINT) AS breaks,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(tok) AS BIGINT) AS n_tokens,
+         string_agg(role || '|' || text, chr(31) ORDER BY turn_idx) AS content
+  FROM per_turn GROUP BY conv_id
+),
+clean AS (SELECT * FROM per_conv WHERE breaks * 2 < n_turns),
+dedup AS (
+  SELECT conv_id, n_tokens,
+         min(conv_id) OVER (PARTITION BY content) AS canon
+  FROM clean
+)
+SELECT conv_id, n_tokens,
+       CAST((n_tokens + {_PREP_BUDGET} - 1) // {_PREP_BUDGET} AS BIGINT) AS n_chunks
+FROM dedup WHERE conv_id = canon
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -6185,6 +6280,7 @@ QUERIES = {
     "user_ltv_deciles": user_ltv_deciles,
     "first_touch_attribution": first_touch_attribution,
     "gap_quantiles": gap_quantiles,
+    "transcript_prep": transcript_prep,
 }
 
 ORACLE_SQL = {
@@ -6321,6 +6417,7 @@ ORACLE_SQL = {
     "user_ltv_deciles": USER_LTV_DECILES_SQL,
     "first_touch_attribution": FIRST_TOUCH_ATTRIBUTION_SQL,
     "gap_quantiles": GAP_QUANTILES_SQL,
+    "transcript_prep": TRANSCRIPT_PREP_SQL,
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
