@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "bloom_semi_orders",
     "fuzzy_block_join",
     "pagerank_partsupp",
+    "transcript_prep",
 ]
 
 
