@@ -472,3 +472,112 @@ def encoded_grouped_sum(seg_dir: str, key_column: str, value_column: str):
         )
 
     return bucketed_map_groups(partials, [key_column], combine)
+
+
+# ------------------------------------------------- two-column GROUP BY
+
+
+def _dict_codes_and_vocab(
+    path: str,
+    payload_off: int,
+    col: dict[str, Any],
+    dict_store: dict[str, pa.Array] | None,
+) -> tuple[np.ndarray, pa.Array] | None:
+    """(codes, vocab) for a null-free dict-coded string column, or None if
+    the column doesn't qualify for the encoded-domain fast path."""
+    hdr = col["hdr"]
+    sh = hdr.get("h")
+    if not (
+        hdr.get("c") == "str"
+        and "valid_len" not in hdr
+        and isinstance(sh, dict)
+        and sh.get("c") == "dict"
+    ):
+        return None
+    blob = _read_col_blob(path, payload_off, col)
+    nb = sh["codes"]["len"]
+    codes = decode_ints(sh["codes"]["h"], blob[:nb], hdr["n"])
+    if "shared" in sh:
+        if not dict_store or sh["shared"] not in dict_store:
+            raise KeyError(f"shared dictionary {sh['shared']} not in store")
+        vocab = dict_store[sh["shared"]]
+    else:
+        vocab = decode_plain(sh["vocab"]["h"], blob[nb:], sh["vocab"]["n"])
+    return np.asarray(codes, dtype=np.int64), vocab
+
+
+def segment_pair_counts(
+    path: str,
+    col_a: str,
+    col_b: str,
+    dict_store: dict[str, pa.Array] | None = None,
+) -> pa.Table:
+    """One segment's ``(a, b, n)`` partial for ``GROUP BY a, b → COUNT(*)``.
+
+    Fast path: both columns null-free dict-coded — the cross-tab is one
+    ``bincount`` over the fused code ``code_a * |vocab_b| + code_b``; the
+    int code streams decode (cheap) but no string value of either column
+    ever materializes until the vocab-bounded result rows. Fallback: pruned
+    two-column decode + Arrow ``group_by`` (same answer)."""
+    header, payload_off = seg.read_segment_header(path)
+    ca, cb = _find_column(header, col_a), _find_column(header, col_b)
+    fa = _dict_codes_and_vocab(path, payload_off, ca, dict_store)
+    fb = _dict_codes_and_vocab(path, payload_off, cb, dict_store)
+    if fa is not None and fb is not None:
+        codes_a, vocab_a = fa
+        codes_b, vocab_b = fb
+        mb = len(vocab_b)
+        fused = codes_a * np.int64(mb) + codes_b
+        counts = np.bincount(fused, minlength=len(vocab_a) * mb)
+        idx = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                col_a: vocab_a.cast(pa.string()).take(pa.array(idx // mb)),
+                col_b: vocab_b.cast(pa.string()).take(pa.array(idx % mb)),
+                "n": pa.array(counts[idx], pa.int64()),
+            }
+        )
+    tbl = seg.read_segment(path, dict_store, columns=[col_a, col_b])
+    g = tbl.group_by([col_a, col_b]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            col_a: g[col_a].cast(pa.string()),
+            col_b: g[col_b].cast(pa.string()),
+            "n": g["count_all"].cast(pa.int64()),
+        }
+    )
+
+
+def encoded_pair_counts(seg_dir: str, col_a: str, col_b: str):
+    """Distributed ``GROUP BY col_a, col_b → COUNT(*)`` over encoded
+    segments — the two-column cross-tab (role × tool matrix of a transcript
+    corpus) answered from fused dictionary code streams; one task per
+    segment, vocab²-bounded partials, bucketed sum combine."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import bucketed_map_groups
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    paths = segment_paths(seg_dir)
+    if not paths:
+        raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        return pa.concat_tables(
+            [segment_pair_counts(str(p), col_a, col_b, store) for p in batch["item"]]
+        )
+
+    partials = rd.from_items(paths).map_batches(
+        partial, batch_size=1, batch_format="numpy", num_cpus=1
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([col_a, col_b], sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    return bucketed_map_groups(partials, [col_a, col_b], combine)

@@ -5380,6 +5380,137 @@ FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY role
 """
 
 
+def role_tool_counts_encoded(sf_dir: str):
+    """Two-column GROUP BY (role × tool cross-tab) pushed INTO the encoded
+    format: both dictionary code streams decode as ints, fuse into one
+    composite code, and a single ``bincount`` per segment produces the
+    vocab²-bounded partial — neither string column ever materializes
+    (``encoded_agg.segment_pair_counts``). role is shared-dict (manifest
+    store) and tool local-dict, so one query exercises both vocab paths."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_pair_counts
+
+    return encoded_pair_counts(_transcript_segdir(sf_dir, "pc2"), "role", "tool")
+
+
+ROLE_TOOL_COUNTS_ENCODED_SQL = f"""
+SELECT role, tool, COUNT(*) AS n
+FROM ({TRANSCRIPT_BUILD_SQL}) GROUP BY role, tool
+"""
+
+
+def table_diff_events(sf_dir: str):
+    """Row-granular table reconciliation: diff the events table against a
+    deterministically mutated successor (every id%7 row's value bumped,
+    id%13 rows deleted, id%97 rows re-inserted at id+1e9) and report each
+    key as added / removed / changed. The exchange ships (key, 64-bit
+    payload digest) only — 16 bytes/row regardless of payload width — and
+    the output is change-proportional (``functions/diff.py:table_diff``).
+    The reference can only say two FOLDERS differ via sha256sums.txt
+    (/root/reference/fhirflat/ingest.py:381-432); this is the row-level
+    audit a merge/replication pipeline needs."""
+    from fhirflat_ray.functions.diff import table_diff
+
+    cols = ["event_id", "value", "event_type", "props"]
+    old = _read(sf_dir, "events", columns=cols)
+
+    def mutate(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(ids % 13 != 0))
+        kids = kept["event_id"].to_numpy(zero_copy_only=False)
+        vals = kept["value"].to_numpy(zero_copy_only=False).copy()
+        upd = kids % 7 == 0
+        vals[upd] = vals[upd] + 1000.0
+        kept = kept.set_column(
+            kept.schema.get_field_index("value"), "value", pa.array(vals, pa.float64())
+        )
+        added = b.filter(pa.array(ids % 97 == 0))
+        added = added.set_column(
+            added.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(added["event_id"], pa.scalar(1_000_000_000, pa.int64())),
+        )
+        return pa.concat_tables([kept, added])
+
+    new = _read(sf_dir, "events", columns=cols).map_batches(
+        mutate, batch_format="pyarrow"
+    )
+    return table_diff(old, new, "event_id", ["value", "event_type", "props"])
+
+
+TABLE_DIFF_EVENTS_SQL = """
+WITH o AS (SELECT event_id, value, event_type, props FROM events),
+n AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END AS value,
+         event_type, props
+  FROM events WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000 AS event_id, value, event_type, props
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+WHERE o.event_id IS NULL OR n.event_id IS NULL
+   OR o.value IS DISTINCT FROM n.value
+   OR o.event_type IS DISTINCT FROM n.event_type
+   OR o.props IS DISTINCT FROM n.props
+"""
+
+
+def mode_event_type(sf_dir: str):
+    """Per-user MODE (most frequent event type, ties broken to the
+    lexicographically smallest type — the deterministic tie-break SQL's
+    ROW_NUMBER ORDER BY encodes). Per-batch Arrow partial counts shrink the
+    shuffle to one row per in-batch (user, type); the bucketed combine
+    resolves the argmax with one vectorized stable sort per bucket."""
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"user_id": "user_id", "event_type": "event_type", "count_all": "n"}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        c = c.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": c["user_id"].to_numpy(np.int64),
+                "mode_type": c["event_type"].to_numpy(),
+                "n": c["n"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(partials, ["user_id"], pick)
+
+
+MODE_EVENT_TYPE_SQL = """
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
 # =====================================================================
 # Wave 16: corpus normalization, dedup provenance mapping, conversation
 # length distribution, per-group standardization
@@ -6269,6 +6400,9 @@ QUERIES = {
     "turn_sum_encoded": turn_sum_encoded,
     "export_shards": export_shards,
     "role_turn_sum_encoded": role_turn_sum_encoded,
+    "role_tool_counts_encoded": role_tool_counts_encoded,
+    "table_diff_events": table_diff_events,
+    "mode_event_type": mode_event_type,
     "normalize_text": normalize_text,
     "dedup_mapping": dedup_mapping,
     "conv_turn_histogram": conv_turn_histogram,
@@ -6406,6 +6540,9 @@ ORACLE_SQL = {
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
     "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,
+    "role_tool_counts_encoded": ROLE_TOOL_COUNTS_ENCODED_SQL,
+    "table_diff_events": TABLE_DIFF_EVENTS_SQL,
+    "mode_event_type": MODE_EVENT_TYPE_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "dedup_mapping": DEDUP_MAPPING_SQL,
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,

@@ -228,3 +228,48 @@ def test_segment_grouped_sum_fast_and_fallback(ray_session, tmp_path):
     for k in "abc":
         m = keys == k
         assert got2.loc[k, "s"] == vv[m].sum()
+
+
+def test_pair_counts_fast_path_and_fallback(seg_dir):
+    out, df = seg_dir
+    # role is shared-dict, tool local-dict: fused-code fast path on both
+    got = (
+        ea.encoded_pair_counts(out, "role", "tool")
+        .to_pandas()
+        .sort_values(["role", "tool"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby(["role", "tool"]).size().reset_index(name="n")
+        .sort_values(["role", "tool"]).reset_index(drop=True)
+    )
+    assert got["role"].tolist() == exp["role"].tolist()
+    assert got["tool"].tolist() == exp["tool"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    # text is FSST/plain-coded -> generic two-column decode path, same shape
+    got2 = ea.encoded_pair_counts(out, "role", "text").to_pandas()
+    exp2 = df.groupby(["role", "text"]).size().reset_index(name="n")
+    assert int(got2["n"].sum()) == len(df) and len(got2) == len(exp2)
+
+
+def test_pair_counts_null_fallback(ray_session):
+    work = os.path.join(WORK, "pair_nulls")
+    shutil.rmtree(work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    a = ["x", "x", None, "y"] * 50
+    b = ["p", None, "q", "q"] * 50
+    pq.write_table(
+        pa.table({"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string())}),
+        os.path.join(src, "t.parquet"),
+    )
+    from fhirflat_ray.pipelines import encode as enc
+
+    out = os.path.join(work, "enc")
+    enc.encode_files(src, out, sort_keys=None, target_rows=64)
+    got = ea.encoded_pair_counts(out, "a", "b").to_pandas()
+    by = {
+        (None if pd.isna(x) else x, None if pd.isna(y) else y): int(n)
+        for x, y, n in zip(got["a"], got["b"], got["n"])
+    }
+    assert by == {("x", "p"): 50, ("x", None): 50, (None, "q"): 50, ("y", "q"): 50}
