@@ -2958,6 +2958,94 @@ SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 
+def snapshot_diff(sf_dir: str):
+    """CDC over the lakehouse stack: encode events, freeze snapshot v1,
+    mutate the live table (zone-routed upsert of every id%7 value, insert
+    id%97 rows at id+1e9, delete id%13 keys), then ``table_diff`` the
+    DECODED snapshot against the DECODED live table — the
+    "what changed since version N" question a downstream consumer asks
+    before an incremental sync. Both diff inputs stream out of the encoded
+    format (snapshot hardlinks keep the pre-mutation inodes alive) and the
+    diff exchange ships (key, digest) only; the result is exactly the
+    mutation that was applied, change-proportional."""
+    from fhirflat_ray.functions.diff import table_diff
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+    from fhirflat_ray.pipelines import snapshots as snap
+    from fhirflat_ray.pipelines.merge import merge_delete, merge_upsert
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_sd", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("event_id",), target_rows=2048)
+    snap.create_snapshot(seg_dir, note="pre-mutation")
+
+    def make_changes(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        upd = batch.filter(pa.array(ids % 7 == 0))
+        upd = upd.set_column(
+            upd.schema.get_field_index("value"),
+            "value",
+            pc.add(upd["value"], pa.scalar(1000.0, pa.float64())),
+        )
+        new = batch.filter(pa.array(ids % 97 == 0))
+        new = new.set_column(
+            new.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(new["event_id"], pa.scalar(1_000_000_000, pa.int64())),
+        )
+        return pa.concat_tables([upd, new])
+
+    merge_upsert(
+        seg_dir,
+        _read(sf_dir, "events").map_batches(make_changes, batch_format="pyarrow"),
+        "event_id",
+    )
+
+    def pick_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        return batch.select(["event_id"]).filter(pa.array(ids % 13 == 0))
+
+    merge_delete(
+        seg_dir,
+        _read(sf_dir, "events", columns=["event_id"]).map_batches(
+            pick_keys, batch_format="pyarrow"
+        ),
+        "event_id",
+    )
+    old = dec.decode_dataset(snap.snapshot_path(seg_dir, 1))
+    new = dec.decode_dataset(seg_dir)
+    return table_diff(
+        old, new, "event_id", ["ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH live AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1000.0 ELSE value END AS value
+  FROM events WHERE event_id % 13 <> 0
+  UNION ALL
+  SELECT event_id + 1000000000 AS event_id, value FROM events WHERE event_id % 97 = 0
+)
+SELECT COALESCE(s.event_id, l.event_id) AS event_id,
+       CASE WHEN s.event_id IS NULL THEN 'added'
+            WHEN l.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM events s FULL OUTER JOIN live l ON s.event_id = l.event_id
+WHERE s.event_id IS NULL OR l.event_id IS NULL
+   OR s.value IS DISTINCT FROM l.value
+"""
+
+
 def schema_evolve(sf_dir: str):
     """Catalog-only ALTER TABLE on the encoded format: encode events, then
     ADD COLUMN source_tag DEFAULT 'batch-a', RENAME props → props_json,
@@ -5511,6 +5599,81 @@ SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n FROM (
 """
 
 
+def data_mixture(sf_dir: str):
+    """Data-mixture construction: per detected language, greedily keep the
+    highest-quality documents until a fixed token budget fills — the
+    "sample X tokens per language" step that turns a raw corpus into a
+    training mixture. Quality rank is the integer alpha-character count
+    (exact in both engines; float-ratio ordering would be bit-fragile),
+    tie-broken by doc_id; the budget cut is the inclusive running token sum.
+
+    Shape: one map-only scoring pass (LangId actor + Arrow regex counts) →
+    shuffle of 4 narrow columns keyed by language → one vectorized
+    sort+cumsum per bucket. A language is a coarse natural partition; the
+    per-language prefix scan is inherently sequential in rank order, but
+    only (doc_id, lang, 2 ints) ever shuffles and at extreme scale the same
+    cut runs as a two-pass distributed prefix scan per language
+    (``functions/windows.py:global_running``)."""
+    from fhirflat_ray.functions.text import LangId, token_count_batch
+    from fhirflat_ray.functions.util import bucketed_map_groups, worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lang = ds.map_batches(worker_cached_stage(LangId), batch_format="pyarrow")
+
+    def feats(b: pa.Table) -> pa.Table:
+        b = token_count_batch(b)
+        n_alpha = pc.cast(
+            pc.count_substring_regex(pc.fill_null(b["text"], ""), "[A-Za-z]"),
+            pa.int64(),
+        )
+        return b.append_column("n_alpha", n_alpha).select(
+            ["doc_id", "lang_pred", "n_tokens", "n_alpha"]
+        )
+
+    scored = lang.map_batches(feats, batch_format="pyarrow")
+
+    budget = 4000
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["lang_pred", "n_alpha", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        cum = g.groupby("lang_pred", sort=False)["n_tokens"].cumsum()
+        keep = (cum <= budget).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+                "lang": g["lang_pred"].to_numpy()[keep],
+                "cum_tokens": cum.to_numpy(np.int64)[keep],
+            }
+        )
+
+    return bucketed_map_groups(scored, ["lang_pred"], pick)
+
+
+DATA_MIXTURE_SQL = f"""
+WITH lang AS ({LANG_ID_SQL}),
+feat AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+  FROM documents
+),
+c AS (
+  SELECT f.doc_id, l.lang_pred AS lang,
+         SUM(f.n_tokens) OVER (
+           PARTITION BY l.lang_pred
+           ORDER BY f.n_alpha DESC, f.doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM feat f JOIN lang l USING (doc_id)
+)
+SELECT doc_id, lang, CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= 4000
+"""
+
+
 # =====================================================================
 # Wave 16: corpus normalization, dedup provenance mapping, conversation
 # length distribution, per-group standardization
@@ -6403,6 +6566,8 @@ QUERIES = {
     "role_tool_counts_encoded": role_tool_counts_encoded,
     "table_diff_events": table_diff_events,
     "mode_event_type": mode_event_type,
+    "data_mixture": data_mixture,
+    "snapshot_diff": snapshot_diff,
     "normalize_text": normalize_text,
     "dedup_mapping": dedup_mapping,
     "conv_turn_histogram": conv_turn_histogram,
@@ -6543,6 +6708,8 @@ ORACLE_SQL = {
     "role_tool_counts_encoded": ROLE_TOOL_COUNTS_ENCODED_SQL,
     "table_diff_events": TABLE_DIFF_EVENTS_SQL,
     "mode_event_type": MODE_EVENT_TYPE_SQL,
+    "data_mixture": DATA_MIXTURE_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "dedup_mapping": DEDUP_MAPPING_SQL,
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
