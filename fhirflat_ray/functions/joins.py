@@ -155,12 +155,20 @@ def bucketed_asof_join(
     by_right: str,
     right_value_cols: list[str],
     n_buckets: int | None = None,
+    dedupe_right: bool = False,
 ):
     """As-of join for TWO LARGE SIDES (the scale path broadcast_asof_join
     documents): hash-bucket both sides on the join key — one narrow shuffle
     each, no side ever materializes — then run ONE vectorized
     ``pd.merge_asof(by=key)`` per bucket, which handles every key in the
     bucket in a single C pass.
+
+    ``dedupe_right=True`` drops duplicate ``(by_right, right_on)`` rows on
+    the right side INSIDE the bucket kernel. Because hash co-partitioning
+    already lands every row of a key in one bucket, this is exactly
+    equivalent to a global distinct over those two columns — but it costs
+    zero extra shuffles, where a ``distinct_rows`` pre-pass would exchange
+    the whole right table a second time.
 
     Partitioning assumption: all rows of one key land in one bucket (hash
     co-partitioning), so a single key's rows must fit in a worker — the
@@ -240,6 +248,8 @@ def bucketed_asof_join(
         ldt = left[left_on].dtype
         if right[right_on].dtype != ldt:
             right = right.assign(**{right_on: right[right_on].astype(ldt)})
+        if dedupe_right:
+            right = right.drop_duplicates([by_right, right_on])
         right = right.sort_values(right_on, kind="mergesort")
         merged = pd.merge_asof(
             left,

@@ -737,11 +737,12 @@ def asof_join_bucketed(sf_dir: str):
     driver-materialized), one vectorized ``merge_asof`` per bucket. Same
     oracle as ``asof_join`` — the two paths must be indistinguishable."""
     from fhirflat_ray.functions.joins import bucketed_asof_join
-    from fhirflat_ray.functions.util import distinct_rows
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
-    # dedupe (key, ts) ties so the matched order_ts is deterministic
-    orders = distinct_rows(orders, ["o_custkey", "o_orderdate"]).map_batches(
+    # (key, ts) ties are deduped INSIDE the bucket kernel (dedupe_right) —
+    # hash co-partitioning makes that equivalent to a global distinct but
+    # saves re-shuffling the whole orders table through a distinct pre-pass
+    orders = orders.map_batches(
         lambda b: b.rename_columns(
             ["order_ts" if c == "o_orderdate" else c for c in b.column_names]
         ),
@@ -756,6 +757,7 @@ def asof_join_bucketed(sf_dir: str):
         by_left="user_id",
         by_right="o_custkey",
         right_value_cols=[],
+        dedupe_right=True,
     )
     return out.select_columns(["event_id", "order_ts"])
 
