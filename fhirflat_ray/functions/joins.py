@@ -393,6 +393,7 @@ def bloom_semi_join(
     n_bits: int = 1 << 20,
     k_hashes: int = 3,
     num_partitions: int = 16,
+    keys_distinct: bool = False,
 ):
     """Semi join of a LARGE corpus against a LARGE key set via a Bloom
     pre-filter: keep rows of ``ds`` whose ``on`` appears in
@@ -443,8 +444,13 @@ def bloom_semi_join(
     candidates = ds.map_batches(prefilter, batch_format="pyarrow")
 
     # exact verification: false positives drop in a distributed hash join
-    # over the (small) candidate set and the pre-deduped key set
-    keys = distinct_rows(keys_ds.select_columns([right_on]), [right_on])
+    # over the (small) candidate set and the pre-deduped key set.
+    # keys_distinct=True (caller guarantees the key column is unique, e.g.
+    # a primary key) skips the distinct shuffle entirely — the key set
+    # feeds the join straight from the pruned read.
+    keys = keys_ds.select_columns([right_on])
+    if not keys_distinct:
+        keys = distinct_rows(keys, [right_on])
     key_field = next(f for f in _dataset_fields(keys_ds) if f.name == right_on)
     target = pa.schema([key_field])
 

@@ -4450,7 +4450,12 @@ def bloom_semi_orders(sf_dir: str):
     )
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
     semi = bloom_semi_join(
-        li, keys, on="l_orderkey", right_on="o_orderkey", num_partitions=n_parts
+        li,
+        keys,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=n_parts,
+        keys_distinct=True,  # o_orderkey is the orders primary key
     )
 
     def partial(b: pa.Table) -> pa.Table:
