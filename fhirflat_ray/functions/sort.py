@@ -1,0 +1,141 @@
+"""Range-partitioned global sort (the terasort shape).
+
+The engine's other ordered operators deliberately avoid a global sort
+(``streaming_topk``, hash-rank prefix scans); this module is for when the
+ORDER ITSELF is the product — curriculum-ordered training shards, sorted
+exports, merge-ready runs. The classic distributed recipe (public since
+TeraSort / Dewitt et al.):
+
+1. **Sample** the key column at a fixed hash-derived rate (block-invariant,
+   so the same rows are sampled on any partitioning) — one narrow map pass.
+2. **Split points** = quantiles of the sorted sample on the driver. Sampled
+   splits keep ranges balanced under SKEWED key distributions, where the
+   fixed-width buckets of ``global_running`` would collapse into one hot
+   bucket.
+3. **Count pass** (map-only, key column only): exact per-range row counts;
+   the driver folds them into exclusive prefix offsets (bounded: one row
+   per range).
+4. **One range shuffle**: each range sorts locally by ``(key, *tiebreak)``
+   and adds its offset — every row gets its exact global rank with ONE
+   all-to-all over the data, and the output ranges are contiguous key
+   intervals, so concatenating them in range order IS the sorted table.
+
+Exactness: ranks do not depend on where the splits landed (splits only
+balance work); ties of the key sort within one range because assignment is
+by key value. Rows with equal ``(key, *tiebreak)`` would be orderable
+either way — callers pass a unique tiebreak for full determinism.
+
+Scale note: at 100 TB the sample pass reads only the key column
+(``columns=`` pruned reads upstream) and the collected sample is
+``rate x n`` keys — tune ``sample_rate`` so that stays driver-bounded
+(a 2^-16 rate over 10^12 rows is ~15M keys); the count table is one row
+per range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed int64
+
+
+def _key_bits(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """int64 bit-pattern view of a numeric/timestamp key column (for the
+    deterministic sample hash; signed int64 math only — unsigned numpy ops
+    are pathologically slow on this host, see the codec modules)."""
+    if isinstance(arr, (pa.ChunkedArray, pa.Array)):
+        if pa.types.is_timestamp(arr.type):
+            arr = arr.cast(pa.int64())
+        vals = arr.to_numpy(zero_copy_only=False)
+    else:
+        vals = np.asarray(arr)
+    if vals.dtype == np.float64:
+        return vals.view(np.int64)
+    return vals.astype(np.int64)
+
+
+def range_partition_sort(
+    ds,
+    key_col: str,
+    tiebreak_cols: list[str],
+    n_ranges: int | None = None,
+    sample_rate_log2: int = 6,
+    n_shards: int | None = None,
+):
+    """Globally sort ``ds`` by ``(key_col, *tiebreak_cols)`` ascending via
+    sampled range partitioning. Returns the input rows plus ``pos`` (exact
+    0-based global rank) and, when ``n_shards`` is given, ``shard`` —
+    contiguous balanced shards ``pos * n_shards // total`` (SQL-mirrorable
+    integer math).
+
+    ``sample_rate_log2``: sample ~1/2^k of distinct key values (hash of the
+    key's bit pattern, so the sample is block- and duplicate-invariant)."""
+    from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
+
+    if n_ranges is None:
+        n_ranges = default_num_buckets()
+    mask = np.int64((1 << sample_rate_log2) - 1)
+
+    def sample(b: pa.Table) -> pa.Table:
+        bits = _key_bits(b[key_col])
+        h = bits * _MIX  # wraps mod 2^64: deterministic mix
+        keep = ((h >> np.int64(17)) & mask) == 0
+        return pa.table({key_col: b[key_col].filter(pa.array(keep))})
+
+    sampled = collect_small_table(
+        ds.select_columns([key_col]).map_batches(sample, batch_format="pyarrow")
+    )
+    keys = np.sort(sampled[key_col].to_numpy(zero_copy_only=False))
+    if len(keys) == 0:
+        splits = keys[:0]
+    else:
+        idx = (np.arange(1, n_ranges) * len(keys)) // n_ranges
+        splits = np.unique(keys[idx])
+
+    def assign(b: pa.Table) -> pa.Table:
+        kv = b[key_col].to_numpy(zero_copy_only=False)
+        rng = np.searchsorted(splits, kv, side="right").astype(np.int64)
+        return b.append_column("__range", pa.array(rng, pa.int64()))
+
+    # exact per-range counts (narrow pass) -> exclusive prefix offsets
+    def count_partial(b: pa.Table) -> pa.Table:
+        return (
+            assign(b.select([key_col]))
+            .select(["__range"])
+            .group_by(["__range"])
+            .aggregate([([], "count_all")])
+        )
+
+    cnt = (
+        collect_small_table(
+            ds.select_columns([key_col]).map_batches(
+                count_partial, batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .groupby("__range", sort=True)["count_all"]
+        .sum()
+    )
+    range_ids = cnt.index.to_numpy().astype(np.int64)
+    counts = cnt.to_numpy().astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+
+    sort_cols = [key_col] + list(tiebreak_cols)
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        rid = int(g["__range"].iloc[0])
+        off = int(offsets[np.searchsorted(range_ids, rid)])
+        g["pos"] = off + np.arange(len(g), dtype=np.int64)
+        if n_shards is not None:
+            g["shard"] = (g["pos"].to_numpy() * n_shards) // total
+        return g.drop(columns="__range")
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("__range")
+        .map_groups(per_range, batch_format="pandas")
+    )

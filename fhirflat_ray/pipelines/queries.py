@@ -5431,6 +5431,39 @@ FROM r GROUP BY 1
 """
 
 
+def sorted_export(sf_dir: str):
+    """Range-partitioned GLOBAL sort (the terasort shape): every event gets
+    its exact global rank under (value, event_id) order plus a contiguous
+    balanced shard id — the curriculum-ordered export a training run needs
+    when the ORDER is the product (vs ``export_shards``' order-free
+    shuffle).
+
+    Scale shape (``functions/sort.py:range_partition_sort``): sampled split
+    points keep ranges balanced under the zipf-skewed value distribution;
+    exact per-range counts fold to prefix offsets on the driver (one row
+    per range); ONE all-to-all moves the data; ranks are exact regardless
+    of where the splits landed."""
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    out = range_partition_sort(
+        ds, key_col="value", tiebreak_cols=["event_id"], n_shards=16
+    )
+    return out.select_columns(["event_id", "pos", "shard"])
+
+
+SORTED_EXPORT_SQL = """
+WITH r AS (
+  SELECT event_id,
+         row_number() OVER (ORDER BY value, event_id) - 1 AS pos
+  FROM events
+)
+SELECT event_id, CAST(pos AS BIGINT) AS pos,
+       CAST((pos * 16) // (SELECT count(*) FROM events) AS BIGINT) AS shard
+FROM r
+"""
+
+
 def turn_sum_encoded(sf_dir: str):
     """SUM pushed INTO the encoded format: total turn_idx + row count
     computed from per-codec closed forms over the encoded int stream —
@@ -6567,6 +6600,7 @@ QUERIES = {
     "running_totals": running_totals,
     "merge_intervals": merge_intervals,
     "asof_join_forward": asof_join_forward,
+    "sorted_export": sorted_export,
     "turn_sum_encoded": turn_sum_encoded,
     "export_shards": export_shards,
     "role_turn_sum_encoded": role_turn_sum_encoded,
@@ -6709,6 +6743,7 @@ ORACLE_SQL = {
     "running_totals": RUNNING_TOTALS_SQL,
     "merge_intervals": MERGE_INTERVALS_SQL,
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
+    "sorted_export": SORTED_EXPORT_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
     "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,

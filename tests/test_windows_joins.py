@@ -371,3 +371,63 @@ def test_bucketed_range_join_replication_guard():
     )
     with pytest.raises(Exception, match="replication blow-up"):
         bucketed_range_join(ev, iv, "ts", bucket_width_us=1, n_buckets_cap=4).take_all()
+
+
+def test_range_partition_sort_exact_ranks_under_skew():
+    """Zipf-skewed keys: global ranks must equal the reference argsort, and
+    the sampled splits must keep ranges balanced (no range swallows the
+    corpus the way fixed-width buckets would under this skew)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    vals = rng.zipf(1.3, size=n).astype(np.float64) + rng.random(n)  # heavy tail
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": ids, "v": vals})
+    ds = rd.from_arrow(t).repartition(8)
+
+    out = (
+        range_partition_sort(ds, key_col="v", tiebreak_cols=["id"], n_ranges=16, n_shards=4)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((ids, vals))
+    assert (out["pos"].to_numpy() == np.arange(n)).all()
+    assert (out["id"].to_numpy() == ids[order]).all()
+    # contiguous balanced shards from integer math
+    assert (out["shard"].to_numpy() == (np.arange(n) * 4) // n).all()
+    # sorted-by-pos implies sorted by (v, id)
+    v_sorted = out["v"].to_numpy()
+    assert (np.diff(v_sorted) >= 0).all()
+
+
+def test_range_partition_sort_duplicate_heavy_keys():
+    """Massive key duplication (one value = 40% of rows): assignment by
+    value keeps ties in ONE range so ranks stay exact; degenerate splits
+    dedupe instead of creating empty ranges."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    vals = np.where(rng.random(n) < 0.4, 5.0, rng.integers(0, 50, n).astype(np.float64))
+    ids = rng.permutation(n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"id": ids, "v": vals})).repartition(6)
+
+    out = (
+        range_partition_sort(ds, key_col="v", tiebreak_cols=["id"], n_ranges=8)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((ids, vals))
+    assert (out["id"].to_numpy() == ids[order]).all()
+    assert (out["v"].to_numpy() == vals[order]).all()
