@@ -1002,6 +1002,46 @@ SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) = node
 """
 
 
+def jaccard_join_exact(sf_dir: str):
+    """EXACT all-pairs set-similarity self-join (prefix filtering, the
+    AllPairs/PPJoin principle): every document pair whose word-5-shingle
+    sets have Jaccard >= 7/10, no probabilistic stage anywhere — the exact
+    counterpart of the MinHash-LSH candidate path, under a full oracle.
+
+    Scale shape (``functions/setjoin.py:prefix_jaccard_join``): distributed
+    df combine -> bounded top-K common-token broadcast (ordering affects
+    only candidate volume, never correctness), prefix postings shuffle
+    three narrow int64 columns, pairs generate per bucket with the integer
+    length filter, and verification is integer math (``10*ni >= 7*union``)
+    so SQL mirrors the decision bit-for-bit."""
+    from fhirflat_ray.functions.setjoin import prefix_jaccard_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return prefix_jaccard_join(
+        ds, id_column="doc_id", text_column="text", k=5, num=7, den=10
+    )
+
+
+JACCARD_JOIN_EXACT_SQL = """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 4),
+                                        i -> array_to_string(t[i:i+4], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS s
+  FROM tok
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ AND len(a.s) * 10 >= len(b.s) * 7 AND len(b.s) * 10 >= len(a.s) * 7
+WHERE 10 * len(list_intersect(a.s, b.s))
+      >= 7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+"""
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dedup, EXACT variant: every pair with cosine
     >= 0.45 is an edge, keep min-id per connected component. Fully
@@ -6507,6 +6547,7 @@ QUERIES = {
     "dedup_near": dedup_near,
     "dedup_near_exhaustive": dedup_near_exhaustive,
     "dedup_embedding": dedup_embedding,
+    "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_simhash_near": dedup_simhash_near,
@@ -6654,6 +6695,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "jaccard_join_exact": JACCARD_JOIN_EXACT_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,

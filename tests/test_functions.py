@@ -1039,3 +1039,77 @@ def test_chunk_documents_batch_planted():
 
     with pytest.raises(ValueError):
         chunk_documents_batch(b, size=0, stride=2)
+
+
+def _brute_pairs(texts: list[str], ids: list[int], k: int, num: int, den: int):
+    """Reference all-pairs result via the same hashed-set universe."""
+    from fhirflat_ray.functions.setjoin import _doc_sets
+
+    tok, owner, sizes = _doc_sets(pa.array(texts, pa.string()), k)
+    sets = [set(tok[owner == i].tolist()) for i in range(len(texts))]
+    out = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ni = len(sets[i] & sets[j])
+            un = len(sets[i] | sets[j])
+            if un > 0 and den * ni >= num * un:
+                out.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    return out
+
+
+def test_prefix_jaccard_join_matches_bruteforce(ray_session):
+    """Exactness: the prefix-filtered join must find EXACTLY the pairs the
+    all-pairs reference finds — planted families across blocks, varied
+    similarity levels straddling the threshold."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.setjoin import prefix_jaccard_join
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    )
+    rng = np.random.default_rng(3)
+    texts, ids = [], []
+    words = base.split()
+    for i in range(120):
+        if i % 20 < 3:
+            t = base  # identical family
+        elif i % 20 == 3:
+            t = base + " extra"  # near (above threshold)
+        elif i % 20 == 4:
+            t = " ".join(words[: len(words) // 2])  # half: below threshold
+        else:
+            t = " ".join(
+                f"w{rng.integers(0, 5000)}" for _ in range(30)
+            )  # random noise
+        texts.append(t)
+        ids.append(i)
+    want = _brute_pairs(texts, ids, k=5, num=7, den=10)
+    assert len(want) > 100  # the identical families alone give C(18,2)+ pairs
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(6)
+    got_t = prefix_jaccard_join(
+        ds, num_buckets=8, topk_common=64
+    ).to_pandas()
+    got = set(zip(got_t["left_id"], got_t["right_id"]))
+    assert got == want
+
+
+def test_prefix_jaccard_join_posting_cap_raises(ray_session):
+    """A corpus of identical documents has quadratic output; the posting
+    cap must raise loudly instead of silently exploding."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.setjoin import prefix_jaccard_join
+
+    texts = ["same exact document body for everyone here today"] * 300
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+    with pytest.raises(Exception, match="posting list"):
+        prefix_jaccard_join(ds, posting_cap=100, num_buckets=4).to_pandas()
