@@ -609,3 +609,93 @@ def bucketed_range_join(
         return out
 
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# ------------------------------------------------- salted skew-robust join
+
+
+def salted_hash_join(
+    fact_ds,
+    dim_ds,
+    on: str,
+    right_on: str,
+    salt_source: str,
+    num_partitions: int,
+    n_salts: int = 16,
+    hot_k: int = 64,
+):
+    """Distributed inner hash join that survives HOT KEYS on the fact side.
+
+    A plain hash join routes every row of a key to one partition; a zipf
+    key owning 20% of the corpus turns one aggregator into the whole job's
+    critical path. The classic mitigation (public Spark/Flink lore): find
+    the heaviest keys with a narrow count pre-pass, then split each hot
+    key's fact rows across ``n_salts`` sub-partitions (salt = deterministic
+    hash of ``salt_source``, so reruns route identically) while the DIM row
+    for that key replicates ``n_salts`` ways — cold keys pay nothing
+    (salt 0, one dim copy). The join key becomes ``(key, salt)``, so hot
+    keys spread over ``n_salts`` aggregators and the result is row-for-row
+    identical to the unsalted join.
+
+    Scale notes: the hot-key probe is a per-batch count partial +
+    ``streaming_topk`` (bounded at ``hot_k`` keys broadcast); dim-side
+    amplification is ``hot_k * (n_salts - 1)`` extra rows total. Inner
+    join only (outer variants would need null-salt care)."""
+    import ray
+
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import agg_select, streaming_topk
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select([on]).group_by([on]).aggregate([([], "count_all")])
+        return agg_select(g, {on: "k", "count_all": "n"})
+
+    # topk over partials overcounts nothing: a key's total is split across
+    # partial rows, but any key hot enough to matter dominates single
+    # partials too; correctness never depends on WHICH keys get salted
+    top = streaming_topk(
+        fact_ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["n", "k"],
+        hot_k,
+        descending=[True, False],
+    )
+    hot = np.sort(top["k"].to_numpy(zero_copy_only=False).astype(np.int64))
+    hot_ref = ray.put(hot)
+
+    def salt_fact(b: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hk, keys)
+        is_hot = (pos < len(hk)) & (hk[np.clip(pos, 0, max(len(hk) - 1, 0))] == keys)
+        src = b[salt_source].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = np.where(is_hot, hash32(src) % n_salts, 0).astype(np.int64)
+        return b.append_column("__salt", pa.array(salt, pa.int64()))
+
+    def replicate_dim(b: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = b[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(hk, keys)
+        is_hot = (pos < len(hk)) & (hk[np.clip(pos, 0, max(len(hk) - 1, 0))] == keys)
+        reps = np.where(is_hot, n_salts, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(keys), dtype=np.int64), reps)
+        out = b.take(pa.array(idx, pa.int64()))
+        # salt runs 0..reps-1 within each replicated row
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        salt = np.arange(len(idx), dtype=np.int64) - starts[idx]
+        return out.append_column("__salt", pa.array(salt, pa.int64()))
+
+    fact = fact_ds.map_batches(salt_fact, batch_format="pyarrow")
+    dim = dim_ds.map_batches(replicate_dim, batch_format="pyarrow")
+    joined = fact.join(
+        dim,
+        "inner",
+        num_partitions,
+        on=(on, "__salt"),
+        right_on=(right_on, "__salt"),
+    )
+    return joined.map_batches(
+        lambda b: b.drop_columns(
+            [c for c in ("__salt", "__salt_1") if c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )

@@ -5471,6 +5471,57 @@ FROM r GROUP BY 1
 """
 
 
+def salted_join_segments(sf_dir: str):
+    """Skew-robust distributed join: event value cents per customer market
+    segment, through ``functions/joins.py:salted_hash_join`` — the top
+    hot keys' fact rows split across 16 salts (deterministic per event) and
+    their dim rows replicate, so a zipf key cannot serialise one
+    aggregator. Row-for-row identical to the unsalted join; the oracle is
+    the plain SQL join."""
+    from fhirflat_ray.functions.joins import salted_hash_join
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["events", "customer"])
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = salted_hash_join(
+        ev,
+        cust,
+        on="user_id",
+        right_on="c_custkey",
+        salt_source="event_id",
+        num_partitions=n_parts,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["value"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "cents": cents})
+        g = t.group_by(["c_mktsegment"]).aggregate([("cents", "sum"), ([], "count_all")])
+        return agg_select(
+            g,
+            {"c_mktsegment": "c_mktsegment", "cents_sum": "cents", "count_all": "n"},
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    )
+
+
+SALTED_JOIN_SEGMENTS_SQL = """
+SELECT c.c_mktsegment,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       count(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def sorted_export(sf_dir: str):
     """Range-partitioned GLOBAL sort (the terasort shape): every event gets
     its exact global rank under (value, event_id) order plus a contiguous
@@ -6642,6 +6693,7 @@ QUERIES = {
     "merge_intervals": merge_intervals,
     "asof_join_forward": asof_join_forward,
     "sorted_export": sorted_export,
+    "salted_join_segments": salted_join_segments,
     "turn_sum_encoded": turn_sum_encoded,
     "export_shards": export_shards,
     "role_turn_sum_encoded": role_turn_sum_encoded,
@@ -6786,6 +6838,7 @@ ORACLE_SQL = {
     "merge_intervals": MERGE_INTERVALS_SQL,
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
     "sorted_export": SORTED_EXPORT_SQL,
+    "salted_join_segments": SALTED_JOIN_SEGMENTS_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
     "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,

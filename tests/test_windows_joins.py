@@ -431,3 +431,54 @@ def test_range_partition_sort_duplicate_heavy_keys():
     order = np.lexsort((ids, vals))
     assert (out["id"].to_numpy() == ids[order]).all()
     assert (out["v"].to_numpy() == vals[order]).all()
+
+
+def test_salted_hash_join_planted_skew(ray_session):
+    """One key owns 40% of the fact side: the salted join must (a) return
+    row-for-row what the unsalted join returns and (b) actually split the
+    hot key's rows across multiple salts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import salted_hash_join
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 200, n)).astype(np.int64)
+    fact = pa.table(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "k": keys,
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    dim = pa.table(
+        {
+            "dk": np.arange(200, dtype=np.int64),
+            "label": pa.array([f"g{i % 7}" for i in range(200)]),
+        }
+    )
+    fds = rd.from_arrow(fact).repartition(6)
+    dds = rd.from_arrow(dim).repartition(2)
+
+    got = (
+        salted_hash_join(
+            fds, dds, on="k", right_on="dk", salt_source="rid",
+            num_partitions=8, n_salts=8, hot_k=4,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        fact.to_pandas()
+        .merge(dim.to_pandas(), left_on="k", right_on="dk", how="inner")
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == n
+    assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
+    assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
