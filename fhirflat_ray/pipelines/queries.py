@@ -913,6 +913,49 @@ FROM s
 LANG_ID_SQL = _lang_id_sql()
 
 
+def stratified_sample(sf_dir: str):
+    """Deterministic stratified subsample: exactly (up to) 20 documents PER
+    predicted language, chosen by id-hash rank — the balanced-subset draw a
+    training mixture needs, identical on any cluster size or rerun because
+    rank depends only on ids.
+
+    Scale shape: language ID is the map-only LangId stage; per-stratum
+    selection is ``topk_per_key`` (per-batch local top-k prune, so the
+    shuffle moves <= k rows per batch-stratum, then one bucket pass) — no
+    global sort, no driver-side sampling state."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.text import LangId
+    from fhirflat_ray.functions.util import topk_per_key, worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    langed = ds.map_batches(
+        worker_cached_stage(LangId), batch_format="pyarrow"
+    ).select_columns(["doc_id", "lang_pred"])
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("h", pa.array(hash32(ids), pa.int64()))
+
+    ranked = langed.map_batches(add_rank, batch_format="pyarrow")
+    out = topk_per_key(ranked, ["lang_pred"], 20, ["h", "doc_id"])
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def _stratified_sample_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    return f"""
+WITH l AS ({LANG_ID_SQL})
+SELECT doc_id, lang_pred FROM l
+QUALIFY row_number() OVER (
+  PARTITION BY lang_pred ORDER BY {hash32_sql('doc_id')}, doc_id
+) <= 20
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
 # =====================================================================
 # Dedup
 # =====================================================================
@@ -6592,6 +6635,7 @@ QUERIES = {
     "text_quality": text_quality,
     "fingerprint": fingerprint,
     "lang_id": lang_id,
+    "stratified_sample": stratified_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -6744,6 +6788,7 @@ ORACLE_SQL = {
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
