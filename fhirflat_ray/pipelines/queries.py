@@ -913,47 +913,49 @@ FROM s
 LANG_ID_SQL = _lang_id_sql()
 
 
-def stratified_sample(sf_dir: str):
-    """Deterministic stratified subsample: exactly (up to) 20 documents PER
-    predicted language, chosen by id-hash rank — the balanced-subset draw a
-    training mixture needs, identical on any cluster size or rerun because
-    rank depends only on ids.
-
-    Scale shape: language ID is the map-only LangId stage; per-stratum
-    selection is ``topk_per_key`` (per-batch local top-k prune, so the
-    shuffle moves <= k rows per batch-stratum, then one bucket pass) — no
-    global sort, no driver-side sampling state."""
+def poisson_sample(sf_dir: str):
+    """Deterministic importance sampling: each document keeps with
+    probability proportional to its token count (p = n_tokens/100, capped
+    at 1) — the length-weighted draw a token-budgeted mixture uses.
+    Map-only and exactly reproducible: the Bernoulli trial is the INTEGER
+    compare ``hash32(doc_id) * 100 < n_tokens * 2^32`` (no float
+    probability ever computed), so any cluster size, block layout or rerun
+    keeps the same documents and SQL mirrors the draw bit-for-bit."""
     from fhirflat_ray.functions.sampling import hash32
-    from fhirflat_ray.functions.text import LangId
-    from fhirflat_ray.functions.util import topk_per_key, worker_cached_stage
+    from fhirflat_ray.functions.text import token_count_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    langed = ds.map_batches(
-        worker_cached_stage(LangId), batch_format="pyarrow"
-    ).select_columns(["doc_id", "lang_pred"])
 
-    def add_rank(b: pa.Table) -> pa.Table:
-        ids = b["doc_id"].to_numpy(zero_copy_only=False)
-        return b.append_column("h", pa.array(hash32(ids), pa.int64()))
+    def pick(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = hash32(ids) * np.int64(100) < ntok * np.int64(1 << 32)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "n_tokens": t["n_tokens"].filter(pa.array(keep)),
+            }
+        )
 
-    ranked = langed.map_batches(add_rank, batch_format="pyarrow")
-    out = topk_per_key(ranked, ["lang_pred"], 20, ["h", "doc_id"])
-    return out.select_columns(["doc_id", "lang_pred"])
+    return ds.map_batches(pick, batch_format="pyarrow")
 
 
-def _stratified_sample_sql() -> str:
+def _poisson_sample_sql() -> str:
     from fhirflat_ray.functions.sampling import hash32_sql
 
     return f"""
-WITH l AS ({LANG_ID_SQL})
-SELECT doc_id, lang_pred FROM l
-QUALIFY row_number() OVER (
-  PARTITION BY lang_pred ORDER BY {hash32_sql('doc_id')}, doc_id
-) <= 20
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM t
+WHERE {hash32_sql('doc_id')} * 100 < n_tokens * 4294967296
 """
 
 
-STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+POISSON_SAMPLE_SQL = _poisson_sample_sql()
 
 
 # =====================================================================
@@ -6635,7 +6637,7 @@ QUERIES = {
     "text_quality": text_quality,
     "fingerprint": fingerprint,
     "lang_id": lang_id,
-    "stratified_sample": stratified_sample,
+    "poisson_sample": poisson_sample,
     "dedup_exact": dedup_exact,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -6788,7 +6790,7 @@ ORACLE_SQL = {
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,
-    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "poisson_sample": POISSON_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
