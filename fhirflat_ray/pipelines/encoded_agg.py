@@ -315,6 +315,107 @@ def _int_stream_sum(hdr: dict[str, Any], blob: bytes, n: int) -> int:
     raise ValueError(f"unknown int codec {c!r}")
 
 
+def _int_stream_sumsq(hdr: dict[str, Any], blob: bytes, n: int) -> int:
+    """SUM of squares of an encoded int64 stream (int64 wraparound
+    semantics, matching decode-then-sum exactly).
+
+    - rle:   dot(run_values^2, run_lengths) — O(runs), nothing expands
+    - for:   values are ref + g*r, so Σv² = n·ref² + 2·ref·g·Σr + g²·Σr²
+    - delta/plain: the second moment of a prefix-sum stream has no
+      runs/residual closed form, so reconstruct the value stream in one
+      vectorized pass (same O(n) the unpack already paid) and square it
+    """
+    from fhirflat_ray.codecs.bitpack import unpack_bits
+
+    if n == 0:
+        return 0
+    c = hdr["c"]
+    with np.errstate(over="ignore"):
+        if c == "rle":
+            nb_v = hdr["vals"]["len"]
+            run_vals = decode_ints(hdr["vals"]["h"], blob[:nb_v], hdr["runs"])
+            run_lens = decode_ints(hdr["lens"]["h"], blob[nb_v:], hdr["runs"])
+            return int(np.dot(run_vals * run_vals, run_lens))
+        if c == "for":
+            resid = unpack_bits(blob, hdr["w"], n)
+            g = np.int64(hdr.get("g", 1))
+            ref = np.int64(hdr["ref"])
+            sr = np.int64(resid.sum())
+            sr2 = np.int64(np.dot(resid, resid))
+            return int(np.int64(n) * ref * ref + 2 * ref * g * sr + g * g * sr2)
+        if c == "delta":
+            p = unpack_bits(blob, hdr["w"], n - 1)
+            g = np.int64(hdr.get("g", 1))
+            deltas = np.int64(hdr["ref"]) + g * p
+            vals = np.empty(n, dtype=np.int64)
+            vals[0] = hdr["first"]
+            np.cumsum(deltas, out=vals[1:])
+            vals[1:] += np.int64(hdr["first"])
+            return int(np.dot(vals, vals))
+        if c == "plain":
+            v = np.frombuffer(blob, dtype=np.int64, count=n)
+            return int(np.dot(v, v))
+    raise ValueError(f"unknown int codec {c!r}")
+
+
+def segment_int_moments(
+    path: str, column: str, dict_store: dict[str, pa.Array] | None = None
+) -> tuple[int, int, int]:
+    """One segment's (sum, sum-of-squares, row_count) for an int column —
+    the closed-form fast path for null-free ``ints`` columns, pruned
+    one-column decode otherwise (SQL aggregate semantics skip nulls)."""
+    header, payload_off = seg.read_segment_header(path)
+    col = _find_column(header, column)
+    hdr = col["hdr"]
+    if hdr.get("c") == "ints" and "valid_len" not in hdr:
+        blob = _read_col_blob(path, payload_off, col)
+        return (
+            _int_stream_sum(hdr["h"], blob, hdr["n"]),
+            _int_stream_sumsq(hdr["h"], blob, hdr["n"]),
+            hdr["n"],
+        )
+    tbl = seg.read_segment(path, dict_store, columns=[column])
+    arr = tbl.column(column)
+    s = int(pc.sum(arr).as_py() or 0)
+    s2 = int(pc.sum(pc.multiply(arr, arr)).as_py() or 0)
+    return s, s2, tbl.num_rows
+
+
+def encoded_moments(seg_dir: str, column: str) -> tuple[int, int, int]:
+    """Distributed SUM, SUM(x*x), COUNT(*) off encoded segments — one task
+    per segment, three ints back from each; driver folds O(segments)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.util import collect_small_table
+    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+
+    paths = segment_paths(seg_dir)
+    if not paths:
+        raise FileNotFoundError(f"no segments under {seg_dir!r}")
+
+    def partial(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        rows = [segment_int_moments(str(p), column, store) for p in batch["item"]]
+        return pa.table(
+            {
+                "s": pa.array([r[0] for r in rows], pa.int64()),
+                "s2": pa.array([r[1] for r in rows], pa.int64()),
+                "n": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+
+    t = collect_small_table(
+        rd.from_items(paths).map_batches(
+            partial, batch_size=1, batch_format="numpy", num_cpus=1
+        )
+    )
+    return (
+        int(pc.sum(t["s"]).as_py() or 0),
+        int(pc.sum(t["s2"]).as_py() or 0),
+        int(pc.sum(t["n"]).as_py() or 0),
+    )
+
+
 def segment_int_sum(
     path: str, column: str, dict_store: dict[str, pa.Array] | None = None
 ) -> tuple[int, int]:

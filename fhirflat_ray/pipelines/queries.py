@@ -5620,6 +5620,37 @@ FROM ({TRANSCRIPT_BUILD_SQL})
 """
 
 
+def turn_var_encoded(sf_dir: str):
+    """Second moment pushed INTO the encoded format: SUM(x), SUM(x*x) and
+    COUNT from per-codec closed forms (RLE: dot(v², lens) over O(runs);
+    FOR: n·ref² + 2·ref·g·Σr + g²·Σr²) — population variance derives from
+    three exact integers, with the final float division written
+    EXPRESSION-FOR-EXPRESSION the same in SQL so the IEEE result is
+    identical (``encoded_agg.encoded_moments``)."""
+    from fhirflat_ray.pipelines.encoded_agg import encoded_moments
+
+    s, s2, n = encoded_moments(_transcript_segdir(sf_dir, "var"), "turn_idx")
+    var = (float(s2) * n - float(s) * float(s)) / (float(n) * n)
+    return pd.DataFrame(
+        [(s, s2, n, var)],
+        columns=["turn_sum", "turn_sumsq", "n_rows", "var_pop"],
+    )
+
+
+TURN_VAR_ENCODED_SQL = f"""
+WITH t AS (
+  SELECT CAST(sum(turn_idx) AS BIGINT) AS s,
+         CAST(sum(turn_idx * turn_idx) AS BIGINT) AS s2,
+         count(*) AS n
+  FROM ({TRANSCRIPT_BUILD_SQL})
+)
+SELECT s AS turn_sum, s2 AS turn_sumsq, n AS n_rows,
+       (CAST(s2 AS DOUBLE) * n - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(n AS DOUBLE) * n) AS var_pop
+FROM t
+"""
+
+
 def role_turn_sum_encoded(sf_dir: str):
     """GROUP BY key → SUM(value) pushed INTO the encoded format: per-role
     turn_idx totals from the role column's dict CODES + the turn_idx int
@@ -6741,6 +6772,7 @@ QUERIES = {
     "sorted_export": sorted_export,
     "salted_join_segments": salted_join_segments,
     "turn_sum_encoded": turn_sum_encoded,
+    "turn_var_encoded": turn_var_encoded,
     "export_shards": export_shards,
     "role_turn_sum_encoded": role_turn_sum_encoded,
     "role_tool_counts_encoded": role_tool_counts_encoded,
@@ -6887,6 +6919,7 @@ ORACLE_SQL = {
     "sorted_export": SORTED_EXPORT_SQL,
     "salted_join_segments": SALTED_JOIN_SEGMENTS_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
+    "turn_var_encoded": TURN_VAR_ENCODED_SQL,
     "export_shards": _export_shards_sql(),
     "role_turn_sum_encoded": ROLE_TURN_SUM_ENCODED_SQL,
     "role_tool_counts_encoded": ROLE_TOOL_COUNTS_ENCODED_SQL,

@@ -273,3 +273,31 @@ def test_pair_counts_null_fallback(ray_session):
         for x, y, n in zip(got["a"], got["b"], got["n"])
     }
     assert by == {("x", "p"): 50, ("x", None): 50, (None, "q"): 50, ("y", "q"): 50}
+
+
+def test_int_stream_sumsq_matches_decode_all_codecs():
+    """Encoded-domain SUM-of-squares equals decode-then-square-then-sum for
+    every int codec under int64 wraparound semantics."""
+    import numpy as np
+
+    from fhirflat_ray.codecs.ints import decode_ints, encode_ints
+    from fhirflat_ray.pipelines.encoded_agg import _int_stream_sumsq
+
+    rng = np.random.default_rng(4)
+    cases = [
+        np.repeat(rng.integers(-5, 5, 50), rng.integers(1, 40, 50)),  # rle
+        rng.integers(1000, 1100, 5000),  # for
+        np.cumsum(rng.integers(0, 3, 5000)) + 10**6,  # delta
+        rng.integers(-(2**40), 2**40, 300),  # wide range, wraparound in sq
+        np.array([], dtype=np.int64),
+        rng.integers(0, 50, 4000) * 3600 + 7,  # gcd-factored for
+        np.array([7], dtype=np.int64),
+    ]
+    for v in cases:
+        v = v.astype(np.int64)
+        hdr, blob = encode_ints(v)
+        got = _int_stream_sumsq(hdr, blob, len(v))
+        with np.errstate(over="ignore"):
+            dec = decode_ints(hdr, blob, len(v)) if len(v) else np.array([], np.int64)
+            want = int(np.dot(dec, dec)) if len(v) else 0
+        assert got == want, (hdr["c"], got, want)
