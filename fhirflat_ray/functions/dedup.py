@@ -1315,3 +1315,228 @@ def simhash_near_dedup(
         ds, id_column=id_column, column=column, k=k, clique_cap=clique_cap
     )
     return _keep_component_minima(ds, edges, id_column, num_partitions)
+
+
+# ------------------------------------------- persisted LSH index (incremental)
+
+
+def build_minhash_index(
+    ds,
+    index_dir: str,
+    id_column: str = "doc_id",
+    column: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+    n_hb: int = 64,
+):
+    """Build AND PERSIST the MinHash-LSH band index for a corpus — the
+    reusable form :func:`minhash_lsh_candidates` recomputes per call.
+
+    Postings are (band_id, band_hash, id) rows written hash-partitioned on
+    ``hb = band_hash % n_hb`` (``postings/hb=<v>/``), so an incremental
+    probe reads ONLY the band buckets its new documents hash into —
+    pruning at the read, the same discipline as the persisted IVF index
+    (``similarity.build_ivf_index``). Index params live in ``meta.json``
+    and MUST match at probe time (signatures are only comparable under the
+    same permutations/shingle width)."""
+    import json
+    import os
+
+    os.makedirs(index_dir, exist_ok=True)
+    meta = {
+        "n_hashes": n_hashes,
+        "n_bands": n_bands,
+        "k": k,
+        "seed": seed,
+        "n_hb": n_hb,
+        "id_column": id_column,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    sigs = ds.select_columns([id_column, column]).map_batches(
+        worker_cached_stage(
+            MinHasher, n_hashes=n_hashes, k=k, seed=seed, column=column
+        ),
+        batch_format="pyarrow",
+    )
+
+    def bands_hb(b: pa.Table) -> pa.Table:
+        t = explode_bands(b.select([id_column, "minhash"]), n_bands, id_column)
+        hb = pa.array(
+            (t["band_hash"].to_numpy(zero_copy_only=False) % n_hb).astype(np.int32)
+        )
+        return t.append_column("hb", hb)
+
+    sigs.map_batches(bands_hb, batch_format="pyarrow").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["hb"]
+    )
+    return meta
+
+
+def incremental_dedup(
+    new_ds,
+    corpus_ds,
+    index_dir: str,
+    id_column: str = "doc_id",
+    column: str = "text",
+    threshold: float = 0.7,
+):
+    """Dedupe an INCREMENTAL batch of documents against an indexed corpus
+    without touching corpus text outside candidate matches.
+
+    The incremental contract: the new batch is small relative to the
+    corpus (a crawl increment vs the accumulated corpus), so its band
+    postings and texts broadcast; the corpus side stays on disk — only the
+    band-hash buckets the new documents probe are READ at all (parquet
+    partition pruning on ``hb``), and only candidate documents' texts are
+    fetched for verification (broadcast semi-join filter).
+
+    Returns ``(links, survivors)``: ``links`` = verified (new_id, dup_of)
+    pairs (dup_of = the matched corpus id), ``survivors`` = new-batch rows
+    whose documents are NOT near-duplicates of the corpus — the rows to
+    append + index next. Ids must be globally unique across corpus and
+    batch. Recall is the LSH band recall (probabilistic by construction);
+    verification is the exact vectorized Jaccard."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from fhirflat_ray.functions.joins import broadcast_semi_join
+    from fhirflat_ray.functions.util import collect_small_table
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_bands, n_hb = meta["n_bands"], meta["n_hb"]
+
+    hasher = MinHasher(
+        n_hashes=meta["n_hashes"], k=meta["k"], seed=meta["seed"], column=column
+    )
+    new_t = collect_small_table(new_ds.select_columns([id_column, column]))
+    sigs = hasher(new_t)
+    nb = explode_bands(sigs.select([id_column, "minhash"]), n_bands, id_column)
+    # one sorted multimap (band_id, band_hash) -> new ids, broadcast once
+    nk = (nb["band_id"].to_numpy().astype(np.int64) << np.int64(31)) | nb[
+        "band_hash"
+    ].to_numpy(zero_copy_only=False)
+    nid = nb[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nk, kind="stable")
+    nk, nid = nk[order], nid[order]
+    probe_ref = ray.put({"nk": nk, "nid": nid})
+
+    hbs = np.unique(nb["band_hash"].to_numpy(zero_copy_only=False) % n_hb)
+    import glob as _glob
+
+    parts = [
+        f
+        for v in hbs.tolist()
+        for f in sorted(
+            _glob.glob(os.path.join(index_dir, "postings", f"hb={v}", "*.parquet"))
+        )
+    ]
+    if not parts:
+        links = pa.table(
+            {"new_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+        )
+        return rd.from_arrow(links), new_ds
+
+    postings = rd.read_parquet(parts, columns=["band_id", "band_hash", id_column])
+
+    def match(b: pa.Table) -> pa.Table:
+        d = ray.get(probe_ref)
+        ck = (b["band_id"].to_numpy().astype(np.int64) << np.int64(31)) | b[
+            "band_hash"
+        ].to_numpy(zero_copy_only=False)
+        cid = b[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(d["nk"], ck, side="left")
+        hi = np.searchsorted(d["nk"], ck, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "new_id": pa.array([], pa.int64()),
+                    "dup_of": pa.array([], pa.int64()),
+                }
+            )
+        c_idx = np.repeat(np.arange(len(ck), dtype=np.int64), cnt)
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        n_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64) - np.repeat(starts, cnt))
+        t = pa.table(
+            {
+                "new_id": pa.array(d["nid"][n_idx], pa.int64()),
+                "dup_of": pa.array(cid[c_idx], pa.int64()),
+            }
+        )
+        # in-batch dedupe shrinks the shuffle (same pair matches in many bands)
+        return t.group_by(["new_id", "dup_of"]).aggregate([]).select(
+            ["new_id", "dup_of"]
+        )
+
+    from fhirflat_ray.functions.util import distinct_rows
+
+    cand = distinct_rows(
+        postings.map_batches(match, batch_format="pyarrow"), ["new_id", "dup_of"]
+    ).materialize()
+
+    if cand.count() == 0:
+        links = pa.table(
+            {"new_id": pa.array([], pa.int64()), "dup_of": pa.array([], pa.int64())}
+        )
+        return rd.from_arrow(links), new_ds
+
+    # verify: new texts are already collected; fetch ONLY candidate corpus
+    # texts (broadcast filter over the corpus — never the corpus itself)
+    cand_t = collect_small_table(cand)
+    need = np.unique(cand_t["dup_of"].to_numpy(zero_copy_only=False))
+    corp_t = collect_small_table(
+        broadcast_semi_join(
+            corpus_ds.select_columns([id_column, column]), need, id_column
+        )
+    )
+    nt_id = new_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    nt_order = np.argsort(nt_id)
+    ct_id = corp_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+    ct_order = np.argsort(ct_id)
+    texts_ref = ray.put(
+        {
+            "nid": nt_id[nt_order],
+            "ntxt": new_t[column].combine_chunks().take(pa.array(nt_order, pa.int64())),
+            "cid": ct_id[ct_order],
+            "ctxt": corp_t[column].combine_chunks().take(pa.array(ct_order, pa.int64())),
+        }
+    )
+
+    class _Verify:
+        def __init__(self, ref, k, threshold):
+            self.d = ray.get(ref)
+            self.ver = JaccardVerifier(k=k, threshold=threshold)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            d = self.d
+            l = b["new_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = b["dup_of"].to_numpy(zero_copy_only=False).astype(np.int64)
+            lt = d["ntxt"].take(pa.array(np.searchsorted(d["nid"], l), pa.int64()))
+            rt = d["ctxt"].take(pa.array(np.searchsorted(d["cid"], r), pa.int64()))
+            sims = self.ver.batch_jaccard(lt, rt)
+            keep = sims >= self.ver.threshold
+            return pa.table(
+                {
+                    "new_id": b["new_id"].filter(pa.array(keep)),
+                    "dup_of": b["dup_of"].filter(pa.array(keep)),
+                }
+            )
+
+    links = cand.map_batches(
+        worker_cached_stage(_Verify, ref=texts_ref, k=meta["k"], threshold=threshold),
+        batch_format="pyarrow",
+    ).materialize()
+
+    dup_new = collect_small_table(links.select_columns(["new_id"]))
+    dup_ids = np.unique(dup_new["new_id"].to_numpy(zero_copy_only=False))
+    survivors = broadcast_semi_join(new_ds, dup_ids, id_column, anti=True)
+    return links, survivors

@@ -1087,6 +1087,40 @@ WHERE 10 * len(list_intersect(a.s, b.s))
 """
 
 
+def dedup_incremental(sf_dir: str):
+    """Incremental dedup against a PERSISTED MinHash band index: corpus =
+    4/5 of the documents (indexed once to ``/tmp``, band postings
+    hash-partitioned so probes prune at the read), new batch = the other
+    1/5; returns the new docs that are NOT near-duplicates of the corpus —
+    the crawl-increment flow a growing training corpus runs. Rows-only
+    (LSH recall is probabilistic by construction; the planted-index pytest
+    covers link correctness)."""
+    import hashlib as _h
+    import shutil as _sh
+
+    from fhirflat_ray.functions.dedup import build_minhash_index, incremental_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(keep_new: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    corpus = ds.map_batches(_split(False), batch_format="pyarrow")
+    new = ds.map_batches(_split(True), batch_format="pyarrow")
+    idx = os.path.join(
+        "/tmp/fhirflat_ray_mhidx", _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    _sh.rmtree(idx, ignore_errors=True)
+    build_minhash_index(corpus, idx)
+    links, survivors = incremental_dedup(new, corpus, idx)
+    return survivors.select_columns(["doc_id"])
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dedup, EXACT variant: every pair with cosine
     >= 0.45 is an edge, keep min-id per connected component. Fully
@@ -6675,6 +6709,7 @@ QUERIES = {
     "dedup_near": dedup_near,
     "dedup_near_exhaustive": dedup_near_exhaustive,
     "dedup_embedding": dedup_embedding,
+    "dedup_incremental": dedup_incremental,
     "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,

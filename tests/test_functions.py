@@ -1113,3 +1113,56 @@ def test_prefix_jaccard_join_posting_cap_raises(ray_session):
     )
     with pytest.raises(Exception, match="posting list"):
         prefix_jaccard_join(ds, posting_cap=100, num_buckets=4).to_pandas()
+
+
+def test_incremental_dedup_against_persisted_index(ray_session, tmp_path):
+    """Corpus indexed once; an incremental batch probes the persisted band
+    postings: planted near-copies of corpus docs must link to the right
+    corpus ids and be dropped; unique new docs must survive."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.dedup import build_minhash_index, incremental_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind distant hills and the evening wind carries a faint "
+        "smell of rain across the quiet valley tonight again"
+    )
+    corpus_texts = [
+        f"unique corpus document number {i} about topic {i*7} keyword {i*13} "
+        f"filler {i*3} more {i*11} words {i*5} here {i*17} now {i*19} end"
+        for i in range(300)
+    ]
+    corpus_texts[42] = base
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "text": pa.array(corpus_texts),
+        }
+    )
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(rd.from_arrow(corpus).repartition(4), idx, n_hb=16)
+
+    new_texts, new_ids = [], []
+    for i in range(40):
+        nid = 1000 + i
+        if i < 8:
+            t = base + (" extra" if i % 2 else "")  # near-copies of corpus #42
+        else:
+            t = f"fresh incremental crawl item {i} tokens {i*29} body {i*31} "
+            t += f"tail {i*37} close {i*41} final {i*43} done {i*47} yes {i*53}"
+        new_ids.append(nid)
+        new_texts.append(t)
+    new = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(new_ids, pa.int64()), "text": pa.array(new_texts)}
+        )
+    ).repartition(3)
+
+    links, survivors = incremental_dedup(new, rd.from_arrow(corpus), idx)
+    lt = links.to_pandas()
+    st = survivors.to_pandas()
+    dup_new = set(lt["new_id"])
+    assert dup_new == {1000 + i for i in range(8)}
+    assert set(lt["dup_of"]) == {42}
+    assert set(st["doc_id"]) == {1000 + i for i in range(8, 40)}
