@@ -4617,6 +4617,343 @@ GROUP BY l_returnflag
 """
 
 
+#: revenue in exact integer cent-basis-points: price has 2 decimals and
+#: discount has 2, so round(price*100) and round(discount*100) are each
+#: error-free per row and cents_bp = price_cents * (100 - disc_bp) is an
+#: exact int64 under ANY combine order — no float sum ever exists
+def _revenue_cents_bp(b: pa.Table) -> pa.ChunkedArray:
+    cents = pc.cast(
+        pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)), 0), pa.int64()
+    )
+    bp = pc.cast(
+        pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)), 0), pa.int64()
+    )
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), bp))
+
+
+_REV_BP_SQL = (
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))"
+)
+
+
+def promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promotion revenue share for one ship month — a
+    conditional aggregate over a distributed part⋈lineitem join. Revenue is
+    exact integer cent-basis-points per row (see ``_revenue_cents_bp``);
+    the final ratio is ONE mirrored float division over two exact ints."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["lineitem", "part"])
+    lo = pa.scalar(dt.datetime(1997, 9, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1997, 10, 1), pa.timestamp("us"))
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        )
+        return pa.table(
+            {"l_partkey": keep["l_partkey"], "rev_bp": _revenue_cents_bp(keep)}
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.starts_with(b["p_type"], "PROMO"), pa.int64())
+        return pa.table({"p_partkey": b["p_partkey"], "promo": promo})
+
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        "inner",
+        n_parts,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = b["rev_bp"]
+        promo = pc.multiply(rev, b["promo"])
+        return pa.table(
+            {
+                "promo_bp": pa.array([pc.sum(promo).as_py() or 0], pa.int64()),
+                "total_bp": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(j.map_batches(partial, batch_format="pyarrow"))
+    p = int(pc.sum(t["promo_bp"]).as_py() or 0)
+    tot = int(pc.sum(t["total_bp"]).as_py() or 0)
+    ratio = 100.0 * float(p) / float(tot)
+    return pd.DataFrame(
+        [(p, tot, ratio)], columns=["promo_bp", "total_bp", "promo_ratio"]
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_BP_SQL} ELSE 0 END) AS BIGINT)
+         AS promo_bp,
+       CAST(sum({_REV_BP_SQL}) AS BIGINT) AS total_bp,
+       100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_BP_SQL} ELSE 0 END) AS DOUBLE)
+         / CAST(sum({_REV_BP_SQL}) AS DOUBLE) AS promo_ratio
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+def disjunctive_pred_revenue(sf_dir: str):
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning BOTH join sides
+    (brand x size-range x quantity-range branches) — the predicate cannot
+    push below the join, so it runs as one vectorized mask post-join;
+    per-branch revenue + row count come back exact (integer
+    cent-basis-points)."""
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["lineitem", "part"])
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_quantity": b["l_quantity"],
+                "rev_bp": _revenue_cents_bp(b),
+            }
+        )
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        part, "inner", n_parts, on=("l_partkey",), right_on=("p_partkey",)
+    )
+
+    _BRANCHES = [
+        ("Brand#12", 1, 15, 1, 11),
+        ("Brand#2", 1, 25, 10, 20),
+        ("Brand#20", 1, 35, 20, 30),
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b["l_quantity"]
+        size = b["p_size"]
+        brand = b["p_brand"]
+        mask = None
+        for br, s_lo, s_hi, q_lo, q_hi in _BRANCHES:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(brand, br),
+                    pc.and_(
+                        pc.greater_equal(size, s_lo), pc.less_equal(size, s_hi)
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, float(q_lo)),
+                    pc.less_equal(qty, float(q_hi)),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        keep = b.filter(mask)
+        return pa.table(
+            {
+                "rev_bp": pa.array(
+                    [pc.sum(keep["rev_bp"]).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([keep.num_rows], pa.int64()),
+            }
+        )
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(j.map_batches(partial, batch_format="pyarrow"))
+    return pd.DataFrame(
+        [
+            (
+                int(pc.sum(t["rev_bp"]).as_py() or 0),
+                int(pc.sum(t["n"]).as_py() or 0),
+            )
+        ],
+        columns=["rev_bp", "n"],
+    )
+
+
+DISJUNCTIVE_PRED_REVENUE_SQL = f"""
+SELECT CAST(sum({_REV_BP_SQL}) AS BIGINT) AS rev_bp, count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def priority_class_counts(sf_dir: str):
+    """TPC-H Q12 shape: per return flag, how many late-shipped line items
+    belong to HIGH-priority vs LOW-priority orders — a join followed by
+    CASE-bucketed conditional counts (the CASE evaluates as one vectorized
+    membership test, partial-combined before the final groupby)."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["lineitem", "orders"])
+    cutoff = pa.scalar(dt.datetime(1999, 1, 1), pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"], cutoff)).select(
+            ["l_orderkey", "l_returnflag"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    j = li.join(orders, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi = pc.cast(
+            pc.is_in(
+                b["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "high_n": hi,
+                "low_n": pc.subtract(pa.scalar(1, pa.int64()), hi),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate([("high_n", "sum"), ("low_n", "sum")])
+        return agg_select(
+            g,
+            {
+                "l_returnflag": "l_returnflag",
+                "high_n_sum": "high_n",
+                "low_n_sum": "low_n",
+            },
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_n", alias_name="high_n"), Sum("low_n", alias_name="low_n"))
+    )
+
+
+PRIORITY_CLASS_COUNTS_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT-priority order, counted per nation. The scalar subquery
+    (average positive balance) folds to two exact ints and the threshold
+    compare runs as ``bal_cents * n > sum_cents`` — integer math, no float
+    average ever materializes; the no-urgent-order test is the distributed
+    anti join."""
+    from fhirflat_ray.functions.joins import hash_anti_join
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    n_parts = _join_partitions(sf_dir, ["customer", "orders"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = pc.if_else(pos, cents, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+                "n": pa.array([pc.sum(pc.cast(pos, pa.int64())).as_py() or 0], pa.int64()),
+            }
+        )
+
+    t = collect_small_table(cust.map_batches(bal_partial, batch_format="pyarrow"))
+    s = int(pc.sum(t["s"]).as_py() or 0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["c_acctbal"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        keep = pc.greater(
+            pc.multiply(cents, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64())
+        )
+        out = b.append_column("bal_cents", cents)
+        return out.filter(keep).select(["c_custkey", "c_nationkey", "bal_cents"])
+
+    candidates = cust.map_batches(rich, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    idle = hash_anti_join(
+        candidates, orders, on="c_custkey", right_on="o_custkey", num_partitions=n_parts
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["c_nationkey", "bal_cents"])
+            .group_by(["c_nationkey"])
+            .aggregate([([], "count_all"), ("bal_cents", "sum")])
+        )
+        return agg_select(
+            g,
+            {
+                "c_nationkey": "c_nationkey",
+                "count_all": "n_cust",
+                "bal_cents_sum": "bal_cents",
+            },
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        idle.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_cust", alias_name="n_cust"), Sum("bal_cents", alias_name="bal_cents"))
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CASE WHEN round(c_acctbal * 100, 0) > 0
+                       THEN CAST(round(c_acctbal * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN round(c_acctbal * 100, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM customer
+)
+SELECT c_nationkey, count(*) AS n_cust,
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer, avg_bal
+WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 def range_join_bucketed(sf_dir: str):
     """Same interval-overlap aggregate as ``range_join_agg`` but through
     the TWO-LARGE-SIDES path: both events and intervals co-partition on a
@@ -6789,6 +7126,10 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "pagerank_partsupp": pagerank_partsupp,
     "bloom_semi_orders": bloom_semi_orders,
+    "promo_revenue": promo_revenue,
+    "disjunctive_pred_revenue": disjunctive_pred_revenue,
+    "priority_class_counts": priority_class_counts,
+    "idle_rich_customers": idle_rich_customers,
     "range_join_bucketed": range_join_bucketed,
     "revenue_cube": revenue_cube,
     "edit_distance_probe": edit_distance_probe,
@@ -6936,6 +7277,10 @@ ORACLE_SQL = {
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,
+    "promo_revenue": PROMO_REVENUE_SQL,
+    "disjunctive_pred_revenue": DISJUNCTIVE_PRED_REVENUE_SQL,
+    "priority_class_counts": PRIORITY_CLASS_COUNTS_SQL,
+    "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
     "range_join_bucketed": RANGE_JOIN_AGG_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "edit_distance_probe": EDIT_DISTANCE_PROBE_SQL,
