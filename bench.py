@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "fuzzy_block_join",
     "pagerank_partsupp",
     "transcript_prep",
+    "sorted_export",
+    "salted_join_segments",
+    "jaccard_join_exact",
 ]
 
 

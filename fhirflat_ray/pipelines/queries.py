@@ -1087,6 +1087,93 @@ WHERE 10 * len(list_intersect(a.s, b.s))
 """
 
 
+def split_kl_divergence(sf_dir: str):
+    """Distribution drift between two corpus splits: KL(P_even || P_odd)
+    over unigram token distributions with add-one smoothing on the union
+    vocabulary — the drift monitor a training mixture runs between crawl
+    snapshots or train/val splits.
+
+    Scale shape: per-batch (term, side) count partials (one row per
+    in-batch distinct term — the A5 combiner), ONE term-bucket combine
+    shuffle, a bounded totals aggregate, then a map-only contribution pass
+    with the three scalars broadcast; the float sum is rounded to 6dp and
+    the SQL mirrors the smoothing/ln expression term-for-term (the
+    ``doc_surprisal``/``qty_price_corr`` discipline)."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        collect_small_table,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.fill_null(pc.utf8_lower(b["text"]), ""))
+        parts = pc.split_pattern_regex(txt, r"\s+")
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        own = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        is_even = (b["doc_id"].to_numpy(zero_copy_only=False) % 2 == 0)[own]
+        t = pa.table(
+            {
+                "t": flat,
+                "a": pa.array(is_even.astype(np.int64), pa.int64()),
+                "b": pa.array((~is_even).astype(np.int64), pa.int64()),
+            }
+        ).filter(pc.not_equal(flat, ""))
+        g = t.group_by(["t"]).aggregate([("a", "sum"), ("b", "sum")])
+        return agg_select(g, {"t": "t", "a_sum": "ca", "b_sum": "cb"})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("t", as_index=False, sort=False)[["ca", "cb"]].sum()
+
+    counts = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["t"], combine
+    ).materialize()
+
+    tot = counts.aggregate(Sum("ca", alias_name="na"), Sum("cb", alias_name="nb"))
+    na, nb = int(tot["na"]), int(tot["nb"])
+    v = counts.count()
+
+    def contrib(b: pa.Table) -> pa.Table:
+        ca = b["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = b["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pa_ = (ca + 1.0) / (na + v)
+        pb_ = (cb + 1.0) / (nb + v)
+        return pa.table(
+            {"kl": pa.array([float(np.sum(pa_ * np.log(pa_ / pb_)))], pa.float64())}
+        )
+
+    t = collect_small_table(counts.map_batches(contrib, batch_format="pyarrow"))
+    kl = round(float(pc.sum(t["kl"]).as_py() or 0.0), 6)
+    return pd.DataFrame(
+        [(v, na, nb, kl)], columns=["vocab", "tokens_even", "tokens_odd", "kl_6dp"]
+    )
+
+
+SPLIT_KL_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT doc_id % 2 AS side,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+  FROM documents
+),
+c AS (
+  SELECT t,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM tok GROUP BY t
+),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+               count(*) AS v FROM c)
+SELECT v AS vocab, na AS tokens_even, nb AS tokens_odd,
+       round(sum(((ca + 1.0) / (na + v)) * ln(((ca + 1.0) / (na + v))
+                 / ((cb + 1.0) / (nb + v)))), 6) AS kl_6dp
+FROM c, tot GROUP BY v, na, nb
+"""
+
+
 def dedup_incremental(sf_dir: str):
     """Incremental dedup against a PERSISTED MinHash band index: corpus =
     4/5 of the documents (indexed once to ``/tmp``, band postings
@@ -7047,6 +7134,7 @@ QUERIES = {
     "dedup_near_exhaustive": dedup_near_exhaustive,
     "dedup_embedding": dedup_embedding,
     "dedup_incremental": dedup_incremental,
+    "split_kl_divergence": split_kl_divergence,
     "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,
@@ -7203,6 +7291,7 @@ ORACLE_SQL = {
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "jaccard_join_exact": JACCARD_JOIN_EXACT_SQL,
+    "split_kl_divergence": SPLIT_KL_DIVERGENCE_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
