@@ -1087,6 +1087,102 @@ WHERE 10 * len(list_intersect(a.s, b.s))
 """
 
 
+def value_trend_by_type(sf_dir: str):
+    """Grouped bivariate regression: per event type, the least-squares
+    slope of value over time (hours since 1997-01-01 — the
+    centering constant keeps x² sums ~1e13 so float combine-order noise
+    sits ~1e-16 relative, invisible at 6dp). One moment row per (batch,
+    type) leaves the map stage — n, Σx, Σy, Σx², Σxy — and the closed form
+    is mirrored expression-for-expression in SQL (the ``qty_price_corr``
+    discipline, grouped)."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    epoch0 = 852076800000000  # 1997-01-01 in epoch microseconds
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (
+            b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) - epoch0
+        ) / 3.6e9
+        y = b["value"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x, pa.float64()),
+                "sy": pa.array(y, pa.float64()),
+                "sxx": pa.array(x * x, pa.float64()),
+                "sxy": pa.array(x * y, pa.float64()),
+            }
+        )
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxx", "sum"), ("sxy", "sum")]
+        )
+        return agg_select(
+            g,
+            {
+                "event_type": "event_type",
+                "n_sum": "n",
+                "sx_sum": "sx",
+                "sy_sum": "sy",
+                "sxx_sum": "sxx",
+                "sxy_sum": "sxy",
+            },
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        # no intercept column: at-origin intercept = (Σy - slope·Σx)/n
+        # amplifies combine-order float noise through the slope·Σx
+        # cancellation (~1e-5 at this magnitude — measured), while the
+        # slope itself is stable well past 6dp
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "slope_6dp": pa.array(np.round(slope, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+VALUE_TREND_BY_TYPE_SQL = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum((CAST(epoch_us(ts) AS BIGINT) - 852076800000000) / 3.6e9) AS sx,
+         sum(value) AS sy,
+         sum(((CAST(epoch_us(ts) AS BIGINT) - 852076800000000) / 3.6e9)
+             * ((CAST(epoch_us(ts) AS BIGINT) - 852076800000000) / 3.6e9)) AS sxx,
+         sum(((CAST(epoch_us(ts) AS BIGINT) - 852076800000000) / 3.6e9) * value) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_6dp
+FROM m
+"""
+
+
 def split_kl_divergence(sf_dir: str):
     """Distribution drift between two corpus splits: KL(P_even || P_odd)
     over unigram token distributions with add-one smoothing on the union
@@ -7135,6 +7231,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_incremental": dedup_incremental,
     "split_kl_divergence": split_kl_divergence,
+    "value_trend_by_type": value_trend_by_type,
     "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,
@@ -7292,6 +7389,7 @@ ORACLE_SQL = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "jaccard_join_exact": JACCARD_JOIN_EXACT_SQL,
     "split_kl_divergence": SPLIT_KL_DIVERGENCE_SQL,
+    "value_trend_by_type": VALUE_TREND_BY_TYPE_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
