@@ -1087,6 +1087,71 @@ WHERE 10 * len(list_intersect(a.s, b.s))
 """
 
 
+def curriculum_export(sf_dir: str):
+    """Flagship composition #3 — the curriculum-export pipeline a training
+    run feeds from: quality gate (>= 30 tokens) → length-proportional
+    Poisson sample (integer-exact trial) → exact dedup (min-id per content,
+    narrow hash shuffle) → range-partitioned GLOBAL sort by descending
+    length into 8 contiguous balanced shards with exact ranks. Four
+    stages, one narrow shuffle + one all-to-all total, and the whole
+    composition sits under ONE SQL oracle because every stage is
+    deterministic (hash trials, id tie-breaks, integer math)."""
+    from fhirflat_ray.functions.dedup import exact_dedup
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.sort import range_partition_sort
+    from fhirflat_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gate_sample(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ntok >= 30) & (hash32(ids) * np.int64(100) < ntok * np.int64(1 << 32))
+        t = t.append_column(
+            "neg_tokens", pa.array(-ntok, pa.int64())
+        )  # ascending sort key = descending length
+        return t.filter(pa.array(keep))
+
+    gated = ds.map_batches(gate_sample, batch_format="pyarrow")
+    deduped = exact_dedup(gated, column="text", id_column="doc_id").drop_columns(
+        ["text"]
+    )
+    ranked = range_partition_sort(
+        deduped, key_col="neg_tokens", tiebreak_cols=["doc_id"], n_shards=8
+    )
+    return ranked.select_columns(["doc_id", "n_tokens", "pos", "shard"])
+
+
+def _curriculum_export_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+f AS (
+  SELECT * FROM t
+  WHERE n_tokens >= 30 AND {hash32_sql('doc_id')} * 100 < n_tokens * 4294967296
+),
+d AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+j AS (SELECT f.doc_id, f.n_tokens FROM f JOIN d USING (doc_id)),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+  FROM j
+)
+SELECT doc_id, n_tokens, CAST(pos AS BIGINT) AS pos,
+       CAST((pos * 8) // (SELECT count(*) FROM r) AS BIGINT) AS shard
+FROM r
+"""
+
+
+CURRICULUM_EXPORT_SQL = _curriculum_export_sql()
+
+
 def value_trend_by_type(sf_dir: str):
     """Grouped bivariate regression: per event type, the least-squares
     slope of value over time (hours since 1997-01-01 — the
@@ -7232,6 +7297,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_kl_divergence": split_kl_divergence,
     "value_trend_by_type": value_trend_by_type,
+    "curriculum_export": curriculum_export,
     "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,
@@ -7390,6 +7456,7 @@ ORACLE_SQL = {
     "jaccard_join_exact": JACCARD_JOIN_EXACT_SQL,
     "split_kl_divergence": SPLIT_KL_DIVERGENCE_SQL,
     "value_trend_by_type": VALUE_TREND_BY_TYPE_SQL,
+    "curriculum_export": CURRICULUM_EXPORT_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
