@@ -1417,6 +1417,13 @@ def incremental_dedup(
         n_hashes=meta["n_hashes"], k=meta["k"], seed=meta["seed"], column=column
     )
     new_t = collect_small_table(new_ds.select_columns([id_column, column]))
+    if new_t.nbytes > BROADCAST_BYTE_BUDGET:
+        raise ValueError(
+            f"incremental batch is {new_t.nbytes >> 20} MB — past the "
+            f"{BROADCAST_BYTE_BUDGET >> 20} MB broadcast budget this "
+            "operator's contract assumes (batch << corpus). Split the "
+            "increment, or run near_dedup over corpus+batch instead."
+        )
     sigs = hasher(new_t)
     nb = explode_bands(sigs.select([id_column, "minhash"]), n_bands, id_column)
     # one sorted multimap (band_id, band_hash) -> new ids, broadcast once

@@ -87,6 +87,11 @@ def range_partition_sort(
     sampled = collect_small_table(
         ds.select_columns([key_col]).map_batches(sample, batch_format="pyarrow")
     )
+    if sampled.num_rows > 50_000_000:
+        raise ValueError(
+            f"split sample of {sampled.num_rows} keys exceeds the driver "
+            "budget — raise sample_rate_log2 (each +1 halves the sample)"
+        )
     keys = np.sort(sampled[key_col].to_numpy(zero_copy_only=False))
     if len(keys) == 0:
         splits = keys[:0]
