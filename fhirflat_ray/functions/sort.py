@@ -78,6 +78,13 @@ def range_partition_sort(
         n_ranges = default_num_buckets()
     mask = np.int64((1 << sample_rate_log2) - 1)
 
+    # three passes read the input (sample, exact counts, the shuffle);
+    # without pinning, a lazy upstream pipeline — e.g. a dedup shuffle —
+    # would re-execute per pass (measured: curriculum_export paid its
+    # dedup 3x). Materialize once; blocks live in the (spillable) object
+    # store, which is the standard multi-pass trade.
+    ds = ds.materialize()
+
     def sample(b: pa.Table) -> pa.Table:
         bits = _key_bits(b[key_col])
         h = bits * _MIX  # wraps mod 2^64: deterministic mix
