@@ -6985,13 +6985,16 @@ def user_ltv_deciles(sf_dir: str):
         g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
         return agg_select(g, {"user_id": "user_id", "cents_sum": "cents"})
 
+    # materialize: count() plus the prefix scan's two passes would
+    # otherwise re-run the bucketed aggregate three times (shuffle-audit
+    # finding); pinned, the count is free metadata
     per_user = bucketed_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"),
         ["user_id"],
         lambda g: g.groupby("user_id", sort=False, as_index=False).agg(
             cents=("cents", "sum")
         ),
-    )
+    ).materialize()
     n_users = per_user.count()
 
     ranked = global_running(
