@@ -10,7 +10,9 @@ Byte decoding is REAL for the formats the standard library can handle:
 - WAV (PCM 8/16/32-bit) via ``wave`` → sample array → spectral features;
 - PPM (binary ``P6``) parsed by hand → pixel array → color/histogram
   features and real nearest-neighbour resizing;
-- BMP (uncompressed 24-bit) parsed by hand → pixel array.
+- BMP (uncompressed 24-bit) parsed by hand → pixel array;
+- PNG (8-bit gray/RGB/palette/RGBA, filters 0-4) via ``zlib`` inflate +
+  spec unfiltering — validated against an externally-encoded fixture.
 
 Payloads in any OTHER format fall back to ``_fake_decode_features`` — a
 deterministic hash-seeded vector (``DETERMINISTIC_FAKE`` marks that path;
@@ -112,12 +114,110 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline PNG filters (types 0-4) → (h, stride) bytes.
+
+    Sub vectorizes as a per-lane prefix sum mod 256; Up is a row add;
+    Average/Paeth keep the spec's left-neighbour recurrence (a loop over x
+    positions, vectorized across the ``bpp`` lanes at each step)."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = line
+        elif ftype == 1:  # Sub: prefix sum per lane
+            lanes = line.reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0) % 256).reshape(-1)
+        elif ftype == 2:  # Up
+            rec = (line + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int64)
+            for x0 in range(0, stride, bpp):
+                left = rec[x0 - bpp : x0] if x0 >= bpp else np.zeros(bpp, np.int64)
+                up = prev[x0 : x0 + bpp]
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = (
+                        prev[x0 - bpp : x0] if x0 >= bpp else np.zeros(bpp, np.int64)
+                    )
+                    p = left + up - ul
+                    pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, ul)
+                    )
+                rec[x0 : x0 + bpp] = (line[x0 : x0 + bpp] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, channels) uint8 pixels from 8-bit PNG bytes (stdlib zlib).
+
+    Supports colour types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA),
+    bit depth 8, no interlace — the overwhelmingly common cases."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG colour type {color}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE")
+        px = palette[px[:, :, 0]]
+    elif color == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3] if px.shape[2] >= 3 else px
+
+
 def _image_pixels(payload: bytes) -> np.ndarray | None:
     """Real pixel decode for stdlib-decodable formats, else None."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 
@@ -168,6 +268,67 @@ def make_wav_bytes(
 def make_ppm_bytes(width: int = 32, height: int = 24, seed: int = 42) -> bytes:
     rng = np.random.default_rng(seed)
     return _encode_ppm(rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8))
+
+
+def make_png_bytes(
+    width: int = 20,
+    height: int = 14,
+    seed: int = 44,
+    color_type: int = 2,
+    filters: tuple[int, ...] = (0, 1, 2, 3, 4),
+) -> bytes:
+    """Real 8-bit PNG bytes (stdlib zlib + struct): RGB (2), gray (0) or
+    RGBA (6), cycling through the given scanline filter types so decode
+    exercises every unfilter branch."""
+    import zlib
+
+    rng = np.random.default_rng(seed)
+    ch = {0: 1, 2: 3, 6: 4}[color_type]
+    px = rng.integers(0, 256, size=(height, width, ch), dtype=np.uint8)
+    bpp = ch
+    lines = []
+    prev = np.zeros(width * ch, dtype=np.int64)
+    for y in range(height):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            enc = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+            p = left + prev - ul
+            pa_, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(b"".join(lines))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_bmp_bytes(width: int = 16, height: int = 12, seed: int = 43) -> bytes:
