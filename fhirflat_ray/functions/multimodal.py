@@ -277,14 +277,25 @@ def make_png_bytes(
     color_type: int = 2,
     filters: tuple[int, ...] = (0, 1, 2, 3, 4),
 ) -> bytes:
-    """Real 8-bit PNG bytes (stdlib zlib + struct): RGB (2), gray (0) or
-    RGBA (6), cycling through the given scanline filter types so decode
-    exercises every unfilter branch."""
-    import zlib
-
+    """Real 8-bit PNG bytes of random pixels (see :func:`_encode_png`)."""
     rng = np.random.default_rng(seed)
     ch = {0: 1, 2: 3, 6: 4}[color_type]
     px = rng.integers(0, 256, size=(height, width, ch), dtype=np.uint8)
+    return _encode_png(px, color_type=color_type, filters=filters)
+
+
+def _encode_png(
+    px: np.ndarray,
+    color_type: int = 2,
+    filters: tuple[int, ...] = (0, 1, 2, 3, 4),
+) -> bytes:
+    """Real 8-bit PNG bytes (stdlib zlib + struct) from a (h, w, ch) uint8
+    array: RGB (2), gray (0) or RGBA (6), cycling through the given
+    scanline filter types so decode exercises every unfilter branch."""
+    import zlib
+
+    height, width, ch = px.shape
+    assert ch == {0: 1, 2: 3, 6: 4}[color_type]
     bpp = ch
     lines = []
     prev = np.zeros(width * ch, dtype=np.int64)

@@ -6135,6 +6135,62 @@ FROM r GROUP BY 1
 """
 
 
+def media_features_png(sf_dir: str):
+    """The ``media_features`` trick through the PNG path: pixels are the
+    text's own bytes, but the payload is a real zlib-compressed PNG whose
+    scanlines cycle through ALL FIVE filter types — so the driver gate
+    exercises chunk parsing, inflate and every unfilter branch, and the
+    SQL oracle still recomputes the decoded mean-red via ord() because
+    decode is pixel-exact. Payload size is zlib-dependent, so unlike the
+    PPM variant only (doc_id, f0) is asserted."""
+    from fhirflat_ray.functions.multimodal import (
+        ImageFeatureExtractor,
+        _encode_png,
+    )
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H = 16, 12
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            need = W * H * 3
+            buf = (raw * (need // len(raw) + 1))[:need]
+            px = np.frombuffer(buf, dtype=np.uint8).reshape(H, W, 3)
+            payloads.append(_encode_png(px))
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    feats = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        worker_cached_stage(ImageFeatureExtractor, dim=8),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "f0": f0})
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+MEDIA_FEATURES_PNG_SQL = """
+WITH px AS (
+  SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
+  FROM documents, generate_series(0, 573, 3) s(p)
+)
+SELECT doc_id,
+       round(CAST(CAST(CAST(avg(red) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0
+FROM px GROUP BY doc_id
+"""
+
+
 def salted_join_segments(sf_dir: str):
     """Skew-robust distributed join: event value cents per customer market
     segment, through ``functions/joins.py:salted_hash_join`` — the top
@@ -7342,6 +7398,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "quantiles_cont_value": quantiles_cont_value,
     "media_features": media_features,
+    "media_features_png": media_features_png,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
@@ -7579,6 +7636,7 @@ ORACLE_SQL = {
     # pixels are the text's own ASCII codes (16x12 RGB tiled), so the mean
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
+    "media_features_png": MEDIA_FEATURES_PNG_SQL,
     "media_features": """
 WITH px AS (
   SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
