@@ -6191,6 +6191,68 @@ FROM px GROUP BY doc_id
 """
 
 
+def audio_features_wav(sf_dir: str):
+    """The multimodal-oracle trick for AUDIO: each document's bytes become
+    8-bit PCM samples in a REAL RIFF/WAVE payload (stdlib ``wave``
+    writer), the actor-pool stage decodes them back through the real WAV
+    path, and the first feature — RMS of (byte-128)/128 samples — is
+    recomputable in SQL via ord(). The float32 feature cast is mirrored
+    with CAST AS REAL, which absorbs float64 summation-order noise (the
+    ``media_features`` discipline), so the WAV decode path sits under a
+    full oracle alongside the PPM and PNG image paths."""
+    import io as _io
+    import wave as _wave
+
+    from fhirflat_ray.functions.multimodal import AudioFeatureExtractor
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    N = 192  # samples per payload (text bytes tiled)
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            buf = (raw * (N // len(raw) + 1))[:N]
+            out = _io.BytesIO()
+            with _wave.open(out, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(1)  # 8-bit PCM: samples ARE the text bytes
+                w.setframerate(8000)
+                w.writeframes(buf)
+            payloads.append(out.getvalue())
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    feats = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        worker_cached_stage(AudioFeatureExtractor, dim=4),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rms = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "rms": rms})
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+AUDIO_FEATURES_WAV_SQL = """
+WITH sm AS (
+  SELECT doc_id,
+         (ord(substr(text, (s.p % length(text)) + 1, 1)) - 128.0) / 128.0 AS x
+  FROM documents, generate_series(0, 191) s(p)
+)
+SELECT doc_id,
+       round(CAST(CAST(sqrt(avg(x * x)) AS REAL) AS DOUBLE), 4) AS rms
+FROM sm GROUP BY doc_id
+"""
+
+
 def salted_join_segments(sf_dir: str):
     """Skew-robust distributed join: event value cents per customer market
     segment, through ``functions/joins.py:salted_hash_join`` — the top
@@ -7399,6 +7461,7 @@ QUERIES = {
     "quantiles_cont_value": quantiles_cont_value,
     "media_features": media_features,
     "media_features_png": media_features_png,
+    "audio_features_wav": audio_features_wav,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
@@ -7637,6 +7700,7 @@ ORACLE_SQL = {
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
     "media_features_png": MEDIA_FEATURES_PNG_SQL,
+    "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
     "media_features": """
 WITH px AS (
   SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
