@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "sorted_export",
     "salted_join_segments",
     "jaccard_join_exact",
+    "curriculum_export",
 ]
 
 

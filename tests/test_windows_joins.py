@@ -482,3 +482,43 @@ def test_salted_hash_join_planted_skew(ray_session):
     assert len(got) == len(want) == n
     assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
     assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
+
+
+def test_range_partition_sort_property(ray_session):
+    """Property: for arbitrary float keys (ties, negatives, skew) and any
+    range count, the output ranks equal the lexsort reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        seed=st.integers(0, 2**16),
+        n=st.integers(10, 3000),
+        n_ranges=st.integers(2, 20),
+        dup_rate=st.floats(0.0, 0.9),
+    )
+    def check(seed, n, n_ranges, dup_rate):
+        rng = np.random.default_rng(seed)
+        vals = rng.normal(0, 100, n)
+        dup_mask = rng.random(n) < dup_rate
+        vals[dup_mask] = np.round(vals[dup_mask] / 50) * 50  # heavy ties
+        ids = rng.permutation(n).astype(np.int64)
+        ds = rd.from_arrow(
+            pa.table({"id": ids, "v": vals})
+        ).repartition(4)
+        out = (
+            range_partition_sort(ds, "v", ["id"], n_ranges=n_ranges)
+            .to_pandas()
+            .sort_values("pos")
+        )
+        order = np.lexsort((ids, vals))
+        assert (out["pos"].to_numpy() == np.arange(n)).all()
+        assert (out["id"].to_numpy() == ids[order]).all()
+
+    check()
