@@ -1228,3 +1228,47 @@ def test_png_features_through_actor_pool(ray_session):
     got = np.array(out["features"].iloc[0], dtype=np.float32)
     want = mm._image_features(png_px, 64)
     assert np.allclose(got, want)
+
+
+def test_prefix_jaccard_join_property(ray_session):
+    """Property: for random small corpora with planted duplicate families,
+    arbitrary thresholds and shingle widths, the prefix-filtered join
+    equals the brute-force all-pairs reference exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import ray.data as rd
+
+    from fhirflat_ray.functions.setjoin import prefix_jaccard_join
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        seed=st.integers(0, 2**16),
+        num_den=st.sampled_from([(1, 2), (7, 10), (4, 5)]),
+        k=st.integers(2, 6),
+    )
+    def check(seed, num_den, k):
+        num, den = num_den
+        rng = np.random.default_rng(seed)
+        texts, ids = [], []
+        base_words = [f"w{rng.integers(0, 300)}" for _ in range(40)]
+        for i in range(60):
+            if i % 10 < 2:
+                t = " ".join(base_words)  # family
+            elif i % 10 == 2:
+                t = " ".join(base_words[: 30 + int(rng.integers(0, 10))])
+            else:
+                t = " ".join(f"w{rng.integers(0, 5000)}" for _ in range(20))
+            texts.append(t)
+            ids.append(i)
+        want = _brute_pairs(texts, ids, k=k, num=num, den=den)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+        ).repartition(4)
+        got_t = prefix_jaccard_join(
+            ds, k=k, num=num, den=den, num_buckets=6, topk_common=32
+        ).to_pandas()
+        got = set(zip(got_t["left_id"], got_t["right_id"]))
+        assert got == want
+
+    check()
