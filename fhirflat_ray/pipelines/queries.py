@@ -1152,6 +1152,79 @@ FROM r
 CURRICULUM_EXPORT_SQL = _curriculum_export_sql()
 
 
+def reach_3hop(sf_dir: str):
+    """Multi-hop graph reachability (BFS frontier expansion): every node
+    within 3 hops of part #1 in the part↔supplier bipartite graph (edges =
+    distinct lineitem pairs, nodes namespaced part*2 / supp*2+1 — the
+    ``pagerank_partsupp`` graph).
+
+    Scale shape: the edge list stays a distributed Dataset (materialized
+    once, scanned once per hop); each hop is a map-only broadcast
+    semi-join of edges against the CURRENT frontier (frontiers are
+    node-bounded — the standard BFS broadcast assumption; a hash-join
+    per hop is the fallback past that). The oracle unrolls the three
+    hops as chained DISTINCT joins."""
+    import ray
+
+    from fhirflat_ray.functions.util import collect_small_table, distinct_rows
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False) * 2
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False) * 2 + 1
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([p, s]), pa.int64()),
+                "v": pa.array(np.concatenate([s, p]), pa.int64()),
+            }
+        )
+
+    edges = distinct_rows(
+        li.map_batches(to_edges, batch_format="pyarrow"), ["u", "v"]
+    ).materialize()
+
+    seed = np.array([2], dtype=np.int64)  # part #1 → node 1*2
+    visited = set(seed.tolist())
+    frontier = seed
+    for _ in range(3):
+        if len(frontier) == 0:
+            break
+        fref = ray.put(np.sort(frontier))
+
+        def expand(b: pa.Table) -> pa.Table:
+            f = ray.get(fref)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(f, u), 0, len(f) - 1)
+            hit = f[pos] == u
+            return pa.table({"v": pa.array(np.unique(b["v"].to_numpy(zero_copy_only=False)[hit]), pa.int64())})
+
+        nxt_t = collect_small_table(edges.map_batches(expand, batch_format="pyarrow"))
+        nxt = np.unique(nxt_t["v"].to_numpy(zero_copy_only=False))
+        frontier = np.array(
+            [n for n in nxt.tolist() if n not in visited], dtype=np.int64
+        )
+        visited.update(frontier.tolist())
+
+    out = np.array(sorted(visited), dtype=np.int64)
+    return pa.table({"node": pa.array(out, pa.int64())})
+
+
+REACH_3HOP_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS u, l_suppkey * 2 + 1 AS v FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS u, l_partkey * 2 AS v FROM lineitem
+),
+h0 AS (SELECT CAST(2 AS BIGINT) AS node),
+h1 AS (SELECT DISTINCT e.v AS node FROM e JOIN h0 ON e.u = h0.node),
+h2 AS (SELECT DISTINCT e.v AS node FROM e JOIN h1 ON e.u = h1.node),
+h3 AS (SELECT DISTINCT e.v AS node FROM e JOIN h2 ON e.u = h2.node)
+SELECT node FROM h0 UNION SELECT node FROM h1
+UNION SELECT node FROM h2 UNION SELECT node FROM h3
+"""
+
+
 def value_trend_by_type(sf_dir: str):
     """Grouped bivariate regression: per event type, the least-squares
     slope of value over time (hours since 1997-01-01 — the
@@ -7419,6 +7492,7 @@ QUERIES = {
     "split_kl_divergence": split_kl_divergence,
     "value_trend_by_type": value_trend_by_type,
     "curriculum_export": curriculum_export,
+    "reach_3hop": reach_3hop,
     "jaccard_join_exact": jaccard_join_exact,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "dedup_embedding_auto": dedup_embedding_auto,
@@ -7580,6 +7654,7 @@ ORACLE_SQL = {
     "split_kl_divergence": SPLIT_KL_DIVERGENCE_SQL,
     "value_trend_by_type": VALUE_TREND_BY_TYPE_SQL,
     "curriculum_export": CURRICULUM_EXPORT_SQL,
+    "reach_3hop": REACH_3HOP_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
