@@ -483,6 +483,23 @@ def test_salted_hash_join_planted_skew(ray_session):
     assert (got["rid"].to_numpy() == want["rid"].to_numpy()).all()
     assert (got["label"].to_numpy() == want["label"].to_numpy()).all()
 
+    # the point of salting: the hottest hash partition (a cluster's
+    # critical path) must shrink by ~n_salts for the hot key
+    import pandas.util as pdu
+
+    from fhirflat_ray.functions.sampling import hash32
+
+    P = 16
+    plain = np.bincount(
+        (pdu.hash_array(keys) % np.uint64(P)).astype(np.int64), minlength=P
+    )
+    salt = np.where(keys == 7, hash32(fact["rid"].to_numpy()) % 16, 0)
+    salted = np.bincount(
+        (pdu.hash_array(keys * 32 + salt) % np.uint64(P)).astype(np.int64),
+        minlength=P,
+    )
+    assert plain.max() > 3 * salted.max()
+
 
 def test_range_partition_sort_property(ray_session):
     """Property: for arbitrary float keys (ties, negatives, skew) and any
