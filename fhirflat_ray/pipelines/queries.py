@@ -6326,6 +6326,90 @@ FROM sm GROUP BY doc_id
 """
 
 
+def video_frame_features(sf_dir: str):
+    """The multimodal-oracle trick for VIDEO: each document becomes a
+    'clip' of 4 equal-size PPM frames concatenated (frame i's pixels =
+    the text's bytes shifted by i, so frames differ deterministically),
+    ``FrameSampler`` splits the payload back into frames on exact byte
+    boundaries, and each frame decodes through the REAL PPM path — so the
+    whole video pipeline (clip → frame sampling → per-frame decode →
+    features) sits under one SQL oracle mirroring the per-frame mean-red
+    via ord(). Completes the modality-oracle set (image, audio, video)."""
+    from fhirflat_ray.functions.multimodal import (
+        FrameSampler,
+        ImageFeatureExtractor,
+        _encode_ppm,
+    )
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H, F = 16, 12, 4
+
+    def to_clip(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            need = W * H * 3
+            frames = []
+            for i in range(F):
+                shifted = raw[i % len(raw):] + raw[: i % len(raw)]
+                buf = (shifted * (need // len(shifted) + 1))[:need]
+                px = np.frombuffer(buf, dtype=np.uint8).reshape(H, W, 3)
+                frames.append(_encode_ppm(px))
+            payloads.append(b"".join(frames))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    frames = docs.map_batches(to_clip, batch_format="pyarrow").map_batches(
+        worker_cached_stage(FrameSampler, n_frames=F),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+
+    def rename_frame(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "frame_idx": b["frame_idx"],
+                "payload": b["frame"],
+            }
+        )
+
+    feats = frames.map_batches(rename_frame, batch_format="pyarrow").map_batches(
+        worker_cached_stage(ImageFeatureExtractor, dim=8),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "doc_id": b["media_id"],
+                "frame_idx": pc.cast(b["frame_idx"], pa.int64()),
+                "f0": f0,
+            }
+        )
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+VIDEO_FRAME_FEATURES_SQL = """
+WITH px AS (
+  SELECT doc_id, f.i AS frame_idx,
+         ord(substr(text, (((f.i % length(text)) + s.p) % length(text)) + 1, 1)) AS red
+  FROM documents, generate_series(0, 3) f(i), generate_series(0, 573, 3) s(p)
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       round(CAST(CAST(CAST(avg(red) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0
+FROM px GROUP BY doc_id, frame_idx
+"""
+
+
 def salted_join_segments(sf_dir: str):
     """Skew-robust distributed join: event value cents per customer market
     segment, through ``functions/joins.py:salted_hash_join`` — the top
@@ -7536,6 +7620,7 @@ QUERIES = {
     "media_features": media_features,
     "media_features_png": media_features_png,
     "audio_features_wav": audio_features_wav,
+    "video_frame_features": video_frame_features,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
     "pruned_scan": pruned_scan,
@@ -7776,6 +7861,7 @@ ORACLE_SQL = {
     # feature quantization, absorbing float64 sum-order noise on both sides
     "media_features_png": MEDIA_FEATURES_PNG_SQL,
     "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
+    "video_frame_features": VIDEO_FRAME_FEATURES_SQL,
     "media_features": """
 WITH px AS (
   SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
