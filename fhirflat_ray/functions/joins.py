@@ -699,3 +699,32 @@ def salted_hash_join(
         ),
         batch_format="pyarrow",
     )
+
+
+def hybrid_semi_join(
+    ds,
+    keys_ds,
+    on: str,
+    right_on: str,
+    num_partitions: int,
+    broadcast_key_budget: int = 2_000_000,
+):
+    """Semi join that picks its physical plan by KEY-SET size (the
+    near_dedup hybrid discipline): a bounded key set collects once and
+    filters map-only (broadcast + searchsorted — zero exchanges); past the
+    budget the Bloom-prefiltered distributed path runs (constant-size
+    bitmap broadcast + exact-verify hash join over survivors). Both plans
+    return exactly the rows of ``ds`` whose ``on`` appears in
+    ``keys_ds[right_on]``."""
+    import numpy as np
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_key_budget:
+        t = collect_small_table(keys_ds.select_columns([right_on]))
+        keys = np.unique(t[right_on].to_numpy(zero_copy_only=False).astype(np.int64))
+        return broadcast_semi_join(ds, keys, on)
+    return bloom_semi_join(
+        ds, keys_ds, on=on, right_on=right_on, num_partitions=num_partitions
+    )

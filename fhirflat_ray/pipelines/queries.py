@@ -2291,8 +2291,15 @@ def q3_top_orders(sf_dir: str):
 
     li = li.map_batches(li_filter, batch_format="pyarrow")
 
-    o_c = orders.join(cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",))
-    o_c = o_c.select_columns(["o_orderkey", "o_orderdate"])
+    # the customer side is a PURE SEMI JOIN (it contributes only
+    # membership), so it dispatches by key-set size: bounded BUILDING key
+    # sets broadcast and filter map-only; past the budget the
+    # Bloom-prefiltered distributed path runs (hybrid_semi_join)
+    from fhirflat_ray.functions.joins import hybrid_semi_join
+
+    o_c = hybrid_semi_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=n_parts
+    ).select_columns(["o_orderkey", "o_orderdate"])
     j = li.join(o_c, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
