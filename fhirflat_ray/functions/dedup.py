@@ -532,39 +532,83 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
-class _BroadcastAttachVerify:
-    """Worker stage for the broadcast verify path: the candidate documents'
-    texts ship ONCE via ``ray.put``; each batch of (left_id, right_id)
-    pairs attaches its texts by searchsorted and runs the REAL
-    :class:`JaccardVerifier` — verification parallelizes across the
-    candidate set instead of serializing on the driver (the exhaustive
-    all-pairs oracle variant was 75 s of single-core driver time at 125k
-    pairs; distributed it is bounded by cores)."""
+def attach_pair_texts(
+    cand,
+    txt_ds,
+    id_column: str,
+    column: str,
+    num_partitions: int,
+):
+    """Attach left/right payload columns to a MATERIALIZED candidate-pair
+    Dataset (rows ``left_id, right_id`` → plus ``left_text, right_text``).
 
-    def __init__(self, ref, k: int, threshold: float):
-        import ray
+    Hybrid plan shared by the near-dedup verify stage and the prefix-filter
+    set-similarity join: the candidate set is duplicate-proportional, so
+    below the pair budget only the CANDIDATE documents' payloads are
+    fetched (map-only broadcast filter over the corpus — never the corpus
+    itself) and, if those fit the byte budget, each pair batch attaches
+    its texts by searchsorted against the broadcast table — skipping two
+    hash-join shuffles (measured ~45s vs ~3s at 500k pairs / 160k docs).
+    Either bound exceeded → two distributed hash joins."""
+    import ray
 
-        d = ray.get(ref)
-        self.tid = d["tid"]
-        self.tvals = d["tvals"]
-        self.ver = JaccardVerifier(k=k, threshold=threshold)
+    n_cand = cand.count()
+    txt = txt_ds.select_columns([id_column, column])
+    if n_cand <= BROADCAST_PAIR_BUDGET:
+        from fhirflat_ray.functions.joins import broadcast_semi_join
+        from fhirflat_ray.functions.util import collect_small_table
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        lids = b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rids = b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = pa.table(
-            {
-                "left_id": b["left_id"],
-                "right_id": b["right_id"],
-                "left_text": self.tvals.take(
-                    pa.array(np.searchsorted(self.tid, lids), pa.int64())
-                ),
-                "right_text": self.tvals.take(
-                    pa.array(np.searchsorted(self.tid, rids), pa.int64())
-                ),
-            }
-        )
-        return self.ver(t)
+        pairs_t = collect_small_table(cand)
+        lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        need = np.unique(np.concatenate([lids, rids]))
+        txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
+        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
+            tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(tid)
+            tid = tid[order]
+            tvals = txt_t[column].combine_chunks().take(pa.array(order, pa.int64()))
+            ref = ray.put({"tid": tid, "tvals": tvals})
+
+            def attach(b: pa.Table) -> pa.Table:
+                d = ray.get(ref)
+                l = b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                r = b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {
+                        "left_id": b["left_id"],
+                        "right_id": b["right_id"],
+                        "left_text": d["tvals"].take(
+                            pa.array(np.searchsorted(d["tid"], l), pa.int64())
+                        ),
+                        "right_text": d["tvals"].take(
+                            pa.array(np.searchsorted(d["tid"], r), pa.int64())
+                        ),
+                    }
+                )
+
+            # spread the (possibly single-block) candidate set so downstream
+            # verification parallelizes; ~20k pairs per batch bounds the
+            # shingle-stream working set
+            n_blocks = max(2, min(num_partitions, n_cand // 10_000 + 1))
+            return cand.repartition(n_blocks).map_batches(
+                attach, batch_format="pyarrow", batch_size=20_000
+            )
+
+    lt = cand.join(
+        txt, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
+        right_suffix="_l",
+    ).map_batches(
+        lambda b: _rename(b, {column: "left_text", f"{column}_l": "left_text"}),
+        batch_format="pyarrow",
+    )
+    return lt.join(
+        txt, "inner", num_partitions, on=("right_id",), right_on=(id_column,),
+        right_suffix="_r",
+    ).map_batches(
+        lambda b: _rename(b, {column: "right_text", f"{column}_r": "right_text"}),
+        batch_format="pyarrow",
+    )
 
 
 def _verify_edges_jaccard(
@@ -578,78 +622,13 @@ def _verify_edges_jaccard(
 ):
     """Hybrid true-Jaccard verification of a MATERIALIZED candidate-pair
     Dataset → verified edge Dataset (or ``None`` when there are no
-    candidates).
-
-    The candidate set is proportional to DUPLICATES, so it is usually small
-    relative to the corpus. Below the pair threshold, fetch only the
-    candidate documents' texts (map-only broadcast filter over the corpus —
-    never the corpus itself) and, if those texts fit the byte budget, verify
-    all pairs in one vectorized pass — skipping two hash-join shuffles
-    (measured ~45s vs ~3s at 500k pairs / 160k docs). Either bound exceeded
-    → the distributed join path."""
-    txt = ds.select_columns([id_column, column])
-    n_cand = cand.count()  # metadata on the materialized set — free
-    if n_cand == 0:
+    candidates): texts attach via :func:`attach_pair_texts`, then the REAL
+    vectorized :class:`JaccardVerifier` filters. Stays lazy — the
+    downstream components materialize executes the plan exactly once."""
+    if cand.count() == 0:
         return None
-    if n_cand <= BROADCAST_PAIR_BUDGET:
-        from fhirflat_ray.functions.joins import broadcast_semi_join
-        from fhirflat_ray.functions.util import collect_small_table
-
-        pairs_t = collect_small_table(cand)
-        lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        need = np.unique(np.concatenate([lids, rids]))
-        txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
-        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
-            import ray
-
-            tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-            torder = np.argsort(tid)
-            tid = tid[torder]
-            tvals = txt_t[column].combine_chunks().take(
-                pa.array(torder, pa.int64())
-            )
-            texts_ref = ray.put({"tid": tid, "tvals": tvals})
-            # spread the (possibly single-block) candidate set so the
-            # verify parallelizes; ~20k pairs per batch bounds the
-            # shingle-stream working set
-            n_blocks = max(2, min(num_partitions, n_cand // 10_000 + 1))
-            return (
-                cand.repartition(n_blocks)
-                .map_batches(
-                    worker_cached_stage(
-                        _BroadcastAttachVerify,
-                        ref=texts_ref,
-                        k=k,
-                        threshold=threshold,
-                    ),
-                    batch_format="pyarrow",
-                    batch_size=20_000,
-                )
-                .select_columns(["left_id", "right_id"])
-            )
-
-    # attach both texts via distributed hash joins (no driver collect)
-    lt = cand.join(
-        txt, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
-        right_suffix="_l",
-    )
-    lt = lt.map_batches(
-        lambda b: _rename(b, {column: "left_text", f"{column}_l": "left_text"}),
-        batch_format="pyarrow",
-    )
-    rt = lt.join(
-        txt, "inner", num_partitions, on=("right_id",), right_on=(id_column,),
-        right_suffix="_r",
-    )
-    rt = rt.map_batches(
-        lambda b: _rename(b, {column: "right_text", f"{column}_r": "right_text"}),
-        batch_format="pyarrow",
-    )
-
-    # stays lazy: the downstream components materialize executes the
-    # two-join verify plan exactly once
-    return rt.map_batches(
+    withtext = attach_pair_texts(cand, ds, id_column, column, num_partitions)
+    return withtext.map_batches(
         worker_cached_stage(JaccardVerifier, k=k, threshold=threshold),
         batch_format="pyarrow",
     ).select_columns(["left_id", "right_id"])

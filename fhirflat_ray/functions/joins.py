@@ -665,6 +665,10 @@ def salted_hash_join(
     def salt_fact(b: pa.Table) -> pa.Table:
         hk = ray.get(hot_ref)
         keys = b[on].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(hk) == 0:  # empty fact side -> empty probe -> nothing is hot
+            return b.append_column(
+                "__salt", pa.array(np.zeros(len(keys), dtype=np.int64), pa.int64())
+            )
         pos = np.searchsorted(hk, keys)
         is_hot = (pos < len(hk)) & (hk[np.clip(pos, 0, max(len(hk) - 1, 0))] == keys)
         src = b[salt_source].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -674,6 +678,10 @@ def salted_hash_join(
     def replicate_dim(b: pa.Table) -> pa.Table:
         hk = ray.get(hot_ref)
         keys = b[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(hk) == 0:
+            return b.append_column(
+                "__salt", pa.array(np.zeros(len(keys), dtype=np.int64), pa.int64())
+            )
         pos = np.searchsorted(hk, keys)
         is_hot = (pos < len(hk)) & (hk[np.clip(pos, 0, max(len(hk) - 1, 0))] == keys)
         reps = np.where(is_hot, n_salts, 1).astype(np.int64)
@@ -720,6 +728,9 @@ def hybrid_semi_join(
 
     from fhirflat_ray.functions.util import collect_small_table
 
+    # pin the key pipeline once: count() then collect/bitmap would
+    # otherwise re-execute the upstream read+filter per pass
+    keys_ds = keys_ds.materialize()
     n_keys = keys_ds.count()
     if n_keys <= broadcast_key_budget:
         t = collect_small_table(keys_ds.select_columns([right_on]))

@@ -39,11 +39,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from fhirflat_ray.functions.dedup import (
-    BROADCAST_BYTE_BUDGET,
-    BROADCAST_PAIR_BUDGET,
-    _flat_shingle_stream,
-)
+from fhirflat_ray.functions.dedup import _flat_shingle_stream, attach_pair_texts
 from fhirflat_ray.functions.util import worker_cached_stage
 
 #: rare-token order keys live in [0, 2^31); common tokens start here so the
@@ -107,71 +103,6 @@ class _PairSetVerifier:
                 "right_id": b["right_id"].filter(pa.array(keep)),
             }
         )
-
-
-def _attach_pair_texts(cand, txt_ds, id_column: str, column: str, num_partitions: int):
-    """Attach left_text/right_text to a MATERIALIZED candidate-pair Dataset,
-    broadcast when the candidate texts fit the byte budget, two distributed
-    hash joins above it (the ``_verify_edges_jaccard`` hybrid)."""
-    import ray
-
-    n_cand = cand.count()
-    if n_cand <= BROADCAST_PAIR_BUDGET:
-        from fhirflat_ray.functions.joins import broadcast_semi_join
-        from fhirflat_ray.functions.util import collect_small_table
-
-        pairs_t = collect_small_table(cand)
-        lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        need = np.unique(np.concatenate([lids, rids]))
-        txt_t = collect_small_table(broadcast_semi_join(txt_ds, need, id_column))
-        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
-            tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
-            order = np.argsort(tid)
-            tid = tid[order]
-            tvals = txt_t[column].combine_chunks().take(pa.array(order, pa.int64()))
-            ref = ray.put({"tid": tid, "tvals": tvals})
-
-            def attach(b: pa.Table) -> pa.Table:
-                d = ray.get(ref)
-                l = b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                r = b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                return pa.table(
-                    {
-                        "left_id": b["left_id"],
-                        "right_id": b["right_id"],
-                        "left_text": d["tvals"].take(
-                            pa.array(np.searchsorted(d["tid"], l), pa.int64())
-                        ),
-                        "right_text": d["tvals"].take(
-                            pa.array(np.searchsorted(d["tid"], r), pa.int64())
-                        ),
-                    }
-                )
-
-            n_blocks = max(2, min(num_partitions, n_cand // 10_000 + 1))
-            return cand.repartition(n_blocks).map_batches(
-                attach, batch_format="pyarrow", batch_size=20_000
-            )
-
-    def _rn(b: pa.Table, m: dict) -> pa.Table:
-        names = [m.get(c, c) for c in b.column_names]
-        return b.rename_columns(names)
-
-    lt = cand.join(
-        txt_ds, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
-        right_suffix="_l",
-    ).map_batches(
-        lambda b: _rn(b, {column: "left_text", f"{column}_l": "left_text"}),
-        batch_format="pyarrow",
-    )
-    return lt.join(
-        txt_ds, "inner", num_partitions, on=("right_id",), right_on=(id_column,),
-        right_suffix="_r",
-    ).map_batches(
-        lambda b: _rn(b, {column: "right_text", f"{column}_r": "right_text"}),
-        batch_format="pyarrow",
-    )
 
 
 def prefix_jaccard_join(
@@ -307,8 +238,8 @@ def prefix_jaccard_join(
     cand = bucketed_map_groups(postings, ["tok"], pairs_in_bucket, num_buckets)
     cand = distinct_rows(cand, ["left_id", "right_id"], num_buckets).materialize()
 
-    # ---- pass 4: exact integer verification
-    withtext = _attach_pair_texts(cand, txt, id_column, text_column, num_buckets)
+    # ---- pass 4: exact integer verification (shared hybrid attach)
+    withtext = attach_pair_texts(cand, txt, id_column, text_column, num_buckets)
     return withtext.map_batches(
         worker_cached_stage(_PairSetVerifier, k=k, num=num, den=den),
         batch_format="pyarrow",

@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed int64
 
@@ -89,7 +90,12 @@ def range_partition_sort(
         bits = _key_bits(b[key_col])
         h = bits * _MIX  # wraps mod 2^64: deterministic mix
         keep = ((h >> np.int64(17)) & mask) == 0
-        return pa.table({key_col: b[key_col].filter(pa.array(keep))})
+        kept = b[key_col].filter(pa.array(keep))
+        # per-batch distinct: sampling is all-or-nothing per key VALUE, so
+        # a heavily duplicated key would otherwise ship one sample row per
+        # duplicate and could flood the driver collect — deduped, a hot
+        # value contributes at most one row per block
+        return pa.table({key_col: pc.unique(kept)})
 
     sampled = collect_small_table(
         ds.select_columns([key_col]).map_batches(sample, batch_format="pyarrow")

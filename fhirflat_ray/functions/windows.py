@@ -271,7 +271,6 @@ def global_running(
     sum_cols: list[str],
     max_cols: list[str],
     bucket_width_us: int,
-    pin_input: bool = False,
 ):
     """GLOBAL running aggregates — SQL ``OVER (ORDER BY ts, tiebreak ROWS
     UNBOUNDED PRECEDING)`` with NO partition key — as a two-pass
@@ -296,14 +295,10 @@ def global_running(
 
     w = np.int64(bucket_width_us)
 
-    # the scan reads its input twice (bucket partials, then the bucket
-    # shuffle). pin_input=True materializes once so a SHUFFLE-bearing
-    # upstream is not re-executed per pass; leave False for map-only
-    # upstreams, where a second pruned read is cheaper than caching the
-    # corpus in the object store.
-    if pin_input:
-        ds = ds.materialize()
-
+    # NOTE: the scan reads its input twice (bucket partials, then the
+    # bucket shuffle); callers whose upstream carries a shuffle should
+    # .materialize() it first (user_ltv_deciles does) — map-only upstreams
+    # are cheaper to re-read than to cache in the object store.
     def add_bucket(b: pa.Table) -> pa.Table:
         ts = b[ts_col]
         if pa.types.is_timestamp(ts.type):

@@ -1288,7 +1288,12 @@ def value_trend_by_type(sf_dir: str):
         sy = b["sy"].to_numpy(zero_copy_only=False)
         sxx = b["sxx"].to_numpy(zero_copy_only=False)
         sxy = b["sxy"].to_numpy(zero_copy_only=False)
-        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        denom = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / denom
+        # degenerate group (single row / constant ts): SQL's division by
+        # zero yields NULL — mirror with a null, not nan/inf
+        slope = np.where(denom == 0, np.nan, slope)
         # no intercept column: at-origin intercept = (Σy - slope·Σx)/n
         # amplifies combine-order float noise through the slope·Σx
         # cancellation (~1e-5 at this magnitude — measured), while the
@@ -1297,7 +1302,9 @@ def value_trend_by_type(sf_dir: str):
             {
                 "event_type": b["event_type"],
                 "n": b["n"],
-                "slope_6dp": pa.array(np.round(slope, 6), pa.float64()),
+                "slope_6dp": pa.array(
+                    np.round(slope, 6), pa.float64(), from_pandas=True
+                ),  # from_pandas=True maps the nan sentinel to a NULL
             }
         )
 
@@ -5019,7 +5026,8 @@ def promo_revenue(sf_dir: str):
     t = collect_small_table(j.map_batches(partial, batch_format="pyarrow"))
     p = int(pc.sum(t["promo_bp"]).as_py() or 0)
     tot = int(pc.sum(t["total_bp"]).as_py() or 0)
-    ratio = 100.0 * float(p) / float(tot)
+    # empty window -> SQL yields NULL ratio; mirror with None, not a crash
+    ratio = 100.0 * float(p) / float(tot) if tot else None
     return pd.DataFrame(
         [(p, tot, ratio)], columns=["promo_bp", "total_bp", "promo_ratio"]
     )
@@ -6531,7 +6539,9 @@ def turn_var_encoded(sf_dir: str):
     from fhirflat_ray.pipelines.encoded_agg import encoded_moments
 
     s, s2, n = encoded_moments(_transcript_segdir(sf_dir, "var"), "turn_idx")
-    var = (float(s2) * n - float(s) * float(s)) / (float(n) * n)
+    var = (
+        (float(s2) * n - float(s) * float(s)) / (float(n) * n) if n else None
+    )  # empty table -> SQL NULL, not 0/0
     return pd.DataFrame(
         [(s, s2, n, var)],
         columns=["turn_sum", "turn_sumsq", "n_rows", "var_pop"],
