@@ -1526,3 +1526,80 @@ def incremental_dedup(
     dup_ids = np.unique(dup_new["new_id"].to_numpy(zero_copy_only=False))
     survivors = broadcast_semi_join(new_ds, dup_ids, id_column, anti=True)
     return links, survivors
+
+
+#: packing bound for (doc_id, chunk_idx) -> one int64 keep-min key; a
+#: passage index must stay below this (2^20 passages of `size` tokens per
+#: document ~ 20M+ tokens — beyond it the doc should be pre-split anyway).
+PASSAGE_ORD_LIMIT = 1 << 20
+
+
+def passage_dedup(ds, id_column: str = "doc_id", column: str = "text", size: int = 20, num_buckets: int | None = None):
+    """Passage-level exact dedup: drop every later copy of a repeated
+    ``size``-token passage anywhere in the corpus, then reassemble each
+    document from its surviving passages (the C4 / RefinedWeb-style
+    "remove duplicated spans, keep the first occurrence" primitive —
+    reference analogue: ``implode``'s within-group ``drop_duplicates``,
+    /root/reference/fhirflat/fhir2flat.py:96-101, lifted to corpus scope).
+
+    Shape (two narrow shuffles, Python per bucket only):
+
+    1. map-only chunking (``chunk_documents_batch`` with stride == size:
+       non-overlapping token windows, one RE2 split + vectorized join);
+    2. global keep-first per distinct passage text: pack (doc_id,
+       chunk_idx) into one int64 ordinal and run the bucketed
+       ``keep_min_per_key`` (per-batch pre-reduce shrinks the shuffle to
+       one row per in-batch passage);
+    3. reassemble per document: coarse-bucket groupby on doc id, then a
+       fully vectorized lexsort + ``pa.ListArray`` + ``binary_join`` per
+       bucket. Documents whose every passage was a later copy disappear.
+
+    Output: ``(id_column, column, n_chunks_kept)``; passages compare by
+    exact text (not hash), so results are collision-free at any scale.
+    """
+    from fhirflat_ray.functions.text import chunk_documents_batch
+    from fhirflat_ray.functions.util import bucketed_map_groups, keep_min_per_key
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out = chunk_documents_batch(
+            batch, id_col=id_column, column=column, size=size, stride=size
+        )
+        ids = out[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = out["chunk_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(idx) and (idx.max() >= PASSAGE_ORD_LIMIT or (len(ids) and ids.min() < 0)):
+            raise ValueError(
+                f"passage ordinal out of packing range (chunk_idx < {PASSAGE_ORD_LIMIT}, ids >= 0)"
+            )
+        return out.drop_columns(["n_tokens"]).append_column(
+            "__ord", pa.array(ids * PASSAGE_ORD_LIMIT + idx, pa.int64())
+        )
+
+    chunks = ds.map_batches(chunk, batch_format="pyarrow")
+    kept = keep_min_per_key(
+        chunks, key="chunk_text", id_column="__ord", num_buckets=num_buckets
+    ).select_columns([id_column, "chunk_idx", "chunk_text"])
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_column: pd.Series([], dtype=np.int64), column: pd.Series([], dtype=object), "n_chunks_kept": pd.Series([], dtype=np.int64)}
+            )
+        ids = g[id_column].to_numpy()
+        idx = g["chunk_idx"].to_numpy()
+        order = np.lexsort((idx, ids))
+        ids_s = ids[order]
+        texts = pa.array(g["chunk_text"].to_numpy()[order], pa.string())
+        bounds = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+        offsets = np.r_[bounds, len(ids_s)].astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), texts), " "
+        )
+        return pd.DataFrame(
+            {
+                id_column: ids_s[bounds],
+                column: joined.to_pandas(),
+                "n_chunks_kept": np.diff(offsets).astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(kept, [id_column], reassemble, num_buckets=num_buckets)

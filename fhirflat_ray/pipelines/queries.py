@@ -973,6 +973,40 @@ def dedup_exact(sf_dir: str):
 DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def dedup_passage(sf_dir: str):
+    """Passage-level exact dedup (C4/RefinedWeb-style): every later copy of
+    a repeated 20-token passage is dropped corpus-wide, documents are
+    reassembled from their surviving passages. Two narrow shuffles
+    (keep-first per passage text, then per-doc reassembly)."""
+    from fhirflat_ray.functions.dedup import passage_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return passage_dedup(ds, id_column="doc_id", column="text", size=20)
+
+
+DEDUP_PASSAGE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+g AS (SELECT doc_id, t, unnest(range(0, len(t), 20)) AS s FROM toks),
+chunks AS (
+  SELECT doc_id, s // 20 AS chunk_idx,
+         array_to_string(list_slice(t, s + 1, least(s + 20, len(t))), ' ') AS chunk_text
+  FROM g
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk_text FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks) WHERE rn = 1
+)
+SELECT doc_id,
+       string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text,
+       count(*) AS n_chunks_kept
+FROM kept GROUP BY doc_id
+"""
+
+
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH candidate pairs (rows-only check; LSH is probabilistic by
     construction but fully deterministic under the fixed seed)."""
@@ -7584,6 +7618,7 @@ QUERIES = {
     "lang_id": lang_id,
     "poisson_sample": poisson_sample,
     "dedup_exact": dedup_exact,
+    "dedup_passage": dedup_passage,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_near": dedup_near,
@@ -7750,6 +7785,7 @@ ORACLE_SQL = {
     "lang_id": LANG_ID_SQL,
     "poisson_sample": POISSON_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "jaccard_join_exact": JACCARD_JOIN_EXACT_SQL,

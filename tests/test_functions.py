@@ -1272,3 +1272,51 @@ def test_prefix_jaccard_join_property(ray_session):
         assert got == want
 
     check()
+
+
+def test_passage_dedup_planted(ray_session):
+    import ray.data as rd
+
+    words = lambda a, b: " ".join(f"w{i}" for i in range(a, b))
+    shared = words(100, 120)  # exactly one 20-token passage
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                words(0, 20) + " " + shared,          # owns first copy of `shared`
+                shared + " " + words(200, 220),       # later copy -> loses chunk 0
+                shared,                               # later copy only -> vanishes
+                words(300, 315),                      # short unique doc (tail chunk)
+            ],
+        }
+    )
+    out = (
+        dd.passage_dedup(rd.from_arrow(docs), size=20)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 3]  # doc 2 fully deduplicated away
+    assert out.text[0] == words(0, 20) + " " + shared
+    assert out.text[1] == words(200, 220)  # chunk 0 (shared) dropped
+    assert out.text[2] == words(300, 315)
+    assert out.n_chunks_kept.tolist() == [2, 1, 1]
+
+
+def test_passage_dedup_cross_block(ray_session):
+    import ray.data as rd
+
+    # the duplicate passage lives in a DIFFERENT block from the original:
+    # keep-first must still pick the global min (doc_id, chunk_idx).
+    p = " ".join(f"t{i}" for i in range(20))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([7, 3], pa.int64()),
+            "text": [p, p],
+        }
+    )
+    out = (
+        dd.passage_dedup(rd.from_arrow(docs).repartition(2), size=20)
+        .to_pandas()
+    )
+    assert out.doc_id.tolist() == [3]
