@@ -23,7 +23,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["kmeans_fit_assign"]
+__all__ = [
+    "kmeans_fit_assign",
+    "embedding_covariance",
+    "pca_components",
+    "pca_project",
+]
 
 
 def _matrix(col) -> np.ndarray:
@@ -142,3 +147,133 @@ def kmeans_fit_assign(
             Sum("id_sum", alias_name="id_sum"),
         )
     )
+
+
+def embedding_covariance(ds, column: str = "embedding"):
+    """Population covariance matrix of an embedding column, distributed.
+
+    Map-only over the corpus: each batch folds its zero-copy (n, d) float
+    block into d*d partial rows ``(i, j, sum(x_i*x_j), sum(x_i), sum(x_j),
+    n)`` via one ``X.T @ X`` matmul, so the only shuffle is a tiny
+    d^2-key aggregate (constant-size state, independent of corpus rows —
+    the same fold-partials-up shape as k-means above). Returns a Dataset
+    of ``(i, j, cov)`` with 1-based dims and exact float64 population
+    covariance ``E[xy] - E[x]E[y]``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        mat = _matrix(b[column]).astype(np.float64)
+        n, d = mat.shape
+        sxy = mat.T @ mat
+        sx = mat.sum(axis=0)
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(dims, d), pa.int64()),
+                "j": pa.array(np.tile(dims, d), pa.int64()),
+                "sxy": pa.array(sxy.ravel(), pa.float64()),
+                "sx_i": pa.array(np.repeat(sx, d), pa.float64()),
+                "sx_j": pa.array(np.tile(sx, d), pa.float64()),
+                "n": pa.array(np.full(d * d, n, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("sx_i", alias_name="sx_i"),
+            Sum("sx_j", alias_name="sx_j"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = (
+            b["sxy"].to_numpy(zero_copy_only=False) / n
+            - (b["sx_i"].to_numpy(zero_copy_only=False) / n)
+            * (b["sx_j"].to_numpy(zero_copy_only=False) / n)
+        )
+        return pa.table(
+            {"i": b["i"], "j": b["j"], "cov": pa.array(cov, pa.float64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pca_components(ds, k: int = 2, column: str = "embedding"):
+    """Top-``k`` principal components from the distributed covariance.
+
+    The corpus-scale work is :func:`embedding_covariance` (map-only +
+    d^2-key aggregate); the eigendecomposition runs on the driver over the
+    tiny d x d matrix (``np.linalg.eigh`` — deterministic), with each
+    eigenvector sign-canonicalized so its largest-|.| coordinate is
+    positive. Returns ``(mean, components[k, d], explained_var[k])``.
+    """
+    cov_tbl = embedding_covariance(ds, column=column).to_pandas()
+    d = int(cov_tbl["i"].max())
+    cov = np.zeros((d, d))
+    cov[cov_tbl["i"].to_numpy() - 1, cov_tbl["j"].to_numpy() - 1] = cov_tbl[
+        "cov"
+    ].to_numpy()
+
+    # mean via one more map-only fold (d + 1 values per batch)
+    def msum(b: pa.Table) -> pa.Table:
+        mat = _matrix(b[column]).astype(np.float64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "s": pa.array(mat.sum(axis=0), pa.float64()),
+                "n": pa.array(np.full(d, mat.shape[0], dtype=np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ms = (
+        ds.map_batches(msum, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mean = ms["s"].to_numpy() / ms["n"].to_numpy()
+
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    sign = np.sign(comps[np.arange(len(order)), np.abs(comps).argmax(axis=1)])
+    sign[sign == 0] = 1.0
+    comps = comps * sign[:, None]
+    return mean, comps, w[order]
+
+
+def pca_project(
+    ds,
+    k: int = 2,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    round_dp: int = 6,
+):
+    """Project every embedding onto the top-``k`` principal components.
+
+    Two corpus passes, both map-only: the covariance/mean fold (inside
+    :func:`pca_components`) and the projection matmul — the (k, d)
+    component matrix rides in the task closure (constant-size broadcast),
+    vectors never shuffle. Output ``(id_column, pc1..pck)`` rounded to
+    ``round_dp`` for cross-backend comparability.
+    """
+    mean, comps, _ = pca_components(ds, k=k, column=column)
+
+    def project(b: pa.Table) -> pa.Table:
+        mat = _matrix(b[column]).astype(np.float64)
+        proj = (mat - mean) @ comps.T
+        cols = {id_column: b[id_column]}
+        for c in range(comps.shape[0]):
+            cols[f"pc{c + 1}"] = pa.array(np.round(proj[:, c], round_dp), pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -4812,6 +4812,47 @@ GROUP BY i
 """
 
 
+def embed_cov(sf_dir: str):
+    """Full population covariance matrix of the embedding table as
+    ``(i, j, cov)`` rows — the statistics pass before whitening / PCA.
+    Map-only corpus fold (one X^T X matmul per batch) + a d^2-key
+    aggregate; vectors never shuffle."""
+    from fhirflat_ray.functions.clustering import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("cov"),
+            "cov",
+            pa.array(np.round(b["cov"].to_numpy(zero_copy_only=False), 6), pa.float64()),
+        )
+
+    return embedding_covariance(ds).map_batches(rounded, batch_format="pyarrow")
+
+
+EMBED_COV_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, round(covar_pop(a.v, b.v), 6) AS cov
+FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+"""
+
+
+def embed_pca_project(sf_dir: str):
+    """PCA projection onto the top-2 principal components (rows-only check:
+    the eigendecomposition step is not SQL-expressible — the distributed
+    covariance underneath it IS fully oracle-checked via `embed_cov`, and
+    the projection is pinned against direct numpy PCA in pytest)."""
+    from fhirflat_ray.functions.clustering import pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pca_project(ds, k=2)
+
+
 def kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means (k=4, 3 iterations) over the embedding
     table: broadcast centroids down, fold K-row partial sums up — every
@@ -7709,6 +7750,8 @@ QUERIES = {
     "blocklist_filter": blocklist_filter,
     "embed_dim_stats": embed_dim_stats,
     "kmeans_embeddings": kmeans_embeddings,
+    "embed_cov": embed_cov,
+    "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
     "bloom_semi_orders": bloom_semi_orders,
     "promo_revenue": promo_revenue,
@@ -7865,6 +7908,7 @@ ORACLE_SQL = {
     "blocklist_filter": BLOCKLIST_FILTER_SQL,
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,
     "promo_revenue": PROMO_REVENUE_SQL,

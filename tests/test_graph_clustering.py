@@ -141,3 +141,44 @@ def test_pagerank_distributed_equals_broadcast(ray_session):
     b = b.sort_values("node").reset_index(drop=True)
     assert (a["node"] == b["node"]).all()
     assert (a["pr"] == b["pr"]).all()
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.clustering import pca_components, pca_project
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated along two known directions
+    base = rng.normal(size=(400, 6))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array(list(base.astype(np.float32))),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    mean, comps, ev = pca_components(ds, k=2)
+    # reference: direct numpy PCA over the full matrix
+    x = base.astype(np.float32).astype(np.float64)
+    c = np.cov(x, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:2]
+    ref = v[:, order].T
+    sign = np.sign(ref[np.arange(2), np.abs(ref).argmax(axis=1)])
+    ref = ref * sign[:, None]
+
+    assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
+    assert np.allclose(ev, w[order], atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-9)
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+
+    out = pca_project(ds, k=2).to_pandas().sort_values("vec_id")
+    ref_proj = np.round((x - x.mean(axis=0)) @ ref.T, 6)
+    assert np.allclose(out[["pc1", "pc2"]].to_numpy(), ref_proj, atol=1e-6)
+    # pc1 captures the dominant (x5) axis: its variance must exceed pc2's
+    assert out.pc1.var() > out.pc2.var() > 0
