@@ -521,3 +521,97 @@ def levenshtein_pairs_batch(
             res[hit] = cur[rows[hit], lens_r[hit]]
         prev = cur
     return res
+
+
+# ---------------------------------------------------------------- BPE train
+
+
+def word_frequencies(ds, column: str = "text", max_words: int = 65536):
+    """Distributed word-frequency table, deterministically capped.
+
+    Per-batch vectorized pre-reduce (``value_counts`` over the flat token
+    stream shrinks the shuffle to one row per in-batch word) → narrow
+    ``groupby(word)`` sum → deterministic top-``max_words`` by
+    ``(count DESC, word ASC)`` via the streaming top-k (map-only, no
+    global sort). Returns a pyarrow Table ``(word, f)`` — vocabulary-scale,
+    orders smaller than the corpus, which is what makes driver-side BPE
+    training over it honest at web scale."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import streaming_topk
+
+    def wc(b: pa.Table) -> pa.Table:
+        arr = b[column]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        words = pc.split_pattern_regex(pc.fill_null(arr, ""), r"\s+")
+        flat = words.values if not isinstance(words, pa.ChunkedArray) else words.combine_chunks().values
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "f": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(wc, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="f"))
+    )
+    return streaming_topk(counts, keys=["f", "word"], k=max_words, descending=[True, False])
+
+
+def bpe_train_merges(word_freq: pa.Table, n_merges: int = 8) -> pa.Table:
+    """Classic BPE merge training over a word-frequency table (Sennrich et
+    al. 2016 — the reference implementation's own space-joined-symbols +
+    string-replace merge rule, made boundary-safe with ``<sym>`` sentinels
+    so a merged symbol can never suffix-match inside a longer one).
+
+    Runs on the driver over the CAPPED vocabulary table (see
+    :func:`word_frequencies`) — the corpus never enters this loop; this is
+    the same compact-statistics-then-local-train shape production BPE
+    trainers (HF tokenizers, SentencePiece) use. Deterministic: best pair
+    per round by ``(count DESC, left ASC, right ASC)``; merge application
+    is left-to-right non-overlapping (exactly ``str.replace``). Stops
+    early if no adjacent pairs remain.
+
+    Output: ``(merge_rank, l_sym, r_sym, cnt)``.
+    """
+    from collections import Counter
+
+    words = word_freq["word"].to_pylist()
+    freqs = word_freq["f"].to_pylist()
+    ss = ["<" + "><".join(w) + ">" for w in words]
+    ranks, ls, rs, cs = [], [], [], []
+    for rank in range(1, n_merges + 1):
+        pair_counts: Counter = Counter()
+        for s, f in zip(ss, freqs):
+            lst = s[1:-1].split("><")
+            for a, b in zip(lst, lst[1:]):
+                pair_counts[(a, b)] += f
+        if not pair_counts:
+            break
+        (l, r), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        ranks.append(rank)
+        ls.append(l)
+        rs.append(r)
+        cs.append(cnt)
+        pat, rep = f"<{l}><{r}>", f"<{l}{r}>"
+        ss = [s.replace(pat, rep) for s in ss]
+    return pa.table(
+        {
+            "merge_rank": pa.array(ranks, pa.int64()),
+            "l_sym": pa.array(ls, pa.string()),
+            "r_sym": pa.array(rs, pa.string()),
+            "cnt": pa.array(cs, pa.int64()),
+        }
+    )
+
+
+def train_bpe(ds, column: str = "text", n_merges: int = 8, max_words: int = 65536) -> pa.Table:
+    """End-to-end BPE vocabulary training: distributed word counting
+    (:func:`word_frequencies`) + driver merge loop over the compact table
+    (:func:`bpe_train_merges`)."""
+    return bpe_train_merges(word_frequencies(ds, column=column, max_words=max_words), n_merges=n_merges)

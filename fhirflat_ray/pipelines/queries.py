@@ -811,6 +811,61 @@ FROM g
 """
 
 
+def bpe_train(sf_dir: str):
+    """BPE vocabulary training (Sennrich et al. 2016) under a FULL unrolled
+    SQL oracle: distributed word counting (per-batch pre-reduce → narrow
+    word groupby → deterministic capped top-k), then the classic merge loop
+    on the driver over the compact vocabulary table. The oracle unrolls all
+    8 merge rounds as chained CTEs — pair counts from the split symbol
+    list, best pair by (count DESC, pair ASC) via scalar subqueries, merge
+    application as the same boundary-safe sentinel string replace."""
+    from fhirflat_ray.functions.text import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return train_bpe(ds, n_merges=8)
+
+
+def _bpe_sql(n_merges: int = 8, max_words: int = 65536) -> str:
+    # MATERIALIZED on every multiply-referenced CTE: the naive chain would
+    # let DuckDB inline w{k-1} into each of its consumers and the expansion
+    # goes exponential in rounds (observed: "too many open files" from
+    # thousands of re-reads of the parquet). The best-pair row joins in as
+    # a 1-row cross join rather than scalar subqueries for the same reason
+    # — and an empty b{k} then empties all later rounds, mirroring the
+    # Python trainer's early stop.
+    parts = [
+        "WITH words AS MATERIALIZED (",
+        "  SELECT word, count(*)::BIGINT AS f FROM (",
+        r"    SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)",
+        f"  GROUP BY word ORDER BY f DESC, word LIMIT {max_words}",
+        "),",
+        "w0 AS MATERIALIZED (SELECT '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS s, f FROM words)",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f""",
+x{k} AS (SELECT string_split(substr(s, 2, len(s) - 2), '><') AS lst, f FROM w{p}),
+e{k} AS (SELECT lst, f, unnest(range(1, len(lst))) AS i FROM x{k}),
+p{k} AS (SELECT lst[i] AS l_sym, lst[i + 1] AS r_sym, sum(f)::BIGINT AS cnt
+         FROM e{k} GROUP BY 1, 2),
+b{k} AS MATERIALIZED (
+  SELECT l_sym, r_sym, cnt FROM p{k} ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT replace(s, '<' || b.l_sym || '><' || b.r_sym || '>',
+                    '<' || b.l_sym || b.r_sym || '>') AS s, f
+  FROM w{p}, b{k} b)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS merge_rank, l_sym, r_sym, cnt FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
+BPE_TRAIN_SQL = _bpe_sql(8)
+
+
 def token_count_bpe(sf_dir: str):
     """BPE-ish token counting (word/number/punct split regex compiled once
     per actor) under the same-regex SQL oracle."""
@@ -7654,6 +7709,7 @@ QUERIES = {
     "token_count": token_count,
     "chunk_docs": chunk_docs,
     "token_count_bpe": token_count_bpe,
+    "bpe_train": bpe_train,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
     "lang_id": lang_id,
@@ -7823,6 +7879,7 @@ ORACLE_SQL = {
     "token_count": TOKEN_COUNT_SQL,
     "chunk_docs": CHUNK_DOCS_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
+    "bpe_train": BPE_TRAIN_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,

@@ -1320,3 +1320,61 @@ def test_passage_dedup_cross_block(ray_session):
         .to_pandas()
     )
     assert out.doc_id.tolist() == [3]
+
+
+def test_bpe_train_matches_naive_reference(ray_session):
+    import ray.data as rd
+    from collections import Counter
+
+    from fhirflat_ray.functions.text import train_bpe
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "low lower lowest low low",
+                "new newer newest new",
+                "wide wider widest low",
+            ],
+        }
+    )
+
+    # naive reference: token-LIST BPE (no sentinels, no string replace)
+    wf = Counter()
+    for t in docs["text"].to_pylist():
+        wf.update(t.split())
+    words = {w: list(w) for w in wf}
+    expect = []
+    for rank in range(1, 7):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += wf[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, l, r, cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+
+    got = train_bpe(rd.from_arrow(docs).repartition(3), n_merges=6).to_pandas()
+    assert list(map(tuple, got.itertuples(index=False))) == expect
+
+
+def test_bpe_train_early_stop(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.text import train_bpe
+
+    # single-char words: no adjacent pairs ever -> zero merges
+    docs = pa.table({"text": ["a b c a", "b c a b"]})
+    got = train_bpe(rd.from_arrow(docs), n_merges=5)
+    assert got.num_rows == 0
