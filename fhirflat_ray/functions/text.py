@@ -579,12 +579,28 @@ def bpe_train_merges(word_freq: pa.Table, n_merges: int = 8) -> pa.Table:
 
     Output: ``(merge_rank, l_sym, r_sym, cnt)``.
     """
+    merges, _ = _bpe_loop(word_freq, n_merges)
+    ranks, ls, rs, cs = zip(*merges) if merges else ((), (), (), ())
+    return pa.table(
+        {
+            "merge_rank": pa.array(list(ranks), pa.int64()),
+            "l_sym": pa.array(list(ls), pa.string()),
+            "r_sym": pa.array(list(rs), pa.string()),
+            "cnt": pa.array(list(cs), pa.int64()),
+        }
+    )
+
+
+def _bpe_loop(word_freq: pa.Table, n_merges: int):
+    """Shared trainer core: returns ``(merges, ss)`` where ``merges`` is a
+    list of ``(rank, left, right, count)`` and ``ss`` the final sentinel
+    symbol string per vocabulary word (same row order as ``word_freq``)."""
     from collections import Counter
 
     words = word_freq["word"].to_pylist()
     freqs = word_freq["f"].to_pylist()
     ss = ["<" + "><".join(w) + ">" for w in words]
-    ranks, ls, rs, cs = [], [], [], []
+    merges = []
     for rank in range(1, n_merges + 1):
         pair_counts: Counter = Counter()
         for s, f in zip(ss, freqs):
@@ -594,20 +610,20 @@ def bpe_train_merges(word_freq: pa.Table, n_merges: int = 8) -> pa.Table:
         if not pair_counts:
             break
         (l, r), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        ranks.append(rank)
-        ls.append(l)
-        rs.append(r)
-        cs.append(cnt)
+        merges.append((rank, l, r, cnt))
         pat, rep = f"<{l}><{r}>", f"<{l}{r}>"
         ss = [s.replace(pat, rep) for s in ss]
-    return pa.table(
-        {
-            "merge_rank": pa.array(ranks, pa.int64()),
-            "l_sym": pa.array(ls, pa.string()),
-            "r_sym": pa.array(rs, pa.string()),
-            "cnt": pa.array(cs, pa.int64()),
-        }
-    )
+    return merges, ss
+
+
+def bpe_token_counts(word_freq: pa.Table, n_merges: int = 8) -> pa.Table:
+    """Train BPE and return the per-vocabulary-word token count after all
+    merges — the compact ``(word, n_tok)`` lookup an apply stage broadcasts.
+    A word's token count is its symbol count in the final sentinel string
+    (``count('><') + 1``)."""
+    _, ss = _bpe_loop(word_freq, n_merges)
+    n_tok = np.fromiter((s.count("><") + 1 for s in ss), dtype=np.int64, count=len(ss))
+    return pa.table({"word": word_freq["word"], "n_tok": pa.array(n_tok, pa.int64())})
 
 
 def train_bpe(ds, column: str = "text", n_merges: int = 8, max_words: int = 65536) -> pa.Table:
@@ -615,3 +631,57 @@ def train_bpe(ds, column: str = "text", n_merges: int = 8, max_words: int = 6553
     (:func:`word_frequencies`) + driver merge loop over the compact table
     (:func:`bpe_train_merges`)."""
     return bpe_train_merges(word_frequencies(ds, column=column, max_words=max_words), n_merges=n_merges)
+
+
+class BpeVocabTokenCounter:
+    """Actor-pool stage: per-document token count under a TRAINED BPE vocab.
+
+    ``__init__`` fetches the broadcast ``(word, n_tok)`` lookup once per
+    worker (``ray.put`` object ref — the T2 broadcast-small-side pattern,
+    /root/reference/fhirflat/ingest.py:358-366) and builds a pandas hash
+    index; ``__call__`` is fully vectorized: one RE2 split, one C-hash
+    ``get_indexer`` lookup over the flat token stream, char-length fallback
+    for out-of-vocab words (``pc.utf8_length``), one ``bincount`` fold back
+    to documents. Documents with zero words emit nothing (mirrors the
+    oracle's inner unnest)."""
+
+    def __init__(self, lookup_ref, id_col: str = "doc_id", column: str = "text"):
+        import pandas as pd
+        import ray
+
+        tbl = ray.get(lookup_ref)
+        self.index = pd.Index(tbl["word"].to_pylist())
+        self.n_tok = tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.id_col = id_col
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch[self.column]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        words = pc.split_pattern_regex(pc.fill_null(arr, ""), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy()
+        flat = words.values
+        nonempty = pc.not_equal(flat, "")
+        ne_np = nonempty.to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(words), dtype=np.int64), np.diff(offs))[ne_np]
+        flat = flat.filter(nonempty)
+
+        pos = self.index.get_indexer(flat.to_numpy(zero_copy_only=False))
+        counts = np.where(
+            pos >= 0,
+            self.n_tok[np.clip(pos, 0, None)],
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        per_doc = np.bincount(parent, weights=counts, minlength=len(words)).astype(
+            np.int64
+        )
+        has_words = np.bincount(parent, minlength=len(words)) > 0
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].filter(pa.array(has_words)),
+                "n_bpe_tokens": pa.array(per_doc[has_words], pa.int64()),
+            }
+        )

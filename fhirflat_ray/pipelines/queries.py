@@ -825,7 +825,7 @@ def bpe_train(sf_dir: str):
     return train_bpe(ds, n_merges=8)
 
 
-def _bpe_sql(n_merges: int = 8, max_words: int = 65536) -> str:
+def _bpe_sql(n_merges: int = 8, max_words: int = 65536, mode: str = "merges") -> str:
     # MATERIALIZED on every multiply-referenced CTE: the naive chain would
     # let DuckDB inline w{k-1} into each of its consumers and the expansion
     # goes exponential in rounds (observed: "too many open files" from
@@ -839,7 +839,7 @@ def _bpe_sql(n_merges: int = 8, max_words: int = 65536) -> str:
         r"    SELECT unnest(regexp_extract_all(text, '\S+')) AS word FROM documents)",
         f"  GROUP BY word ORDER BY f DESC, word LIMIT {max_words}",
         "),",
-        "w0 AS MATERIALIZED (SELECT '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS s, f FROM words)",
+        "w0 AS MATERIALIZED (SELECT word, '<' || array_to_string(regexp_extract_all(word, '.'), '><') || '>' AS s, f FROM words)",
     ]
     for k in range(1, n_merges + 1):
         p = k - 1
@@ -852,10 +852,21 @@ p{k} AS (SELECT lst[i] AS l_sym, lst[i + 1] AS r_sym, sum(f)::BIGINT AS cnt
 b{k} AS MATERIALIZED (
   SELECT l_sym, r_sym, cnt FROM p{k} ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
 w{k} AS MATERIALIZED (
-  SELECT replace(s, '<' || b.l_sym || '><' || b.r_sym || '>',
-                    '<' || b.l_sym || b.r_sym || '>') AS s, f
+  SELECT word, replace(s, '<' || b.l_sym || '><' || b.r_sym || '>',
+                          '<' || b.l_sym || b.r_sym || '>') AS s, f
   FROM w{p}, b{k} b)"""
         )
+    if mode == "tokenize":
+        # per-word token count from the final symbol strings, applied back
+        # to every document's word stream; out-of-vocab (cap overflow)
+        # falls back to character count, mirroring the Ray stage.
+        return "\n".join(parts) + f""",
+tok AS (SELECT word, len(string_split(substr(s, 2, len(s) - 2), '><'))::BIGINT AS n_tok
+        FROM w{n_merges}),
+docw AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents)
+SELECT d.doc_id, sum(coalesce(t.n_tok, len(d.word)))::BIGINT AS n_bpe_tokens
+FROM docw d LEFT JOIN tok t USING (word)
+GROUP BY d.doc_id"""
     sel = "\nUNION ALL\n".join(
         f"SELECT {k}::BIGINT AS merge_rank, l_sym, r_sym, cnt FROM b{k}"
         for k in range(1, n_merges + 1)
@@ -864,6 +875,35 @@ w{k} AS MATERIALIZED (
 
 
 BPE_TRAIN_SQL = _bpe_sql(8)
+
+
+def bpe_tokenize(sf_dir: str):
+    """Apply the TRAINED BPE vocabulary back to the corpus: per-document
+    token count under the 8-merge vocab. Train = distributed word count +
+    driver merge loop (vocabulary-scale); apply = one broadcast of the
+    compact (word, n_tok) lookup (``ray.put`` once, fetched per actor) and
+    a single fully-vectorized corpus pass. Also under the full unrolled
+    oracle (same CTE chain + LEFT JOIN back to the document word stream,
+    char-count fallback for out-of-vocab words)."""
+    import ray
+
+    from fhirflat_ray.functions.text import (
+        BpeVocabTokenCounter,
+        bpe_token_counts,
+        word_frequencies,
+    )
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    lookup = bpe_token_counts(word_frequencies(ds), n_merges=8)
+    ref = ray.put(lookup)
+    return ds.map_batches(
+        worker_cached_stage(BpeVocabTokenCounter, lookup_ref=ref),
+        batch_format="pyarrow",
+    )
+
+
+BPE_TOKENIZE_SQL = _bpe_sql(8, mode="tokenize")
 
 
 def token_count_bpe(sf_dir: str):
@@ -7710,6 +7750,7 @@ QUERIES = {
     "chunk_docs": chunk_docs,
     "token_count_bpe": token_count_bpe,
     "bpe_train": bpe_train,
+    "bpe_tokenize": bpe_tokenize,
     "text_quality": text_quality,
     "fingerprint": fingerprint,
     "lang_id": lang_id,
@@ -7880,6 +7921,7 @@ ORACLE_SQL = {
     "chunk_docs": CHUNK_DOCS_SQL,
     "token_count_bpe": TOKEN_COUNT_BPE_SQL,
     "bpe_train": BPE_TRAIN_SQL,
+    "bpe_tokenize": BPE_TOKENIZE_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "lang_id": LANG_ID_SQL,

@@ -1378,3 +1378,36 @@ def test_bpe_train_early_stop(ray_session):
     docs = pa.table({"text": ["a b c a", "b c a b"]})
     got = train_bpe(rd.from_arrow(docs), n_merges=5)
     assert got.num_rows == 0
+
+
+def test_bpe_tokenize_oov_fallback(ray_session):
+    import ray
+    import ray.data as rd
+
+    from fhirflat_ray.functions.text import (
+        BpeVocabTokenCounter,
+        bpe_token_counts,
+        word_frequencies,
+    )
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["aa aa aa bb", "zzzz aa"],  # cap=1 keeps only 'aa'
+        }
+    )
+    ds = rd.from_arrow(docs)
+    lookup = bpe_token_counts(word_frequencies(ds, max_words=1), n_merges=4)
+    assert lookup["word"].to_pylist() == ["aa"]
+    assert lookup["n_tok"].to_pylist() == [1]  # 'a'+'a' merged round 1
+    out = (
+        ds.map_batches(
+            worker_cached_stage(BpeVocabTokenCounter, lookup_ref=ray.put(lookup)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc 0: 3x'aa'(1) + OOV 'bb'(2 chars) = 5; doc 1: OOV 'zzzz'(4) + 'aa'(1) = 5
+    assert out.n_bpe_tokens.tolist() == [5, 5]
