@@ -454,3 +454,91 @@ def knn_quantized(ds, query_ids: list[int], query_vectors: np.ndarray, k: int = 
         return g
 
     return scored.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- hard-negative mining
+
+
+class HardNegativeScorer(BruteForceScorer):
+    """BruteForceScorer variant for contrastive-training data mining: a
+    corpus row only competes for a query's top-k if its label DIFFERS from
+    the query's label (a "hard negative" — high cosine, wrong class).
+    Labels ride with the broadcast query pack; the per-batch mask is one
+    vectorized outer comparison ORed into the score matrix as -inf."""
+
+    def __init__(self, queries_ref, id_column="vec_id", vec_column="embedding",
+                 label_column="label", k=10):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+        super().__init__(
+            {"ids": q["ids"], "vectors": q["vectors"]},
+            id_column=id_column, vec_column=vec_column, k=k,
+        )
+        self.query_labels = np.asarray(q["labels"])
+        self.label_column = label_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        labels = batch[self.label_column].to_numpy(zero_copy_only=False)
+        mat = _normalize(_matrix(batch[self.vec_column]))
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        sims = mat @ self.qmat.T  # (n, q)
+        sims = np.where(labels[:, None] == self.query_labels[None, :], -np.inf, sims)
+        k = min(self.k, len(ids))
+        out: dict[str, list] = {"query_id": [], "vec_id": [], "cosine": []}
+        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]
+        for qi, qid in enumerate(self.query_ids):
+            rows = top[:, qi]
+            keep = np.isfinite(sims[rows, qi])  # drop masked same-label fill
+            rows = rows[keep]
+            out["query_id"].extend([int(qid)] * len(rows))
+            out["vec_id"].extend(ids[rows].tolist())
+            out["cosine"].extend(sims[rows, qi].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "cosine": pa.array(out["cosine"], pa.float64()),
+            }
+        )
+
+
+def hard_negatives(ds, query_ids, query_vectors, query_labels, k: int = 5,
+                   id_column: str = "vec_id", vec_column: str = "embedding",
+                   label_column: str = "label"):
+    """Top-k highest-cosine DIFFERENT-label neighbours per query — the
+    hard-negative mining pass of a contrastive-embedding training pipeline.
+    Same shape as :func:`knn_bruteforce` (queries broadcast once, per-batch
+    matmul + local top-k, tiny per-query global reduce); the label
+    constraint is a vectorized mask inside the scorer, not a post-filter,
+    so each batch still contributes exactly k candidates per query."""
+    import ray
+
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    ref = ray.put(
+        {
+            "ids": query_ids,
+            "vectors": np.asarray(query_vectors),
+            "labels": np.asarray(query_labels),
+        }
+    )
+    scored = ds.map_batches(
+        worker_cached_stage(
+            HardNegativeScorer,
+            queries_ref=ref,
+            id_column=id_column,
+            vec_column=vec_column,
+            label_column=label_column,
+            k=k,
+        ),
+        batch_format="pyarrow",
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scored.groupby("query_id").map_groups(global_topk, batch_format="pandas")

@@ -1678,6 +1678,49 @@ SELECT qid AS query_id, vec_id, CAST(rk AS BIGINT) AS rank FROM r WHERE rk <= 10
 """
 
 
+def hard_negatives_mining(sf_dir: str):
+    """Hard-negative mining for contrastive training: top-5 highest-cosine
+    DIFFERENT-label neighbours per query vector (vec_id<4). Queries+labels
+    broadcast once; corpus pass is one masked matmul per batch; ints only
+    returned so the value-hash is float-rounding-proof."""
+    from fhirflat_ray.functions.similarity import hard_negatives
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pc.less(t["vec_id"], 4)).sort_by("vec_id")
+    ids = t["vec_id"].to_pylist()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    labels = t["label"].to_pylist()
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    out = hard_negatives(ds, ids, vecs, labels, k=5)
+
+    def name_neg(b: pa.Table) -> pa.Table:
+        return b.select(["query_id", "vec_id", "rank"]).rename_columns(
+            ["query_id", "neg_id", "rank"]
+        )
+
+    return out.map_batches(name_neg, batch_format="pyarrow")
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 4),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label <> q.ql
+),
+r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM s
+)
+SELECT qid AS query_id, vec_id AS neg_id, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 5
+"""
+
+
 def embed_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization of the embedding column
     (map-only): per-vector scale + exact-integer code checksums. The
@@ -7772,6 +7815,7 @@ QUERIES = {
     "dedup_embedding_auto": dedup_embedding_auto,
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
+    "hard_negatives": hard_negatives_mining,
     "embed_quantize": embed_quantize,
     "knn_quantized": knn_quantized,
     "knn_ivf": knn_ivf,
@@ -7937,6 +7981,7 @@ ORACLE_SQL = {
     "reach_3hop": REACH_3HOP_SQL,
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "hard_negatives": HARD_NEGATIVES_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "knn_quantized": KNN_QUANTIZED_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,

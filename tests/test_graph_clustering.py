@@ -182,3 +182,35 @@ def test_pca_project_matches_numpy(ray_session):
     assert np.allclose(out[["pc1", "pc2"]].to_numpy(), ref_proj, atol=1e-6)
     # pc1 captures the dominant (x5) axis: its variance must exceed pc2's
     assert out.pc1.var() > out.pc2.var() > 0
+
+
+def test_hard_negatives_planted(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.similarity import hard_negatives
+
+    # label 0 along +x, label 1 fanned away from +x by increasing angle:
+    # the hardest negative for the +x query is the label-1 vector with the
+    # smallest angle (vec 10), never any same-label vector.
+    vecs = [np.array([1.0, 0.0, 0.0]), np.array([0.99, 0.1, 0.0])]
+    labels = [0, 0]
+    ids = [0, 1]
+    for i, ang in enumerate(np.linspace(0.3, 1.5, 5)):
+        vecs.append(np.array([np.cos(ang), np.sin(ang), 0.0]))
+        labels.append(1)
+        ids.append(10 + i)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs]),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    out = (
+        hard_negatives(ds, [0], np.array([vecs[0]]), [0], k=3)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out.vec_id.tolist() == [10, 11, 12]  # nearest wrong-label first
+    assert 1 not in set(out.vec_id)  # same-label near-twin never appears
