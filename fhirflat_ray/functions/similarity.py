@@ -542,3 +542,108 @@ def hard_negatives(ds, query_ids, query_vectors, query_labels, k: int = 5,
         return g
 
     return scored.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+# ------------------------------------------------- MMR diverse selection
+
+
+class _MmrScorer:
+    """Per-batch MMR scoring for one selection round: score = lam * cos(q, d)
+    - (1 - lam) * max cos(d, s) over the already-selected set (broadcast —
+    at most k-1 vectors). Emits the batch-local best row only (id, score,
+    vector), so the global reduce sees one row per block."""
+
+    def __init__(self, state_ref, id_column="vec_id", vec_column="embedding"):
+        import ray
+
+        st = ray.get(state_ref) if not isinstance(state_ref, dict) else state_ref
+        # float64 throughout: the oracle casts to DOUBLE[] (see the
+        # nearest_eval_vec note — float32 cosine error ~1e-6 can flip an
+        # argmax between near-tied candidates)
+        self.q = _normalize(np.asarray(st["query"], dtype=np.float64)[None, :])[0]
+        sel = st["selected"]
+        self.sel = _normalize(np.asarray(sel, dtype=np.float64)) if len(sel) else None
+        self.sel_ids = np.asarray(st["selected_ids"], dtype=np.int64)
+        self.lam = float(st["lam"])
+        self.id_column = id_column
+        self.vec_column = vec_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        raw = _matrix(batch[self.vec_column])
+        mat = _normalize(raw.astype(np.float64))
+        rel = mat @ self.q
+        pen = (mat @ self.sel.T).max(axis=1) if self.sel is not None else 0.0
+        score = self.lam * rel - (1.0 - self.lam) * pen
+        mask = ~np.isin(ids, self.sel_ids)
+        if not mask.any():
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    "vec": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        # batch-local argmax with min-id tie-break (stable under masking)
+        s = np.where(mask, score, -np.inf)
+        best = np.lexsort((ids, -s))[0]
+        # carry the ORIGINAL float32 vector (== the stored column value the
+        # oracle reads), not the normalized copy — the next round's penalty
+        # must start from identical bytes on both sides
+        return pa.table(
+            {
+                "vec_id": pa.array([int(ids[best])], pa.int64()),
+                "score": pa.array([float(score[best])], pa.float64()),
+                "vec": pa.array([raw[best].astype(np.float32)]),
+            }
+        )
+
+
+def mmr_select(ds, query_vector, k: int = 3, lam: float = 0.7,
+               id_column: str = "vec_id", vec_column: str = "embedding") -> pa.Table:
+    """Maximal-marginal-relevance selection of ``k`` diverse, relevant
+    vectors (Carbonell & Goldstein 1998) — the diverse-example curation
+    primitive. Each round is ONE map-only corpus pass: the query and the
+    (at most k-1) already-selected vectors broadcast down, every batch
+    emits its single best candidate, the driver reduces blocks-many rows.
+    No shuffle of vector data, ever; k passes total.
+
+    Returns ``(sel_rank, vec_id)`` — ints only, so comparisons are
+    float-rounding-proof.
+    """
+    import ray
+
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    selected: list[np.ndarray] = []
+    selected_ids: list[int] = []
+    for _ in range(k):
+        ref = ray.put(
+            {
+                "query": np.asarray(query_vector, dtype=np.float64),
+                "selected": np.stack(selected) if selected else np.zeros((0, len(query_vector))),
+                "selected_ids": np.asarray(selected_ids, dtype=np.int64),
+                "lam": lam,
+            }
+        )
+        cands = collect_small_table(
+            ds.map_batches(
+                worker_cached_stage(
+                    _MmrScorer, state_ref=ref, id_column=id_column, vec_column=vec_column
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if cands.num_rows == 0:
+            break
+        cid = cands["vec_id"].to_numpy(zero_copy_only=False)
+        cs = cands["score"].to_numpy(zero_copy_only=False)
+        best = np.lexsort((cid, -cs))[0]
+        selected_ids.append(int(cid[best]))
+        selected.append(np.asarray(cands["vec"][best].as_py(), dtype=np.float64))
+    return pa.table(
+        {
+            "sel_rank": pa.array(np.arange(1, len(selected_ids) + 1), pa.int64()),
+            "vec_id": pa.array(selected_ids, pa.int64()),
+        }
+    )

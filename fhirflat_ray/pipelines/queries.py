@@ -1721,6 +1721,70 @@ FROM r WHERE rk <= 5
 """
 
 
+def mmr_diverse_select(sf_dir: str):
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    pick 3 vectors that are relevant to the query (vec_id 0's embedding)
+    but mutually diverse — the diverse-example curation primitive. Each
+    round is one map-only corpus pass (query + selected set broadcast,
+    one best row per block reduced on the driver)."""
+    from fhirflat_ray.functions.similarity import mmr_select
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(
+        t.filter(pc.equal(t["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr="vec_id >= 1"
+    )
+    return mmr_select(ds, qvec, k=3, lam=0.7)
+
+
+def _mmr_sql(k: int = 3, lam: float = 0.7) -> str:
+    def lcs(a: str, b: str) -> str:
+        # DOUBLE[] cast: float32 cosine error (~1e-6) could flip a
+        # near-tied argmax between the two engines
+        return (
+            f"list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        )
+
+    parts = [
+        "WITH qv AS MATERIALIZED (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),",
+        "cand AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 1)",
+    ]
+    for r in range(1, k + 1):
+        froms = "cand c, qv" + "".join(f", s{i}" for i in range(1, r))
+        excl = (
+            " WHERE " + " AND ".join(f"c.vec_id <> s{i}.vec_id" for i in range(1, r))
+            if r > 1
+            else ""
+        )
+        if r == 1:
+            pen = "0.0"
+        elif r == 2:
+            pen = lcs("s1.embedding", "c.embedding")
+        else:
+            pens = ", ".join(
+                lcs(f"s{i}.embedding", "c.embedding") for i in range(1, r)
+            )
+            pen = f"greatest({pens})"
+        parts.append(
+            f""",
+s{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.embedding
+  FROM {froms}{excl}
+  ORDER BY {lam} * {lcs('qv.qe', 'c.embedding')} - {1.0 - lam:.1f} * {pen} DESC,
+           c.vec_id
+  LIMIT 1)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS sel_rank, vec_id FROM s{r}" for r in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n" + sel
+
+
+MMR_DIVERSE_SQL = _mmr_sql(3, 0.7)
+
+
 def embed_quantize(sf_dir: str):
     """Symmetric per-vector int8 quantization of the embedding column
     (map-only): per-vector scale + exact-integer code checksums. The
@@ -7816,6 +7880,7 @@ QUERIES = {
     "dedup_simhash_near": dedup_simhash_near,
     "knn_bruteforce": knn_bruteforce,
     "hard_negatives": hard_negatives_mining,
+    "mmr_select": mmr_diverse_select,
     "embed_quantize": embed_quantize,
     "knn_quantized": knn_quantized,
     "knn_ivf": knn_ivf,
@@ -7982,6 +8047,7 @@ ORACLE_SQL = {
     "dedup_embedding_auto": DEDUP_EMBEDDING_SQL,
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
     "hard_negatives": HARD_NEGATIVES_SQL,
+    "mmr_select": MMR_DIVERSE_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "knn_quantized": KNN_QUANTIZED_SQL,
     "knn_ivf_exhaustive": KNN_BRUTEFORCE_SQL,

@@ -214,3 +214,30 @@ def test_hard_negatives_planted(ray_session):
     )
     assert out.vec_id.tolist() == [10, 11, 12]  # nearest wrong-label first
     assert 1 not in set(out.vec_id)  # same-label near-twin never appears
+
+
+def test_mmr_select_prefers_diversity(ray_session):
+    import ray.data as rd
+
+    from fhirflat_ray.functions.similarity import mmr_select
+
+    # candidates: 1 and 2 are near-twins hugging the query; 3 is less
+    # relevant but diverse. Pure relevance ranks [1, 2, 3]; MMR must
+    # penalize 2 for its similarity to the already-picked 1 -> [1, 3, 2].
+    q = np.array([1.0, 0.0, 0.0])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [
+                    np.array([0.999, 0.045, 0.0], dtype=np.float32),
+                    np.array([0.999, 0.046, 0.001], dtype=np.float32),
+                    np.array([0.80, 0.0, 0.60], dtype=np.float32),
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    out = mmr_select(ds, q, k=3, lam=0.5)
+    assert out["sel_rank"].to_pylist() == [1, 2, 3]
+    assert out["vec_id"].to_pylist() == [1, 3, 2]
