@@ -685,3 +685,46 @@ class BpeVocabTokenCounter:
                 "n_bpe_tokens": pa.array(per_doc[has_words], pa.int64()),
             }
         )
+
+
+def bigram_doc_tf(batch: pa.Table, id_col: str = "doc_id", column: str = "text") -> pa.Table:
+    """(w1, bigram, doc_id, tf) postings for one batch — the bigram-LM map
+    stage. Bigrams never cross document boundaries (mask on the parent
+    index); a document is one row, so per-batch output is EXACT like
+    :func:`term_doc_tf`. Vectorized: one RE2 split, one shifted mask, one
+    numpy char-join, one pandas C-groupby."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "bg": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int64()),
+        }
+    )
+    vals, parent, _ = _split_words(batch[column])
+    if len(vals) < 2:
+        return empty
+    same = parent[:-1] == parent[1:]
+    if not same.any():
+        return empty
+    left = vals[:-1][same]
+    right = vals[1:][same]
+    doc_ids = batch[id_col].to_numpy()[parent[:-1][same]]
+    df = pd.DataFrame(
+        {
+            "w1": left,
+            "bg": np.char.add(np.char.add(left.astype(str), " "), right.astype(str)),
+            "doc_id": doc_ids,
+        }
+    )
+    g = df.groupby(["w1", "bg", "doc_id"], sort=False).size().reset_index(name="tf")
+    return pa.table(
+        {
+            "w1": pa.array(g["w1"], pa.string()),
+            "bg": pa.array(g["bg"], pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+            "tf": pa.array(g["tf"].to_numpy(np.int64)),
+        }
+    )

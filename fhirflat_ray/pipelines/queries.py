@@ -4404,6 +4404,86 @@ GROUP BY doc_id
 """
 
 
+def bigram_surprisal(sf_dir: str):
+    """Bigram-LM surprisal per document with add-one smoothing — the
+    next-order perplexity-style quality filter after `doc_surprisal`:
+    ``-(1/n_bg) * Σ tf · ln((c(w1,w2)+1) / (c(w1·)+V))`` where ``c(w1·)``
+    counts w1 as a left context and V is the corpus unigram vocabulary.
+
+    Scale shape mirrors `doc_surprisal`: exact per-batch bigram postings
+    (map-only; bigrams never cross documents), a BIGRAM-bucket shuffle
+    attaches corpus bigram counts, a LEFT-WORD-bucket shuffle attaches
+    left-context totals, a DOC-bucket shuffle reduces to the score. V is
+    a scalar from the distinct-term count. No broadcast vocabulary —
+    the LM distribution never materializes anywhere."""
+    from fhirflat_ray.functions.text import bigram_doc_tf, term_doc_tf
+    from fhirflat_ray.functions.util import bucketed_map_groups, distinct_rows
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = docs.map_batches(bigram_doc_tf, batch_format="pyarrow")
+
+    vocab = distinct_rows(
+        docs.map_batches(term_doc_tf, batch_format="pyarrow").select_columns(["term"]),
+        ["term"],
+    )
+    v_size = float(vocab.count())
+
+    def attach_cbg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cbg"] = g.groupby("bg", sort=False)["tf"].transform("sum").astype(np.int64)
+        return g
+
+    def attach_cw1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cw1"] = g.groupby("w1", sort=False)["tf"].transform("sum").astype(np.int64)
+        return g
+
+    staged = bucketed_map_groups(
+        bucketed_map_groups(postings, ["bg"], attach_cbg), ["w1"], attach_cw1
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].to_numpy(np.float64)
+        lp = tf * np.log(
+            (g["cbg"].to_numpy(np.float64) + 1.0)
+            / (g["cw1"].to_numpy(np.float64) + v_size)
+        )
+        agg = pd.DataFrame({"doc_id": g["doc_id"], "lp": lp, "tf": tf}).groupby(
+            "doc_id", sort=False, as_index=False
+        ).sum()
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"],
+                "bigram_surprisal": np.round(
+                    -agg["lp"].to_numpy() / agg["tf"].to_numpy(), 6
+                ),
+            }
+        )
+
+    return bucketed_map_groups(staged, ["doc_id"], per_doc)
+
+
+BIGRAM_SURPRISAL_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+),
+tb AS (SELECT doc_id, w1, b, count(*)::BIGINT AS tf FROM bg GROUP BY 1, 2, 3),
+cb AS (SELECT b, sum(tf)::BIGINT AS cbg FROM tb GROUP BY b),
+cw AS (SELECT w1, sum(tf)::BIGINT AS cw1 FROM tb GROUP BY w1),
+v AS (
+  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vsz
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)
+)
+SELECT doc_id,
+       ROUND(-sum(tf * ln((cbg + 1.0) / (cw1 + vsz))) / sum(tf), 6)
+         AS bigram_surprisal
+FROM tb JOIN cb USING (b) JOIN cw USING (w1), v
+GROUP BY doc_id
+"""
+
+
 TFIDF_TOP_TERMS_SQL = r"""
 WITH t AS (
   SELECT term, doc_id, count(*) AS tf
@@ -7943,6 +8023,7 @@ QUERIES = {
     "term_stats": term_stats,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_surprisal": doc_surprisal,
+    "bigram_surprisal": bigram_surprisal,
     "conv_dedup": conv_dedup,
     "conv_stats": conv_stats,
     "alternation_audit": alternation_audit,
@@ -8105,6 +8186,7 @@ ORACLE_SQL = {
     "term_stats": TERM_STATS_SQL,
     "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
     "doc_surprisal": DOC_SURPRISAL_SQL,
+    "bigram_surprisal": BIGRAM_SURPRISAL_SQL,
     "conv_dedup": CONV_DEDUP_SQL,
     "conv_stats": CONV_STATS_SQL,
     "alternation_audit": ALTERNATION_AUDIT_SQL,

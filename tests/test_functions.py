@@ -1411,3 +1411,20 @@ def test_bpe_tokenize_oov_fallback(ray_session):
     )
     # doc 0: 3x'aa'(1) + OOV 'bb'(2 chars) = 5; doc 1: OOV 'zzzz'(4) + 'aa'(1) = 5
     assert out.n_bpe_tokens.tolist() == [5, 5]
+
+
+def test_bigram_doc_tf_no_cross_doc_bigrams():
+    from fhirflat_ray.functions.text import bigram_doc_tf
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["a b a b", "b c", "solo"],
+        }
+    )
+    out = bigram_doc_tf(batch).to_pandas()
+    got = {(r.doc_id, r.bg): r.tf for r in out.itertuples()}
+    # doc 0: 'a b' x2, 'b a' x1; doc 1: 'b c'; doc 2 (single token): nothing;
+    # NO 'b b' / 'c solo' bridging documents
+    assert got == {(0, "a b"): 2, (0, "b a"): 1, (1, "b c"): 1}
+    assert set(out.w1) == {"a", "b"}
