@@ -4557,6 +4557,75 @@ FROM c GROUP BY content
 """
 
 
+def role_tool_pmi(sf_dir: str):
+    """Pointwise mutual information between role and tool across all turns
+    — the association-statistics pass (feature selection / co-occurrence
+    audit) over the transcript dimensions. Both dims derive row-wise from
+    ``event_type``, so the corpus pass is map-only partial joint counts +
+    one tiny (|roles| x |tools|)-key aggregate; marginals and PMI derive
+    from the collected vocab-scale table on the driver."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tool = et.to_numpy(zero_copy_only=False).astype(object)
+        role = np.where(np.isin(tool, ["click", "view"]), "user", "assistant")
+        g = (
+            pd.DataFrame({"role": role, "tool": tool})
+            .groupby(["role", "tool"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "role": pa.array(g["role"], pa.string()),
+                "tool": pa.array(g["tool"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["role", "tool"])
+        .aggregate(Sum("n", alias_name="n_joint"))
+    )
+    t = collect_small_table(agg).to_pandas()
+    nn = float(t["n_joint"].sum())
+    nr = t.groupby("role")["n_joint"].transform("sum").to_numpy(np.float64)
+    nt = t.groupby("tool")["n_joint"].transform("sum").to_numpy(np.float64)
+    nj = t["n_joint"].to_numpy(np.float64)
+    return pa.table(
+        {
+            "role": pa.array(t["role"], pa.string()),
+            "tool": pa.array(t["tool"], pa.string()),
+            "n_joint": pa.array(t["n_joint"].to_numpy(np.int64)),
+            "pmi": pa.array(np.round(np.log(nj * nn / (nr * nt)), 6), pa.float64()),
+        }
+    )
+
+
+ROLE_TOOL_PMI_SQL = """
+WITH j AS (
+  SELECT CASE WHEN event_type IN ('click','view') THEN 'user' ELSE 'assistant' END AS role,
+         CAST(event_type AS VARCHAR) AS tool,
+         count(*)::BIGINT AS n_joint
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT role, sum(n_joint)::BIGINT AS nr FROM j GROUP BY role),
+t AS (SELECT tool, sum(n_joint)::BIGINT AS nt FROM j GROUP BY tool),
+n AS (SELECT sum(n_joint)::DOUBLE AS nn FROM j)
+SELECT j.role, j.tool, j.n_joint,
+       round(ln(j.n_joint * nn / (nr::DOUBLE * nt::DOUBLE)), 6) AS pmi
+FROM j JOIN r USING (role) JOIN t USING (tool), n
+"""
+
+
 def conv_stats(sf_dir: str):
     """Per-conversation profile (turns by role, token total, distinct
     tools, exact microsecond duration) — the session-stats rollup a
@@ -8026,6 +8095,7 @@ QUERIES = {
     "bigram_surprisal": bigram_surprisal,
     "conv_dedup": conv_dedup,
     "conv_stats": conv_stats,
+    "role_tool_pmi": role_tool_pmi,
     "alternation_audit": alternation_audit,
     "sft_pack_examples": sft_pack_examples,
     "tool_transitions": tool_transitions,
@@ -8189,6 +8259,7 @@ ORACLE_SQL = {
     "bigram_surprisal": BIGRAM_SURPRISAL_SQL,
     "conv_dedup": CONV_DEDUP_SQL,
     "conv_stats": CONV_STATS_SQL,
+    "role_tool_pmi": ROLE_TOOL_PMI_SQL,
     "alternation_audit": ALTERNATION_AUDIT_SQL,
     "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
     "tool_transitions": TOOL_TRANSITIONS_SQL,
