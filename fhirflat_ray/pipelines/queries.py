@@ -7977,6 +7977,414 @@ FROM dedup WHERE conv_id = canon
 
 
 # =====================================================================
+# TPC-H join-shape breadth: Q6 / Q7 / Q10 / Q15
+# =====================================================================
+
+
+def q6_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: forecasting-revenue-change — a pure predicate scan
+    with ONE global sum, no join, no shuffle (map-only partials folded on
+    the driver). Filters compare exact integer basis points, never floats;
+    the summed quantity is exact integer cents×bp per row."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    lo = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_bp = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], pa.scalar(100.0)), 0), pa.int64()
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi)
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc_bp, pa.scalar(2, pa.int64())),
+                    pc.less_equal(disc_bp, pa.scalar(4, pa.int64())),
+                ),
+                pc.less(b["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)), 0),
+            pa.int64(),
+        )
+        # revenue = extendedprice * discount, in cents×bp units
+        rev = pc.multiply(cents, disc_bp).filter(keep)
+        n = pc.sum(pc.cast(keep, pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "rev_bp": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    t = collect_small_table(li.map_batches(partial, batch_format="pyarrow"))
+    rev = int(pc.sum(t["rev_bp"]).as_py() or 0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    return pd.DataFrame([(rev, n)], columns=["revenue_bp", "n_items"])
+
+
+Q6_REVENUE_DELTA_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_bp,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 2 AND 4
+  AND l_quantity < 24
+"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between two nations by direction and
+    year. Scale shape: supplier and customer prune to the two nations at
+    the READ (map-only `is_in` filter on a 2-key set — both sides shrink
+    ~12.5x before any exchange); lineitem carries exact cents×bp revenue
+    plus ship year through two distributed hash joins (supplier, then
+    orders→customer pre-joined on the pruned customer side); the final
+    aggregate has ≤ 2×years groups — Arrow partial per batch, driver fold.
+    Nation names come from a 25-row broadcast dict, never a join."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    name_by_key = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(int).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+    pair = [k for k, v in name_by_key.items() if v in ("NATION_3", "NATION_8")]
+    key_set = pa.array(sorted(pair), pa.int64())
+
+    lo = pa.scalar(dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1998, 1, 1), pa.timestamp("us"))
+    n_parts = _join_partitions(sf_dir, ["lineitem", "orders"])
+
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.map_batches(
+        lambda b: pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "supp_nk": b["s_nationkey"].cast(pa.int64()),
+            }
+        ).filter(pc.is_in(b["s_nationkey"].cast(pa.int64()), value_set=key_set)),
+        batch_format="pyarrow",
+    ).repartition(2)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "cust_nk": b["c_nationkey"].cast(pa.int64()),
+            }
+        ).filter(pc.is_in(b["c_nationkey"].cast(pa.int64()), value_set=key_set)),
+        batch_format="pyarrow",
+    ).repartition(2)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    o_c = orders.join(
+        cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "cust_nk"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        )
+        return pa.table(
+            {
+                "l_orderkey": keep["l_orderkey"],
+                "l_suppkey": keep["l_suppkey"],
+                "l_year": pc.cast(pc.year(keep["l_shipdate"]), pa.int64()),
+                "rev_bp": _revenue_cents_bp(keep),
+            }
+        )
+
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        supp, "inner", n_parts, on=("l_suppkey",), right_on=("s_suppkey",)
+    )
+    j2 = j.join(o_c, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        # keep only cross-nation flows (the two directions of the pair)
+        keep = b.filter(pc.not_equal(b["supp_nk"], b["cust_nk"]))
+        g = (
+            pa.table(
+                {
+                    "supp_nk": keep["supp_nk"],
+                    "cust_nk": keep["cust_nk"],
+                    "l_year": keep["l_year"],
+                    "rev_bp": keep["rev_bp"],
+                }
+            )
+            .group_by(["supp_nk", "cust_nk", "l_year"])
+            .aggregate([("rev_bp", "sum")])
+        )
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(
+            g,
+            {
+                "supp_nk": "supp_nk",
+                "cust_nk": "cust_nk",
+                "l_year": "l_year",
+                "rev_bp_sum": "rev_bp",
+            },
+        )
+
+    t = collect_small_table(j2.map_batches(partial, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pd.DataFrame(
+            columns=["supp_nation", "cust_nation", "l_year", "revenue_bp"]
+        )
+    df = (
+        t.to_pandas()
+        .groupby(["supp_nk", "cust_nk", "l_year"], as_index=False)["rev_bp"]
+        .sum()
+    )
+    df["supp_nation"] = df["supp_nk"].map(name_by_key)
+    df["cust_nation"] = df["cust_nk"].map(name_by_key)
+    df = df.rename(columns={"rev_bp": "revenue_bp"})
+    df["revenue_bp"] = df["revenue_bp"].astype(np.int64)
+    df = df.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return df[["supp_nation", "cust_nation", "l_year", "revenue_bp"]]
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum({_REV_BP_SQL}) AS BIGINT) AS revenue_bp
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Scale shape: orders prune to the quarter and lineitem to
+    returnflag='R' at the read; their join pre-aggregates to one row per
+    (custkey) inside the bucket combine BEFORE customer attributes attach,
+    so the attribute join moves |customers-with-returns| rows, not raw
+    lineitems; nation names attach from a 25-row broadcast dict; the final
+    top-20 is streaming per-block top-k, never a global sort."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        streaming_topk,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    name_by_key = dict(
+        zip(
+            nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(int).tolist(),
+            nation["n_name"].to_pylist(),
+        )
+    )
+
+    lo = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1997, 4, 1), pa.timestamp("us"))
+    n_parts = _join_partitions(sf_dir, ["lineitem", "orders", "customer"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["l_returnflag"], "R"))
+        return pa.table(
+            {"l_orderkey": keep["l_orderkey"], "rev_bp": _revenue_cents_bp(keep)}
+        )
+
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"o_custkey": b["o_custkey"], "rev_bp": b["rev_bp"]})
+            .group_by(["o_custkey"])
+            .aggregate([("rev_bp", "sum")])
+        )
+        return agg_select(g, {"o_custkey": "o_custkey", "rev_bp_sum": "rev_bp"})
+
+    partials = j.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", sort=False, as_index=False)["rev_bp"].sum()
+        out["rev_bp"] = out["rev_bp"].astype(np.int64)
+        return out
+
+    per_cust = bucketed_map_groups(partials, ["o_custkey"], final)
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    jc = per_cust.join(
+        cust.repartition(max(2, n_parts // 2)),
+        "inner",
+        n_parts,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    top = streaming_topk(jc, ["rev_bp", "o_custkey"], 20, descending=[True, False])
+    df = top.to_pandas()
+    df["n_name"] = df["c_nationkey"].astype(int).map(name_by_key)
+    df = df.rename(columns={"o_custkey": "c_custkey", "rev_bp": "revenue_bp"})
+    return df[["c_custkey", "c_name", "revenue_bp", "c_acctbal", "n_name"]]
+
+
+Q10_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_REV_BP_SQL}) AS BIGINT) AS revenue_bp,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_bp DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue in a quarter —
+    an argmax over a derived aggregate (the `revenue0` view). Scale shape:
+    lineitem prunes to the window at the read and pre-aggregates per
+    suppkey (Arrow partial + coarse-bucket combine — one row per supplier
+    survives); the global max folds from per-block maxima (map-only);
+    only the argmax TIE SET (a handful of rows) is collected, and their
+    names attach via a pruned `is_in` read of supplier — no join moves
+    the supplier table."""
+    import datetime as dt
+
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        collect_small_table,
+    )
+
+    lo = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1997, 4, 1), pa.timestamp("us"))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.and_(pc.greater_equal(b["l_shipdate"], lo), pc.less(b["l_shipdate"], hi))
+        )
+        g = (
+            pa.table({"l_suppkey": keep["l_suppkey"], "rev_bp": _revenue_cents_bp(keep)})
+            .group_by(["l_suppkey"])
+            .aggregate([("rev_bp", "sum")])
+        )
+        return agg_select(g, {"l_suppkey": "l_suppkey", "rev_bp_sum": "rev_bp"})
+
+    partials = li.map_batches(li_prep, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("l_suppkey", sort=False, as_index=False)["rev_bp"].sum()
+        out["rev_bp"] = out["rev_bp"].astype(np.int64)
+        return out
+
+    per_supp = bucketed_map_groups(partials, ["l_suppkey"], final)
+    # pin: the per-supplier aggregate is read twice (max + filter) — without
+    # materializing, the lazy upstream (shuffle included) re-executes per pass
+    per_supp = per_supp.materialize()
+
+    best = per_supp.max("rev_bp")
+
+    def is_best(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["rev_bp"], pa.scalar(best, pa.int64())))
+
+    winners = collect_small_table(per_supp.map_batches(is_best, batch_format="pyarrow"))
+    keys = winners["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    supp = supp.filter(pc.is_in(supp["s_suppkey"], value_set=pa.array(keys, pa.int64())))
+    df = winners.to_pandas().rename(columns={"l_suppkey": "s_suppkey"})
+    df = df.merge(supp.to_pandas(), on="s_suppkey", how="inner")
+    df = df.rename(columns={"rev_bp": "total_revenue_bp"})
+    df = df.sort_values("s_suppkey").reset_index(drop=True)
+    return df[["s_suppkey", "s_name", "total_revenue_bp"]]
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_REV_BP_SQL}) AS BIGINT) AS total_revenue_bp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_bp
+FROM supplier, revenue0
+WHERE s_suppkey = supplier_no
+  AND total_revenue_bp = (SELECT max(total_revenue_bp) FROM revenue0)
+ORDER BY s_suppkey
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 
@@ -8047,6 +8455,10 @@ QUERIES = {
     "users_except": users_except,
     "stratified_sample": stratified_sample,
     "q3_top_orders": q3_top_orders,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q15_top_supplier": q15_top_supplier,
     "customer_order_counts": customer_order_counts,
     "nation_coverage_full_outer": nation_coverage_full_outer,
     "q5_region_revenue": q5_region_revenue,
@@ -8215,6 +8627,10 @@ ORACLE_SQL = {
     "users_except": USERS_EXCEPT_SQL,
     "stratified_sample": _stratified_sample_sql(),
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
+    "q6_revenue_delta": Q6_REVENUE_DELTA_SQL,
+    "q7_volume_shipping": Q7_VOLUME_SHIPPING_SQL,
+    "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
+    "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
     "nation_coverage_full_outer": NATION_COVERAGE_SQL,
     "q5_region_revenue": Q5_REGION_REVENUE_SQL,
