@@ -24,6 +24,7 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
+    "kmeans_centroids",
     "kmeans_fit_assign",
     "embedding_covariance",
     "pca_components",
@@ -46,16 +47,19 @@ def _assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1).astype(np.int64)
 
 
-def kmeans_fit_assign(
+def kmeans_centroids(
     ds,
     k: int = 4,
     iters: int = 3,
     vec_column: str = "embedding",
     id_column: str = "vec_id",
-):
-    """Run ``iters`` Lloyd iterations; return a per-cluster summary Dataset
-    with columns (cluster_id, n_members, id_sum) — integer outputs, so the
-    result is hash-comparable across engines with no float tolerance."""
+) -> np.ndarray:
+    """Fit Lloyd centroids (``iters - 1`` update rounds after the
+    deterministic smallest-id init — the final iteration is the caller's
+    assignment pass) and return the (k, dim) float64 centroid matrix.
+
+    Every corpus pass is map-only; see the module docstring for the
+    broadcast-down / fold-partials-up shape."""
     import ray
 
     from fhirflat_ray.functions.util import (
@@ -112,6 +116,28 @@ def kmeans_fit_assign(
         nonzero = tot_n > 0
         cent = cent.copy()
         cent[nonzero] = tot_s[nonzero] / tot_n[nonzero, None]
+
+    return cent
+
+
+def kmeans_fit_assign(
+    ds,
+    k: int = 4,
+    iters: int = 3,
+    vec_column: str = "embedding",
+    id_column: str = "vec_id",
+):
+    """Run ``iters`` Lloyd iterations; return a per-cluster summary Dataset
+    with columns (cluster_id, n_members, id_sum) — integer outputs, so the
+    result is hash-comparable across engines with no float tolerance."""
+    import ray
+
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    vecs = ds.select_columns([id_column, vec_column])
+    cent = kmeans_centroids(
+        ds, k=k, iters=iters, vec_column=vec_column, id_column=id_column
+    )
 
     class FinalSummary:
         def __init__(self, ref):

@@ -1603,3 +1603,87 @@ def passage_dedup(ds, id_column: str = "doc_id", column: str = "text", size: int
         )
 
     return bucketed_map_groups(kept, [id_column], reassemble, num_buckets=num_buckets)
+
+
+def semantic_dedup(
+    ds,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    k: int = 4,
+    iters: int = 3,
+    threshold: float = 0.45,
+    num_buckets: int | None = None,
+):
+    """SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    k-means buckets the embedding space, pairwise cosine runs ONLY within
+    a cluster, and each near-duplicate component keeps its min-id member.
+    Cross-cluster near-duplicates are not compared — that is the method's
+    defining approximation, mirrored exactly by the SQL oracle.
+
+    Scale shape: centroids fit via the map-only broadcast/fold loop
+    (``kmeans_centroids``); ONE assignment pass tags each row with its
+    cluster id (centroids broadcast once per actor); the only shuffle is
+    the coarse cluster-bucket exchange. Per-cluster work is O(|cluster|^2)
+    in similarities — SemDeDup's own cost model — so ``k`` must scale
+    ~sqrt(n) to bound cluster sizes (k=4 fits the test corpus; a giant
+    cluster is the method's known skew mode and should be re-split by
+    raising k, not salted, since salting changes which pairs are
+    compared)."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import _assign, _matrix, kmeans_centroids
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    cent = kmeans_centroids(
+        ds, k=k, iters=iters, vec_column=vec_column, id_column=id_column
+    )
+    ref = ray.put(cent)
+
+    class AssignStage:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _matrix(batch[vec_column])
+            cl = _assign(mat, self.cent)
+            return pa.table(
+                {
+                    id_column: batch[id_column],
+                    "cl": pa.array(cl, pa.int64()),
+                    vec_column: batch[vec_column],
+                }
+            )
+
+    assigned = ds.select_columns([id_column, vec_column]).map_batches(
+        worker_cached_stage(AssignStage, ref=ref), batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("cl", sort=False):
+            ids = sub[id_column].to_numpy().astype(np.int64)
+            if len(ids) == 1:
+                out.append(ids)
+                continue
+            mat = np.stack(sub[vec_column].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            adj = (mat @ mat.T) >= threshold  # diagonal True (self-sim = 1)
+            # vectorized min-label flood: each round every node takes the
+            # smallest id among its neighbours; converges in component-
+            # diameter rounds, all numpy — no Python per edge
+            lab = ids.copy()
+            sentinel = np.iinfo(np.int64).max
+            while True:
+                new = np.where(adj, lab[None, :], sentinel).min(axis=1)
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            out.append(ids[lab == ids])
+        keep = np.concatenate(out) if out else np.empty(0, np.int64)
+        return pd.DataFrame({id_column: keep})
+
+    return bucketed_map_groups(
+        assigned, ["cl"], per_bucket, num_buckets=num_buckets
+    )

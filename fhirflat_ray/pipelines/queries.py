@@ -5216,37 +5216,77 @@ def kmeans_embeddings(sf_dir: str):
     return kmeans_fit_assign(ds, k=4, iters=3)
 
 
-def _kmeans_sql(k: int = 4) -> str:
-    def assign_cte(prev_cent: str, name: str) -> str:
-        return f"""{name} AS (
+def _km_assign_cte(prev_cent: str, name: str) -> str:
+    return f"""{name} AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cluster_id FROM {prev_cent} c
           ORDER BY list_distance(e.embedding, c.c), c.cluster_id LIMIT 1) AS cl
   FROM embeddings e)"""
 
-    def cent_cte(assign: str, name: str) -> str:
-        return f"""{name}_d AS (
+
+def _km_cent_cte(assign: str, name: str) -> str:
+    return f"""{name}_d AS (
   SELECT cl, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
   FROM {assign}),
 {name} AS (
   SELECT cl AS cluster_id, list(avg_v ORDER BY i) AS c FROM (
     SELECT cl, i, avg(v) AS avg_v FROM {name}_d GROUP BY cl, i) GROUP BY cl)"""
 
-    return f"""WITH c0 AS (
+
+def _km_cte_chain(k: int) -> str:
+    """The shared unrolled 3-iteration Lloyd prefix: c0 init (smallest-id
+    vectors) → assign a1 → centroids c1 → assign a2 → centroids c2 →
+    final assignment a3(vec_id, embedding, cl)."""
+    return f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
          embedding AS c
   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})),
-{assign_cte('c0', 'a1')},
-{cent_cte('a1', 'c1')},
-{assign_cte('c1', 'a2')},
-{cent_cte('a2', 'c2')},
-{assign_cte('c2', 'a3')}
+{_km_assign_cte('c0', 'a1')},
+{_km_cent_cte('a1', 'c1')},
+{_km_assign_cte('c1', 'a2')},
+{_km_cent_cte('a2', 'c2')},
+{_km_assign_cte('c2', 'a3')}"""
+
+
+def _kmeans_sql(k: int = 4) -> str:
+    return f"""WITH {_km_cte_chain(k)}
 SELECT cl AS cluster_id, count(*) AS n_members,
        CAST(sum(vec_id) AS BIGINT) AS id_sum
 FROM a3 GROUP BY cl"""
 
 
 KMEANS_EMBEDDINGS_SQL = _kmeans_sql(4)
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-then-dedup): k-means buckets the embedding space
+    (map-only broadcast/fold fit, one assignment pass), pairwise cosine
+    runs only WITHIN a cluster, min-id survives per near-dup component.
+    The full pipeline — centroid fit, assignment, cluster-bucket shuffle,
+    in-cluster similarity + component flood — sits under one unrolled-CTE
+    oracle (kmeans chain + recursive transitive closure restricted to
+    same-cluster pairs)."""
+    from fhirflat_ray.functions.dedup import semantic_dedup as _sd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _sd(ds, k=4, iters=3, threshold=0.45)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_km_cte_chain(4)},
+pairs AS (
+  SELECT x.vec_id AS u, y.vec_id AS v
+  FROM a3 x JOIN a3 y ON x.cl = y.cl AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.45
+),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+reach(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS vec_id FROM reach GROUP BY node HAVING min(r) = node
+"""
 
 #: node-id offset separating part nodes from supplier nodes in the
 #: lineitem co-occurrence graph (shared with the SQL oracle)
@@ -8519,6 +8559,7 @@ QUERIES = {
     "blocklist_filter": blocklist_filter,
     "embed_dim_stats": embed_dim_stats,
     "kmeans_embeddings": kmeans_embeddings,
+    "semantic_dedup": semantic_dedup,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -8687,6 +8728,7 @@ ORACLE_SQL = {
     "blocklist_filter": BLOCKLIST_FILTER_SQL,
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

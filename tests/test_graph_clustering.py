@@ -241,3 +241,22 @@ def test_mmr_select_prefers_diversity(ray_session):
     out = mmr_select(ds, q, k=3, lam=0.5)
     assert out["sel_rank"].to_pylist() == [1, 2, 3]
     assert out["vec_id"].to_pylist() == [1, 3, 2]
+
+
+def test_semantic_dedup_planted_families(ray_session):
+    """SemDeDup: four tight duplicate families along tetrahedral directions
+    (pairwise cosine -1/3, far below the 0.45 threshold). Ids interleave
+    (point i belongs to family i%4) so the smallest-id k-means init seeds
+    one centroid inside each family; each family must collapse to exactly
+    its min id."""
+    from fhirflat_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    dirs = np.array(
+        [[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]], dtype=np.float64
+    ) / np.sqrt(3.0)
+    mat = np.empty((40, 3))
+    for f in range(4):
+        mat[f::4] = dirs[f] + 0.01 * rng.standard_normal((10, 3))
+    out = semantic_dedup(_vec_ds(mat), k=4, iters=4, threshold=0.45).to_pandas()
+    assert sorted(out["vec_id"].tolist()) == [0, 1, 2, 3]
