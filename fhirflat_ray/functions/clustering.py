@@ -29,6 +29,7 @@ __all__ = [
     "embedding_covariance",
     "pca_components",
     "pca_project",
+    "logreg_train_gd",
 ]
 
 
@@ -303,3 +304,76 @@ def pca_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def logreg_train_gd(
+    ds,
+    feature_cols: list[str],
+    label_col: str = "y",
+    iters: int = 3,
+    lr: float = 0.5,
+) -> np.ndarray:
+    """Distributed full-batch logistic-regression gradient descent.
+
+    The second iterative-ML operator after :func:`kmeans_centroids`, same
+    scale shape: the weight vector broadcasts down (``ray.put`` once per
+    iteration), each corpus pass is MAP-ONLY — every batch emits one row of
+    partial gradient sums Σ(σ(Xw) − y)·X plus its row count — and the
+    driver folds the bounded (d+1)-float partials and steps
+    ``w ← w − lr · g/n``. No shuffle anywhere; per-iteration cost is one
+    stream over the feature columns (materialized once, not re-read from
+    storage per pass).
+
+    Deterministic under any batch/combine order up to float-sum noise
+    (~1e-15 relative), so callers can round outputs to 6dp for
+    cross-engine comparison. Returns the (d+1,) float64 weight vector,
+    bias first."""
+    import ray
+
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    cols = list(feature_cols)
+    feats = ds.select_columns(cols + [label_col]).materialize()
+    d = len(cols) + 1
+    w = np.zeros(d, np.float64)
+
+    class GradPartial:
+        def __init__(self, ref, cols, label):
+            self.w = ray.get(ref)
+            self.cols = cols
+            self.label = label
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            X = np.column_stack(
+                [np.ones(b.num_rows, np.float64)]
+                + [
+                    b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in self.cols
+                ]
+            )
+            y = b[self.label].to_numpy(zero_copy_only=False).astype(np.float64)
+            s = 1.0 / (1.0 + np.exp(-(X @ self.w)))
+            g = (s - y) @ X
+            out = {f"g{i}": pa.array([g[i]], pa.float64()) for i in range(len(g))}
+            out["n"] = pa.array([b.num_rows], pa.int64())
+            return pa.table(out)
+
+    for _ in range(iters):
+        ref = ray.put(w)
+        parts = collect_small_table(
+            feats.map_batches(
+                worker_cached_stage(
+                    GradPartial, ref=ref, cols=tuple(cols), label=label_col
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        n = int(parts["n"].to_numpy().sum())
+        if n == 0:
+            break
+        g = np.array(
+            [parts[f"g{i}"].to_numpy(zero_copy_only=False).sum() for i in range(d)],
+            np.float64,
+        )
+        w = w - lr * (g / n)
+    return w

@@ -5288,6 +5288,164 @@ reach(node, r) AS (
 SELECT node AS vec_id FROM reach GROUP BY node HAVING min(r) = node
 """
 
+def embed_outliers(sf_dir: str):
+    """Embedding outlier detection: distance to the assigned k-means
+    centroid, global top-20 farthest vectors. Composes the map-only
+    broadcast/fold centroid fit (``kmeans_centroids``), ONE scoring pass
+    (centroids broadcast once per worker), and ``streaming_topk`` — no
+    shuffle in the whole pipeline. Distances round to 6dp so combine-order
+    float noise cannot leak into the oracle hash."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import _matrix, kmeans_centroids
+    from fhirflat_ray.functions.util import streaming_topk, worker_cached_stage
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_centroids(ds, k=4, iters=3)
+    ref = ray.put(cent)
+
+    class Dist:
+        def __init__(self, ref):
+            self.cent = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _matrix(b["embedding"])
+            d2 = ((mat[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(d2, axis=1)
+            dist = np.sqrt(d2[np.arange(len(cl)), cl])
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "cl": pa.array(cl, pa.int64()),
+                    "dist": pa.array(np.round(dist, 6), pa.float64()),
+                }
+            )
+
+    scored = ds.map_batches(
+        worker_cached_stage(Dist, ref=ref), batch_format="pyarrow"
+    )
+    return streaming_topk(scored, ["dist", "vec_id"], 20, descending=[True, False])
+
+
+EMBED_OUTLIERS_SQL = f"""
+WITH {_km_cte_chain(4)},
+d AS (
+  SELECT a3.vec_id, a3.cl,
+         round(list_distance(CAST(a3.embedding AS DOUBLE[]), c.c), 6) AS dist
+  FROM a3 JOIN c2 c ON c.cluster_id = a3.cl)
+SELECT vec_id, cl, dist FROM d ORDER BY dist DESC, vec_id LIMIT 20
+"""
+
+
+def logreg_train(sf_dir: str):
+    """Distributed logistic-regression training (full-batch GD, 3
+    iterations, lr=0.5): predict lang='en' from two document features
+    (chars/1000, spaces/100). Weights broadcast down, partial gradients
+    fold up — one map-only corpus pass per iteration
+    (``clustering.logreg_train_gd``); the oracle unrolls the three exact
+    gradient steps in SQL."""
+    from fhirflat_ray.functions.clustering import logreg_train_gd
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang", "n_chars"])
+
+    def feat(b: pa.Table) -> pa.Table:
+        nsp = pc.subtract(
+            pc.utf8_length(b["text"]),
+            pc.utf8_length(pc.replace_substring(b["text"], " ", "")),
+        )
+        return pa.table(
+            {
+                "x1": pc.divide(pc.cast(b["n_chars"], pa.float64()), 1000.0),
+                "x2": pc.divide(pc.cast(nsp, pa.float64()), 100.0),
+                "y": pc.if_else(
+                    pc.equal(b["lang"], "en"), pa.scalar(1.0), pa.scalar(0.0)
+                ),
+            }
+        )
+
+    w = logreg_train_gd(
+        ds.map_batches(feat, batch_format="pyarrow"), ["x1", "x2"], "y",
+        iters=3, lr=0.5,
+    )
+    return pa.table(
+        {
+            "feature": pa.array(["bias", "x1", "x2"], pa.string()),
+            "weight": pa.array(np.round(w, 6), pa.float64()),
+        }
+    )
+
+
+def _logreg_sql(iters: int = 3, lr: float = 0.5) -> str:
+    b, w1, w2 = "0.0", "0.0", "0.0"
+    ctes = []
+    for i in range(1, iters + 1):
+        z = f"({b} + ({w1})*x1 + ({w2})*x2)"
+        s = f"(1.0/(1.0+exp(-{z})))"
+        ctes.append(
+            f"""w{i} AS (
+  SELECT {b} - {lr}*avg({s} - y) AS b,
+         ({w1}) - {lr}*avg(({s} - y)*x1) AS wx1,
+         ({w2}) - {lr}*avg(({s} - y)*x2) AS wx2
+  FROM f)"""
+        )
+        b = f"(SELECT b FROM w{i})"
+        w1 = f"(SELECT wx1 FROM w{i})"
+        w2 = f"(SELECT wx2 FROM w{i})"
+    joined = ",\n".join(ctes)
+    return f"""WITH f AS (
+  SELECT n_chars/1000.0 AS x1,
+         (length(text) - length(replace(text,' ','')))/100.0 AS x2,
+         CASE WHEN lang='en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+{joined}
+SELECT 'bias' AS feature, round((SELECT b FROM w{iters}), 6) AS weight
+UNION ALL SELECT 'x1', round((SELECT wx1 FROM w{iters}), 6)
+UNION ALL SELECT 'x2', round((SELECT wx2 FROM w{iters}), 6)"""
+
+
+LOGREG_TRAIN_SQL = _logreg_sql(3, 0.5)
+
+
+def triangles_coorder(sf_dir: str):
+    """Exact triangle count on the parts-co-ordered-together graph (edge =
+    two parts sharing an order; triangle = three parts pairwise
+    co-ordered). Edge extraction pays one coarse-bucket shuffle on the
+    order key (per-order fan-out is bounded at 7 line items, so in-order
+    pair enumeration is output-linear); counting is the degree-ordered
+    node-iterator in ``functions/graph.py:triangle_count``."""
+    from fhirflat_ray.functions.graph import group_pairs, triangle_count
+    from fhirflat_ray.functions.util import bucketed_map_groups, distinct_rows
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        u, v = group_pairs(
+            g["l_partkey"].to_numpy(), g["l_orderkey"].to_numpy()
+        )
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    prs = bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=n_parts)
+    edges = distinct_rows(prs, ["u", "v"], num_buckets=n_parts)
+    return triangle_count(edges, num_partitions=n_parts)
+
+
+TRIANGLES_COORDER_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
 #: node-id offset separating part nodes from supplier nodes in the
 #: lineitem co-occurrence graph (shared with the SQL oracle)
 PAGERANK_SUPP_OFFSET = 10_000_000
@@ -8560,6 +8718,9 @@ QUERIES = {
     "embed_dim_stats": embed_dim_stats,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
+    "embed_outliers": embed_outliers,
+    "logreg_train": logreg_train,
+    "triangles_coorder": triangles_coorder,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -8729,6 +8890,9 @@ ORACLE_SQL = {
     "embed_dim_stats": EMBED_DIM_STATS_SQL,
     "kmeans_embeddings": KMEANS_EMBEDDINGS_SQL,
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
+    "embed_outliers": EMBED_OUTLIERS_SQL,
+    "logreg_train": LOGREG_TRAIN_SQL,
+    "triangles_coorder": TRIANGLES_COORDER_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

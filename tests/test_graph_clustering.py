@@ -260,3 +260,64 @@ def test_semantic_dedup_planted_families(ray_session):
         mat[f::4] = dirs[f] + 0.01 * rng.standard_normal((10, 3))
     out = semantic_dedup(_vec_ds(mat), k=4, iters=4, threshold=0.45).to_pandas()
     assert sorted(out["vec_id"].tolist()) == [0, 1, 2, 3]
+
+
+def test_group_pairs_output_linear_enumeration():
+    from fhirflat_ray.functions.graph import group_pairs
+
+    vals = np.array([10, 11, 12, 20, 30, 31], dtype=np.int64)
+    gid = np.array([1, 1, 1, 2, 3, 3], dtype=np.int64)
+    lo, hi = group_pairs(vals, gid)
+    got = sorted(zip(lo.tolist(), hi.tolist()))
+    assert got == [(10, 11), (10, 12), (11, 12), (30, 31)]
+    e1, e2 = group_pairs(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(e1) == 0 and len(e2) == 0
+
+
+def test_triangle_count_planted_graph(ray_session):
+    """K4 on {0..3} (4 triangles) + triangle {10,11,12} (1) + a dangling
+    path 20-21-22 (0) must count exactly 5."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(10, 11), (10, 12), (11, 12), (20, 21), (21, 22)]
+    t = pa.table(
+        {
+            "u": pa.array([e[0] for e in edges], pa.int64()),
+            "v": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = triangle_count(rd.from_arrow(t).repartition(3), num_partitions=4)
+    assert out["n_triangles"].to_pylist() == [5]
+
+
+def test_logreg_gd_matches_numpy_reference(ray_session):
+    """Distributed full-batch GD must match a single-process numpy run of
+    the identical recurrence to float precision."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.clustering import logreg_train_gd
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((400, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(np.float64)
+    t = pa.table(
+        {
+            "x1": pa.array(X[:, 0], pa.float64()),
+            "x2": pa.array(X[:, 1], pa.float64()),
+            "y": pa.array(y, pa.float64()),
+        }
+    )
+    got = logreg_train_gd(
+        rd.from_arrow(t).repartition(5), ["x1", "x2"], "y", iters=4, lr=0.5
+    )
+    Xb = np.column_stack([np.ones(len(X)), X])
+    w = np.zeros(3)
+    for _ in range(4):
+        s = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        w = w - 0.5 * ((s - y) @ Xb) / len(X)
+    assert np.allclose(got, w, atol=1e-12)
+    # it actually learned the separator: both feature weights positive
+    assert got[1] > 0 and got[2] > 0
