@@ -6158,6 +6158,290 @@ FROM documents a JOIN documents b
 WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
 """
 
+def fuzzy_best_match(sf_dir: str):
+    """Record-linkage best match: for every document with at least one
+    blocked fuzzy candidate (``fuzzy_block_join``), the single closest
+    other document under (levenshtein, match id). The pair set is
+    duplicate-proportional, so the mirror + per-doc argmin adds one narrow
+    shuffle over pairs — never the corpus."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    pairs = fuzzy_block_join(sf_dir)
+
+    def mirror(b: pa.Table) -> pa.Table:
+        l = b["l_doc"].to_numpy(zero_copy_only=False)
+        r = b["r_doc"].to_numpy(zero_copy_only=False)
+        d = b["lev"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([l, r]), pa.int64()),
+                "match_id": pa.array(np.concatenate([r, l]), pa.int64()),
+                "lev": pa.array(np.concatenate([d, d]), pa.int64()),
+            }
+        )
+
+    m = pairs.map_batches(mirror, batch_format="pyarrow")
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "lev", "match_id"], kind="mergesort")
+        return g.groupby("doc_id", sort=False).head(1)
+
+    return bucketed_map_groups(m, ["doc_id"], best)
+
+
+FUZZY_BEST_MATCH_SQL = """
+WITH p AS (
+  SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+         levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS lev
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16 AND a.doc_id < b.doc_id
+  WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
+),
+m AS (
+  SELECT l_doc AS doc_id, r_doc AS match_id, lev FROM p
+  UNION ALL SELECT r_doc, l_doc, lev FROM p
+)
+SELECT doc_id, match_id, lev FROM (
+  SELECT doc_id, match_id, lev,
+         row_number() OVER (PARTITION BY doc_id ORDER BY lev, match_id) AS rn
+  FROM m) WHERE rn = 1
+"""
+
+
+def source_cap(sf_dir: str):
+    """Per-source document cap — the web-pipeline staple that stops one
+    domain from dominating the corpus: keep each source's top 10 documents
+    by (n_chars DESC, doc_id). One coarse-bucket shuffle on source; the
+    per-bucket head() is vectorized across all sources in the bucket."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("source", sort=False).head(10)
+
+    return bucketed_map_groups(ds, ["source"], cap)
+
+
+SOURCE_CAP_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+
+#: fixed 3-term query + Okapi parameters shared with the SQL oracle
+BM25_QUERY_TERMS = ("window", "merge", "hash")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def bm25_search(sf_dir: str):
+    """BM25 ranked retrieval (Okapi, Lucene idf smoothing) for a fixed
+    3-term query: top-10 documents by score.
+
+    Scale shape: NO postings shuffle — because the query term set is
+    bounded, one map pass reduces each document to a narrow row
+    (doc_id, len, tf per query term); corpus statistics (N, avgdl, per-term
+    df) fold from per-batch partials on the driver; scoring is a second
+    map-only pass with the (idf, avgdl) broadcast; the top-10 comes from
+    ``streaming_topk``. Zero exchanges end to end."""
+    import ray
+
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import (
+        collect_small_table,
+        streaming_topk,
+        worker_cached_stage,
+    )
+
+    terms = BM25_QUERY_TERMS
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        vals, parent, n = _split_words(b["text"])
+        cols = {
+            "doc_id": b["doc_id"],
+            "len": pa.array(np.bincount(parent, minlength=n).astype(np.int64)),
+        }
+        for i, t in enumerate(terms):
+            m = vals == t
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(parent[m], minlength=n).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    nr = docs.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        out = {
+            "n": pa.array([b.num_rows], pa.int64()),
+            "lensum": pa.array(
+                [int(b["len"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+            ),
+        }
+        for i in range(len(terms)):
+            out[f"df{i}"] = pa.array(
+                [int((b[f"tf{i}"].to_numpy(zero_copy_only=False) > 0).sum())],
+                pa.int64(),
+            )
+        return pa.table(out)
+
+    st = collect_small_table(nr.map_batches(stat_partial, batch_format="pyarrow"))
+    n_docs = int(st["n"].to_numpy(zero_copy_only=False).sum())
+    avgdl = float(st["lensum"].to_numpy(zero_copy_only=False).sum()) / n_docs
+    df = np.array(
+        [int(st[f"df{i}"].to_numpy(zero_copy_only=False).sum()) for i in range(len(terms))],
+        np.float64,
+    )
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    ref = ray.put((idf, avgdl))
+
+    class Score:
+        def __init__(self, ref):
+            self.idf, self.avgdl = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ln = b["len"].to_numpy(zero_copy_only=False).astype(np.float64)
+            norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * ln / self.avgdl)
+            score = np.zeros(b.num_rows, np.float64)
+            for i in range(len(self.idf)):
+                tf = b[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+                score += self.idf[i] * tf * (_BM25_K1 + 1.0) / (tf + norm)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "score": pa.array(np.round(score, 6), pa.float64()),
+                }
+            )
+
+    scored = nr.map_batches(worker_cached_stage(Score, ref=ref), batch_format="pyarrow")
+    hit = scored.filter(expr="score > 0")
+    return streaming_topk(hit, ["score", "doc_id"], 10, descending=[True, False])
+
+
+def _bm25_sql() -> str:
+    t0, t1, t2 = BM25_QUERY_TERMS
+    k1, b = _BM25_K1, _BM25_B
+
+    def tpart(i: int) -> str:
+        return (
+            f"ln((st.n - st.df{i} + 0.5)/(st.df{i} + 0.5) + 1.0) * tf{i} * "
+            f"({k1} + 1.0) / (tf{i} + {k1} * (1.0 - {b} + {b} * len / st.avgdl))"
+        )
+
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+agg AS (
+  SELECT doc_id, count(*) AS len,
+         count(*) FILTER (term = '{t0}') AS tf0,
+         count(*) FILTER (term = '{t1}') AS tf1,
+         count(*) FILTER (term = '{t2}') AS tf2
+  FROM tok GROUP BY doc_id),
+ft AS (
+  SELECT d.doc_id, coalesce(a.len, 0) AS len, coalesce(a.tf0, 0) AS tf0,
+         coalesce(a.tf1, 0) AS tf1, coalesce(a.tf2, 0) AS tf2
+  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+st AS (
+  SELECT count(*) AS n, avg(len) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM ft)
+SELECT doc_id, score FROM (
+  SELECT ft.doc_id,
+         round({tpart(0)} + {tpart(1)} + {tpart(2)}, 6) AS score
+  FROM ft, st)
+WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+
+#: 16-term exponentially-weighted moving average: alpha, and the lag
+#: coefficients alpha*(1-alpha)^k computed by SUCCESSIVE multiplication so
+#: the SQL literals (repr round-trip) are bit-identical to the engine's.
+#: alpha is deliberately 1/3 — NOT a finite decimal: with any finite-decimal
+#: alpha (0.25, 0.3, ...) the coefficients are exact decimals, so 2-decimal
+#: inputs produce sums landing EXACTLY on 1e-6 half-boundaries where numpy
+#: (half-even) and SQL (half-away) rounding disagree; 1/3's coefficients
+#: have no decimal structure, so scaled sums never tie and both engines
+#: round identically
+_EWMA_ALPHA = 1.0 / 3.0
+_EWMA_LAGS = 16
+
+
+def _ewma_coefs() -> list[float]:
+    c, out = _EWMA_ALPHA, []
+    for _ in range(_EWMA_LAGS):
+        out.append(c)
+        c = c * (1.0 - _EWMA_ALPHA)
+    return out
+
+
+def ewma_value(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event values
+    (16-lag window, alpha=0.25) — the time-series smoothing pass a
+    monitoring/feature pipeline runs. One user-bucket shuffle; the kernel
+    is 16 vectorized shifted multiply-adds across ALL users in the bucket
+    (missing lags contribute exact 0.0, so the float add order matches the
+    oracle's coalesce(lag(...), 0) chain term for term)."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    coefs = _ewma_coefs()
+
+    def ewma(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        x = g["value"].to_numpy(np.float64)
+        n = len(g)
+        adj = np.zeros(n, bool)  # adj[i]: rows i and i-1 share one user
+        if n > 1:
+            adj[1:] = uid[1:] == uid[:-1]
+        same = np.ones(n, bool)  # same[i] at step k: uid[i] == uid[i-k]
+        y = coefs[0] * x
+        for k in range(1, len(coefs)):
+            if k >= n:
+                break
+            same[k:] = same[k:] & adj[1 : n - k + 1]
+            contrib = np.zeros(n, np.float64)
+            contrib[k:][same[k:]] = coefs[k] * x[:-k][same[k:]]
+            y = y + contrib
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "ewma": np.round(y, 6),
+            }
+        )
+
+    return bucketed_map_groups(ds, ["user_id"], ewma)
+
+
+def _ewma_sql() -> str:
+    coefs = _ewma_coefs()
+    parts = [f"value * {coefs[0]!r}"]
+    for k in range(1, _EWMA_LAGS):
+        parts.append(f"coalesce(lag(value, {k}) OVER w, 0) * {coefs[k]!r}")
+    expr = "\n       + ".join(parts)
+    return f"""
+SELECT event_id, user_id,
+  round({expr}, 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+EWMA_VALUE_SQL = _ewma_sql()
+
+
 _HOUR_US = 3_600_000_000
 
 
@@ -8721,6 +9005,10 @@ QUERIES = {
     "embed_outliers": embed_outliers,
     "logreg_train": logreg_train,
     "triangles_coorder": triangles_coorder,
+    "fuzzy_best_match": fuzzy_best_match,
+    "source_cap": source_cap,
+    "bm25_search": bm25_search,
+    "ewma_value": ewma_value,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -8893,6 +9181,10 @@ ORACLE_SQL = {
     "embed_outliers": EMBED_OUTLIERS_SQL,
     "logreg_train": LOGREG_TRAIN_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
+    "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
+    "source_cap": SOURCE_CAP_SQL,
+    "bm25_search": BM25_SEARCH_SQL,
+    "ewma_value": EWMA_VALUE_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

@@ -1428,3 +1428,39 @@ def test_bigram_doc_tf_no_cross_doc_bigrams():
     # NO 'b b' / 'c solo' bridging documents
     assert got == {(0, "a b"): 2, (0, "b a"): 1, (1, "b c"): 1}
     assert set(out.w1) == {"a", "b"}
+
+
+def test_ewma_kernel_matches_naive_reference(ray_session):
+    """The bucketed 16-lag EWMA must equal a per-row python recurrence on
+    interleaved multi-user sequences (including a user longer than the
+    window)."""
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.queries import _EWMA_ALPHA, _ewma_coefs, ewma_value
+    import fhirflat_ray.pipelines.queries as q
+
+    rng = np.random.default_rng(5)
+    n = 120
+    uid = rng.integers(0, 3, n)
+    ts = pd.to_datetime(1_700_000_000_000_000 + np.sort(rng.integers(0, 10**9, n)), unit="us")
+    val = np.round(rng.uniform(0, 100, n), 2)
+    df = pd.DataFrame({"event_id": np.arange(n), "user_id": uid, "ts": ts, "value": val})
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "events.parquet"))
+        got = ewma_value(d).to_pandas().set_index("event_id")["ewma"]
+
+    coefs = _ewma_coefs()
+    ref = {}
+    for u in np.unique(uid):
+        sub = df[df.user_id == u].sort_values(["ts", "event_id"])
+        vals = sub["value"].to_numpy()
+        for i, eid in enumerate(sub["event_id"].to_numpy()):
+            y = 0.0
+            for k, c in enumerate(coefs):
+                if i - k >= 0:
+                    y += c * vals[i - k]
+            ref[eid] = round(y, 6)
+    for eid, want in ref.items():
+        assert got[eid] == pytest.approx(want, abs=2e-6)

@@ -24,6 +24,9 @@ FAST = [
     "distinct_users_hll",
     "revenue_rollup",
     "corpus_prep",
+    "ewma_value",
+    "bm25_search",
+    "source_cap",
 ]
 
 
