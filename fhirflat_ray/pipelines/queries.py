@@ -5446,6 +5446,180 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def span_corruption(sf_dir: str):
+    """T5-style span-corruption example builder: every 5th-offset token
+    (1-based position ≡ 3 mod 5 — deterministic, no RNG) is replaced by
+    the sentinel ``<X>`` in the input and collected into the target;
+    documents with no masked token drop out. Map-only end to end: the
+    per-batch kernel rebuilds Arrow list arrays around the masked token
+    stream and joins them with ``pc.binary_join`` (C++ kernel — no Python
+    per document)."""
+    from fhirflat_ray.functions.text import _split_words
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def build(b: pa.Table) -> pa.Table:
+        vals, parent, n = _split_words(b["text"])
+        cnt = np.bincount(parent, minlength=n)
+        # 1-based position of each token inside its document
+        firsts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        pos = np.arange(len(vals)) - firsts[parent] + 1
+        masked = pos % 5 == 3
+        inp = vals.copy()
+        inp[masked] = "<X>"
+        in_offs = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+        in_list = pa.ListArray.from_arrays(
+            pa.array(in_offs), pa.array(inp, pa.string())
+        )
+        mcnt = np.bincount(parent[masked], minlength=n)
+        tg_offs = np.concatenate([[0], np.cumsum(mcnt)]).astype(np.int32)
+        tg_list = pa.ListArray.from_arrays(
+            pa.array(tg_offs), pa.array(vals[masked], pa.string())
+        )
+        keep = mcnt > 0
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "input_text": pc.binary_join(in_list, " "),
+                "target_text": pc.binary_join(tg_list, " "),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
+SPAN_CORRUPTION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+  FROM documents)
+SELECT doc_id,
+       string_agg(CASE WHEN i % 5 = 3 THEN '<X>' ELSE term END, ' ' ORDER BY i)
+         AS input_text,
+       string_agg(CASE WHEN i % 5 = 3 THEN term END, ' ' ORDER BY i)
+         AS target_text
+FROM tok GROUP BY doc_id
+HAVING count(*) FILTER (i % 5 = 3) > 0
+"""
+
+
+def kcore_filter(sf_dir: str):
+    """Fixed-round k-core peeling (k=75, 3 rounds) on the co-ordered-parts
+    graph — the graph-sparsification pass that strips low-connectivity
+    noise before community/embedding work. Each round: degrees fold
+    node-bounded (the ``triangle_count`` assumption), the sub-k node set
+    broadcasts, and edges drop in ONE map-only pass — no shuffle after the
+    edge build. Returns the distinct surviving nodes."""
+    import ray
+
+    from fhirflat_ray.functions.graph import group_pairs
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        collect_small_table,
+        distinct_rows,
+    )
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(
+            ["l_orderkey", "l_partkey"], kind="mergesort"
+        )
+        u, v = group_pairs(g["l_partkey"].to_numpy(), g["l_orderkey"].to_numpy())
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    edges = distinct_rows(
+        bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=n_parts),
+        ["u", "v"],
+        num_buckets=n_parts,
+    ).materialize()
+
+    k = 75
+    for _ in range(3):
+        def deg_partial(b: pa.Table) -> pa.Table:
+            nodes = np.concatenate(
+                [
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            un, cnt = np.unique(nodes, return_counts=True)
+            return pa.table(
+                {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+            )
+
+        parts = collect_small_table(
+            edges.map_batches(deg_partial, batch_format="pyarrow")
+        )
+        un, inv = np.unique(
+            parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        if len(un) == 0:
+            break
+        deg = np.zeros(len(un), np.int64)
+        np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
+        drop = un[deg < k]
+        if len(drop) == 0:
+            break
+        dref = ray.put(drop)
+
+        def peel(b: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            bad = np.isin(u, d) | np.isin(v, d)
+            return b.filter(pa.array(~bad))
+
+        edges = edges.map_batches(peel, batch_format="pyarrow").materialize()
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    b["u"].to_numpy(zero_copy_only=False),
+                    b["v"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    return distinct_rows(
+        edges.map_batches(nodes_of, batch_format="pyarrow"), ["node"],
+        num_buckets=n_parts,
+    )
+
+
+def _kcore_sql(k: int = 3, rounds: int = 3) -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (
+  SELECT node FROM (
+    SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node HAVING count(*) >= {k}),
+e{r} AS (
+  SELECT u, v FROM {prev}
+  WHERE u IN (SELECT node FROM d{r}) AND v IN (SELECT node FROM d{r}))"""
+        )
+        prev = f"e{r}"
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT DISTINCT node FROM (
+  SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})"""
+
+
+KCORE_FILTER_SQL = _kcore_sql(75, 3)
+
+
 #: node-id offset separating part nodes from supplier nodes in the
 #: lineitem co-occurrence graph (shared with the SQL oracle)
 PAGERANK_SUPP_OFFSET = 10_000_000
@@ -9009,6 +9183,8 @@ QUERIES = {
     "source_cap": source_cap,
     "bm25_search": bm25_search,
     "ewma_value": ewma_value,
+    "span_corruption": span_corruption,
+    "kcore_filter": kcore_filter,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -9185,6 +9361,8 @@ ORACLE_SQL = {
     "source_cap": SOURCE_CAP_SQL,
     "bm25_search": BM25_SEARCH_SQL,
     "ewma_value": EWMA_VALUE_SQL,
+    "span_corruption": SPAN_CORRUPTION_SQL,
+    "kcore_filter": KCORE_FILTER_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,
