@@ -258,7 +258,8 @@ def group_pairs(vals: np.ndarray, gid: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 
 def triangle_count(edges, num_partitions: int | None = None,
-                   node_budget: int = BROADCAST_NODE_BUDGET):
+                   node_budget: int = BROADCAST_NODE_BUDGET,
+                   return_triangles: bool = False):
     """EXACT distributed triangle count over an undirected edge Dataset
     (distinct rows, int64 columns ``u < v``) — the rank-orientation
     node-iterator (Cohen, "Graph Twiddling in a MapReduce World", CiSE'09 /
@@ -278,7 +279,10 @@ def triangle_count(edges, num_partitions: int | None = None,
        oriented edge keys (``hybrid_semi_join``: broadcast under budget,
        Bloom-prefiltered distributed above).
 
-    Returns a one-row Arrow table ``n_triangles``."""
+    Returns a one-row Arrow table ``n_triangles``; with
+    ``return_triangles=True`` instead returns the triangle Dataset
+    (n1, n2, n3) — the wedge shuffle then carries three extra int64
+    columns, so keep the default for pure counting."""
     import ray
 
     from fhirflat_ray.functions.joins import hybrid_semi_join
@@ -309,6 +313,14 @@ def triangle_count(edges, num_partitions: int | None = None,
     )
     un, inv = np.unique(parts["node"].to_numpy(zero_copy_only=False), return_inverse=True)
     if len(un) == 0:
+        if return_triangles:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema(
+                    [("n1", pa.int64()), ("n2", pa.int64()), ("n3", pa.int64())]
+                ).empty_table()
+            )
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
     if len(un) > node_budget:
         raise ValueError(
@@ -356,7 +368,11 @@ def triangle_count(edges, num_partitions: int | None = None,
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["a", "rb"], kind="mergesort")
         lo, hi = group_pairs(g["b"].to_numpy(), g["a"].to_numpy())
-        return pd.DataFrame({"wk": lo * off + hi})
+        out = {"wk": lo * off + hi}
+        if return_triangles:
+            src, _ = group_pairs(g["a"].to_numpy(), g["a"].to_numpy())
+            out.update({"n1": src, "n2": lo, "n3": hi})
+        return pd.DataFrame(out)
 
     wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=n_parts)
     closed = hybrid_semi_join(
@@ -366,4 +382,6 @@ def triangle_count(edges, num_partitions: int | None = None,
         right_on="ek",
         num_partitions=n_parts,
     )
+    if return_triangles:
+        return closed.select_columns(["n1", "n2", "n3"])
     return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})

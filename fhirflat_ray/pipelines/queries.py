@@ -5406,17 +5406,14 @@ UNION ALL SELECT 'x2', round((SELECT wx2 FROM w{iters}), 6)"""
 LOGREG_TRAIN_SQL = _logreg_sql(3, 0.5)
 
 
-def triangles_coorder(sf_dir: str):
-    """Exact triangle count on the parts-co-ordered-together graph (edge =
-    two parts sharing an order; triangle = three parts pairwise
-    co-ordered). Edge extraction pays one coarse-bucket shuffle on the
-    order key (per-order fan-out is bounded at 7 line items, so in-order
-    pair enumeration is output-linear); counting is the degree-ordered
-    node-iterator in ``functions/graph.py:triangle_count``."""
-    from fhirflat_ray.functions.graph import group_pairs, triangle_count
+def _coorder_edges(sf_dir: str, n_parts: int):
+    """Distinct co-ordered part pairs (u < v) from lineitem — the shared
+    edge build of the graph-analytics queries. One coarse-bucket shuffle
+    on the order key (per-order fan-out is bounded at 7 line items, so
+    in-order pair enumeration is output-linear) + one distinct exchange."""
+    from fhirflat_ray.functions.graph import group_pairs
     from fhirflat_ray.functions.util import bucketed_map_groups, distinct_rows
 
-    n_parts = _join_partitions(sf_dir, ["lineitem"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -5429,8 +5426,18 @@ def triangles_coorder(sf_dir: str):
         return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
 
     prs = bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=n_parts)
-    edges = distinct_rows(prs, ["u", "v"], num_buckets=n_parts)
-    return triangle_count(edges, num_partitions=n_parts)
+    return distinct_rows(prs, ["u", "v"], num_buckets=n_parts)
+
+
+def triangles_coorder(sf_dir: str):
+    """Exact triangle count on the parts-co-ordered-together graph (edge =
+    two parts sharing an order; triangle = three parts pairwise
+    co-ordered); counting is the degree-ordered node-iterator in
+    ``functions/graph.py:triangle_count``."""
+    from fhirflat_ray.functions.graph import triangle_count
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    return triangle_count(_coorder_edges(sf_dir, n_parts), num_partitions=n_parts)
 
 
 TRIANGLES_COORDER_SQL = """
@@ -5514,28 +5521,10 @@ def kcore_filter(sf_dir: str):
     edge build. Returns the distinct surviving nodes."""
     import ray
 
-    from fhirflat_ray.functions.graph import group_pairs
-    from fhirflat_ray.functions.util import (
-        bucketed_map_groups,
-        collect_small_table,
-        distinct_rows,
-    )
+    from fhirflat_ray.functions.util import collect_small_table, distinct_rows
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates().sort_values(
-            ["l_orderkey", "l_partkey"], kind="mergesort"
-        )
-        u, v = group_pairs(g["l_partkey"].to_numpy(), g["l_orderkey"].to_numpy())
-        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
-
-    edges = distinct_rows(
-        bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=n_parts),
-        ["u", "v"],
-        num_buckets=n_parts,
-    ).materialize()
+    edges = _coorder_edges(sf_dir, n_parts).materialize()
 
     k = 75
     for _ in range(3):
@@ -5618,6 +5607,209 @@ SELECT DISTINCT node FROM (
 
 
 KCORE_FILTER_SQL = _kcore_sql(75, 3)
+
+
+def clustering_coeff(sf_dir: str):
+    """Top-25 nodes by local clustering coefficient (2T / d(d-1)) on the
+    co-ordered-parts graph — the community-structure probe. Triangle
+    triples come from the degree-ordered node-iterator
+    (``triangle_count(return_triangles=True)``); per-node triangle counts
+    fold through one coarse-bucket exchange on the (node-bounded) exploded
+    triple stream; degrees broadcast (same fold the counter itself uses);
+    the top-25 is ``streaming_topk``. Tie note: coefficient ties are
+    broken by node id, and 2T/d(d-1) can land exactly on a 1e-6
+    half-boundary only when d(d-1) is a power of two — impossible for
+    d > 2 — so 6dp rounding is tie-free across engines."""
+    import ray
+
+    from fhirflat_ray.functions.graph import triangle_count
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        collect_small_table,
+        streaming_topk,
+        worker_cached_stage,
+    )
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    edges = _coorder_edges(sf_dir, n_parts).materialize()
+    tri = triangle_count(edges, num_partitions=n_parts, return_triangles=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [b[c].to_numpy(zero_copy_only=False) for c in ("n1", "n2", "n3")]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "tri": pa.array(cnt, pa.int64())}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False).agg(tri=("tri", "sum"))
+
+    tri_counts = bucketed_map_groups(
+        tri.map_batches(explode, batch_format="pyarrow"), ["node"], fold,
+        num_buckets=n_parts,
+    )
+
+    # degrees: node-bounded fold (the triangle counter's own assumption)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    un, inv = np.unique(
+        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    deg = np.zeros(len(un), np.int64)
+    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
+    dref = ray.put((un, deg))
+
+    class Coeff:
+        def __init__(self, ref):
+            self.nodes, self.deg = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            node = b["node"].to_numpy(zero_copy_only=False)
+            tri_n = b["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+            d = self.deg[np.searchsorted(self.nodes, node)]
+            keep = d >= 2
+            coeff = np.round(
+                2.0 * tri_n[keep] / (d[keep] * (d[keep] - 1)).astype(np.float64), 6
+            )
+            return pa.table(
+                {
+                    "node": pa.array(node[keep], pa.int64()),
+                    "tri": b["tri"].filter(pa.array(keep)),
+                    "deg": pa.array(d[keep], pa.int64()),
+                    "coeff": pa.array(coeff, pa.float64()),
+                }
+            )
+
+    scored = tri_counts.map_batches(
+        worker_cached_stage(Coeff, ref=dref), batch_format="pyarrow"
+    )
+    return streaming_topk(scored, ["coeff", "node"], 25, descending=[True, False])
+
+
+CLUSTERING_COEFF_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+n AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+  GROUP BY node),
+d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT node, tri, deg, coeff FROM (
+  SELECT n.node, n.tri, d.deg,
+         round(2.0 * n.tri / (d.deg * (d.deg - 1)), 6) AS coeff
+  FROM n JOIN d ON d.node = n.node AND d.deg >= 2)
+ORDER BY coeff DESC, node LIMIT 25
+"""
+
+
+#: duplicated-span window width (tokens) shared with the SQL oracle
+_DUP_SPAN_W = 8
+
+
+def dup_span_flags(sf_dir: str):
+    """Duplicated-n-gram span signal (the exact-substring-dedup statistic
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22, reduced to 8-token windows): per document, how many
+    of its token windows occur more than once ANYWHERE in the corpus.
+
+    Scale shape: window construction is map-only (8 shifted slices of the
+    flat token stream joined by one ``pc.binary_join_element_wise`` C++
+    call, doc-boundary windows masked); the window strings shuffle ONCE
+    (coarse-bucket on the n-gram — at production scale this column would
+    be a 64-bit content hash; the oracle keeps the string so SQL can form
+    the identical key); per-doc partials re-shuffle as 3 narrow columns."""
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    w = _DUP_SPAN_W
+
+    def windows(b: pa.Table) -> pa.Table:
+        vals, parent, _ = _split_words(b["text"])
+        n = len(vals)
+        if n < w:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        valid = parent[w - 1 :] == parent[: n - w + 1]
+        shifted = [
+            pa.array(vals[i : n - w + 1 + i], pa.string()) for i in range(w)
+        ]
+        g = pc.binary_join_element_wise(*shifted, "\x1f")
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[parent[: n - w + 1]]
+        return pa.table(
+            {"g": g, "doc_id": pa.array(doc_ids, pa.int64())}
+        ).filter(pa.array(valid))
+
+    posts = docs.map_batches(windows, batch_format="pyarrow")
+
+    def per_ngram(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("g", sort=False)["doc_id"].transform("size")
+        g = g.assign(dup=(cnt > 1).astype(np.int64))
+        out = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_spans=("dup", "size"), n_dup=("dup", "sum")
+        )
+        return out
+
+    partials = bucketed_map_groups(posts, ["g"], per_ngram)
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        # integer outputs only: a rounded ratio k/n_spans can land exactly
+        # on a 1e-6 half (n_spans = 128 windows -> k*7812.5) where numpy
+        # and SQL rounding modes diverge
+        return g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_spans=("n_spans", "sum"), n_dup=("n_dup", "sum")
+        )
+
+    return bucketed_map_groups(partials, ["doc_id"], per_doc)
+
+
+def _dup_span_sql(w: int = _DUP_SPAN_W) -> str:
+    leads = " || chr(31) || ".join(
+        ["term"] + [f"lead(term, {k}) OVER win" for k in range(1, w)]
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+  FROM documents),
+ng AS (
+  SELECT doc_id, {leads} AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+v AS (SELECT doc_id, g FROM ng WHERE g IS NOT NULL),
+c AS (SELECT g, count(*) AS cnt FROM v GROUP BY g)
+SELECT v.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM v JOIN c ON c.g = v.g GROUP BY v.doc_id
+"""
+
+
+DUP_SPAN_FLAGS_SQL = _dup_span_sql()
 
 
 #: node-id offset separating part nodes from supplier nodes in the
@@ -9185,6 +9377,8 @@ QUERIES = {
     "ewma_value": ewma_value,
     "span_corruption": span_corruption,
     "kcore_filter": kcore_filter,
+    "clustering_coeff": clustering_coeff,
+    "dup_span_flags": dup_span_flags,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -9363,6 +9557,8 @@ ORACLE_SQL = {
     "ewma_value": EWMA_VALUE_SQL,
     "span_corruption": SPAN_CORRUPTION_SQL,
     "kcore_filter": KCORE_FILTER_SQL,
+    "clustering_coeff": CLUSTERING_COEFF_SQL,
+    "dup_span_flags": DUP_SPAN_FLAGS_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

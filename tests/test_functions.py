@@ -1464,3 +1464,33 @@ def test_ewma_kernel_matches_naive_reference(ray_session):
             ref[eid] = round(y, 6)
     for eid, want in ref.items():
         assert got[eid] == pytest.approx(want, abs=2e-6)
+
+
+def test_dup_span_flags_planted(ray_session):
+    """Two docs sharing one 8-token window + one doc with an internal
+    repeat: the per-doc (n_spans, n_dup) must match hand counts."""
+    import os
+    import tempfile
+
+    from fhirflat_ray.pipelines.queries import dup_span_flags
+
+    shared = "a b c d e f g h"          # the duplicated 8-token window
+    doc0 = shared + " x0 y0"            # windows: 3 valid, 1 dup (the shared one)
+    doc1 = "z1 " + shared               # windows: 2 valid, 1 dup
+    doc2 = "p q " + "r s t u v w k l r s t u v w k l"  # internal repeat
+    doc3 = "too short"                  # < 8 tokens: excluded
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": [doc0, doc1, doc2, doc3]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = (
+            dup_span_flags(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    # doc0: 10 tokens -> 3 windows; the shared window appears in doc1 too -> 1 dup
+    # doc1: 9 tokens -> 2 windows; 1 dup
+    # doc2: 18 tokens -> 11 windows; window starting at "r s t u v w k l"
+    #       occurs at positions 3 and 11 -> both flagged dup
+    assert got.doc_id.tolist() == [0, 1, 2]
+    assert got.n_spans.tolist() == [3, 2, 11]
+    assert got.n_dup.tolist() == [1, 1, 2]
