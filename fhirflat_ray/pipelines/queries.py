@@ -5812,6 +5812,199 @@ FROM v JOIN c ON c.g = v.g GROUP BY v.doc_id
 DUP_SPAN_FLAGS_SQL = _dup_span_sql()
 
 
+def mad_by_type(sf_dir: str):
+    """Robust per-group dispersion: median + median-absolute-deviation of
+    event value per type — the outlier-resistant z-score basis. Two exact
+    grouped discrete-quantile passes (``grouped_quantile_disc``: value-
+    count partials + one vectorized per-bucket cumsum): pass 1 finds each
+    type's median, which broadcasts (type-bounded); pass 2 runs the same
+    machinery over |value - med|. Discrete quantiles SELECT an existing
+    double, so both columns are bit-identical across engines with no
+    rounding at all."""
+    import ray
+
+    from fhirflat_ray.functions.quantiles import grouped_quantile_disc
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med_t = collect_small_table(
+        grouped_quantile_disc(ds, "event_type", "value", [0.5])
+    )
+    types = med_t["event_type"].to_numpy(zero_copy_only=False).astype(str)
+    meds = med_t["value"].to_numpy(zero_copy_only=False)
+    order = np.argsort(types)
+    ref = ray.put((types[order], meds[order]))
+
+    class AbsDev:
+        def __init__(self, ref):
+            self.types, self.meds = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = b["event_type"].to_numpy(zero_copy_only=False).astype(str)
+            m = self.meds[np.searchsorted(self.types, t)]
+            ad = np.abs(b["value"].to_numpy(zero_copy_only=False) - m)
+            return pa.table(
+                {"event_type": b["event_type"], "ad": pa.array(ad, pa.float64())}
+            )
+
+    devs = ds.map_batches(worker_cached_stage(AbsDev, ref=ref), batch_format="pyarrow")
+    mad_t = collect_small_table(
+        grouped_quantile_disc(devs, "event_type", "ad", [0.5])
+    )
+    mad_map = dict(
+        zip(
+            mad_t["event_type"].to_numpy(zero_copy_only=False).astype(str),
+            mad_t["value"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(types[order], pa.string()),
+            "med": pa.array(meds[order], pa.float64()),
+            "mad": pa.array([mad_map[t] for t in types[order]], pa.float64()),
+        }
+    )
+
+
+MAD_BY_TYPE_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type)
+SELECT e.event_type, m.med,
+       quantile_disc(abs(e.value - m.med), 0.5) AS mad
+FROM events e JOIN med m ON m.event_type = e.event_type
+GROUP BY e.event_type, m.med
+"""
+
+
+#: sorted-neighborhood window (ranks apart) + verify threshold, shared
+#: with the SQL oracle
+_SNM_W = 3
+
+
+def snm_pairs(sf_dir: str):
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo SIGMOD'95):
+    documents globally sorted by the blocking key (n_chars, doc_id), every
+    pair within ``_SNM_W`` ranks verified by prefix Levenshtein ≤ 8 — the
+    windowed alternative to hash blocking that catches near-matches
+    straddling block boundaries.
+
+    Scale shape: the global rank comes from ``range_partition_sort`` (one
+    all-to-all); the window pass re-buckets on rank//B with each bucket's
+    first ``_SNM_W`` rows ghosted into the previous bucket, so every
+    within-window pair materializes in exactly one bucket and the verify
+    is the batch-wide Levenshtein DP."""
+    from fhirflat_ray.functions.sort import range_partition_sort
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    n_parts = _join_partitions(sf_dir, ["documents"])
+    w = _SNM_W
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "prefix": pc.utf8_slice_codeunits(pc.fill_null(b["text"], ""), 0, 24),
+            }
+        )
+
+    ranked = range_partition_sort(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        "n_chars",
+        ["doc_id"],
+        n_ranges=n_parts,
+    ).materialize()
+    total = ranked.count()
+    bsize = max(w + 1, -(-total // max(1, n_parts)))
+
+    def ghost(b: pa.Table) -> pa.Table:
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        own = pos // bsize
+        is_ghost = (pos % bsize < w) & (own > 0)
+        dup = b.filter(pa.array(is_ghost))
+        t = pa.table(
+            {
+                "bkt": pa.array(
+                    np.concatenate([own, own[is_ghost] - 1]), pa.int64()
+                ),
+                "pos": pa.array(
+                    np.concatenate([pos, pos[is_ghost]]), pa.int64()
+                ),
+                "doc_id": pa.concat_arrays(
+                    [b["doc_id"].combine_chunks(), dup["doc_id"].combine_chunks()]
+                ),
+                "prefix": pa.concat_arrays(
+                    [b["prefix"].combine_chunks(), dup["prefix"].combine_chunks()]
+                ),
+            }
+        )
+        return t
+
+    ghosted = ranked.select_columns(["pos", "doc_id", "prefix"]).map_batches(
+        ghost, batch_format="pyarrow"
+    )
+
+    def window_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from fhirflat_ray.functions.text import levenshtein_pairs_batch
+
+        g = g.sort_values(["bkt", "pos"], kind="mergesort")
+        pos = g["pos"].to_numpy()
+        bkt = g["bkt"].to_numpy()
+        li: list[np.ndarray] = []
+        ri: list[np.ndarray] = []
+        for j in range(1, w + 1):
+            if j >= len(g):
+                break
+            i = np.arange(len(g) - j)
+            # pair owned by the LEFT row's own bucket (ghosts only ever
+            # appear as right-hand sides), ranks exactly j apart
+            ok = (
+                (bkt[i] == bkt[i + j])
+                & (pos[i + j] - pos[i] == j)
+                & (pos[i] // bsize == bkt[i])
+            )
+            li.append(i[ok])
+            ri.append(i[ok] + j)
+        if not li or not sum(len(a) for a in li):
+            return pd.DataFrame(
+                {
+                    "l_doc": pd.Series([], dtype=np.int64),
+                    "r_doc": pd.Series([], dtype=np.int64),
+                    "lev": pd.Series([], dtype=np.int64),
+                }
+            )
+        lidx = np.concatenate(li)
+        ridx = np.concatenate(ri)
+        pref = pa.array(g["prefix"].to_numpy(), pa.string())
+        d = levenshtein_pairs_batch(pref.take(pa.array(lidx)), pref.take(pa.array(ridx)))
+        keep = d <= 8
+        ids = g["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_doc": ids[lidx[keep]],
+                "r_doc": ids[ridx[keep]],
+                "lev": d[keep],
+            }
+        )
+
+    return bucketed_map_groups(ghosted, ["bkt"], window_pairs, num_buckets=n_parts)
+
+
+SNM_PAIRS_SQL = f"""
+WITH r AS (
+  SELECT doc_id, text,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS pos
+  FROM documents)
+SELECT a.doc_id AS l_doc, b.doc_id AS r_doc,
+       levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) AS lev
+FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + {_SNM_W}
+WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
+"""
+
+
 #: node-id offset separating part nodes from supplier nodes in the
 #: lineitem co-occurrence graph (shared with the SQL oracle)
 PAGERANK_SUPP_OFFSET = 10_000_000
@@ -9379,6 +9572,8 @@ QUERIES = {
     "kcore_filter": kcore_filter,
     "clustering_coeff": clustering_coeff,
     "dup_span_flags": dup_span_flags,
+    "mad_by_type": mad_by_type,
+    "snm_pairs": snm_pairs,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -9559,6 +9754,8 @@ ORACLE_SQL = {
     "kcore_filter": KCORE_FILTER_SQL,
     "clustering_coeff": CLUSTERING_COEFF_SQL,
     "dup_span_flags": DUP_SPAN_FLAGS_SQL,
+    "mad_by_type": MAD_BY_TYPE_SQL,
+    "snm_pairs": SNM_PAIRS_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

@@ -1494,3 +1494,34 @@ def test_dup_span_flags_planted(ray_session):
     assert got.doc_id.tolist() == [0, 1, 2]
     assert got.n_spans.tolist() == [3, 2, 11]
     assert got.n_dup.tolist() == [1, 1, 2]
+
+
+def test_snm_pairs_cross_bucket_windows(ray_session):
+    """Sorted-neighborhood pairs must equal the brute-force window join —
+    including pairs straddling rank-bucket boundaries (n_parts=4 floor
+    gives bucket size ~50 at 200 docs, so ~12 boundary windows)."""
+    import os
+    import tempfile
+
+    from fhirflat_ray.pipelines.queries import _SNM_W, snm_pairs
+
+    n = 200
+    # identical prefixes -> every window pair verifies (lev=0); n_chars
+    # carries ties so the (n_chars, doc_id) tiebreak path is exercised
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["same prefix for everyone here"] * n,
+            "n_chars": (np.arange(n, dtype=np.int64) // 3) * 7,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = snm_pairs(d).to_pandas()
+    order = df.sort_values(["n_chars", "doc_id"]).doc_id.to_numpy()
+    want = set()
+    for j in range(1, _SNM_W + 1):
+        for i in range(n - j):
+            want.add((order[i], order[i + j]))
+    assert set(zip(got.l_doc, got.r_doc)) == want
+    assert (got.lev == 0).all()
