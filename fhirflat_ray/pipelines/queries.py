@@ -6005,6 +6005,171 @@ WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
 """
 
 
+#: product quantization geometry: 4 subspaces x 16 dims over the 64-dim
+#: embeddings, 4 centroids per subspace (shared with the SQL oracle)
+_PQ_SUBS, _PQ_SUBDIM, _PQ_K = 4, 16, 4
+
+
+def pq_encode(sf_dir: str):
+    """Product-quantization codebook encode (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): each embedding
+    splits into 4 contiguous 16-dim subvectors, each subspace gets its own
+    k-means codebook (k=4, the deterministic smallest-id init), and every
+    vector reduces to 4 int codes — the memory-compressed representation
+    an ANN index stores at 100 TB (64 float32 -> 4 bytes here).
+
+    Scale shape: 4 independent ``kmeans_centroids`` fits (map-only
+    broadcast/fold each) + ONE final encode pass with all 4 codebooks
+    broadcast together. The oracle unrolls four parallel Lloyd CTE chains
+    over ``embedding[lo:hi]`` slices and joins the four assignments."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import _assign, _matrix, kmeans_centroids
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    cents = []
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUBDIM
+
+        def slice_sub(b: pa.Table, lo=lo) -> pa.Table:
+            mat = _matrix(b["embedding"])[:, lo : lo + _PQ_SUBDIM]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1), pa.float64()), _PQ_SUBDIM
+                    ),
+                }
+            )
+
+        sub = ds.map_batches(slice_sub, batch_format="pyarrow")
+        cents.append(kmeans_centroids(sub, k=_PQ_K, iters=3))
+
+    ref = ray.put(cents)
+
+    class Encode:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _matrix(b["embedding"])
+            out = {"vec_id": b["vec_id"]}
+            for s, cent in enumerate(self.cents):
+                sub = mat[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                out[f"c{s}"] = pa.array(_assign(sub, cent), pa.int64())
+            return pa.table(out)
+
+    return ds.map_batches(worker_cached_stage(Encode, ref=ref), batch_format="pyarrow")
+
+
+def _pq_sql() -> str:
+    chains, joins = [], []
+    for s in range(_PQ_SUBS):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        p = f"s{s}_"
+
+        def assign(prev: str, name: str) -> str:
+            return f"""{p}{name} AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cluster_id FROM {p}{prev} c
+          ORDER BY list_distance(e.embedding, c.c), c.cluster_id LIMIT 1) AS cl
+  FROM {p}sub e)"""
+
+        def cent(prev: str, name: str) -> str:
+            return f"""{p}{name}_d AS (
+  SELECT cl, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM {p}{prev}),
+{p}{name} AS (
+  SELECT cl AS cluster_id, list(avg_v ORDER BY i) AS c FROM (
+    SELECT cl, i, avg(v) AS avg_v FROM {p}{name}_d GROUP BY cl, i) GROUP BY cl)"""
+
+        chains.append(
+            f"""{p}sub AS (
+  SELECT vec_id, (embedding)[{lo}:{hi}] AS embedding FROM embeddings),
+{p}c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+         embedding AS c
+  FROM (SELECT * FROM {p}sub ORDER BY vec_id LIMIT {_PQ_K})),
+{assign('c0', 'a1')},
+{cent('a1', 'c1')},
+{assign('c1', 'a2')},
+{cent('a2', 'c2')},
+{assign('c2', 'a3')}"""
+        )
+        joins.append(f"JOIN s{s}_a3 ON s{s}_a3.vec_id = e.vec_id")
+    chain = ",\n".join(chains)
+    join = "\n".join(joins)
+    cols = ", ".join(f"s{s}_a3.cl AS c{s}" for s in range(_PQ_SUBS))
+    return f"""WITH {chain}
+SELECT e.vec_id, {cols}
+FROM embeddings e
+{join}"""
+
+
+PQ_ENCODE_SQL = _pq_sql()
+
+
+def source_entropy(sf_dir: str):
+    """Per-source token-distribution Shannon entropy (plus token count) —
+    the corpus-diversity metric a data-mixture designer reads. One narrow
+    (source, term, cnt) partial per batch, one coarse-bucket shuffle on
+    source, per-bucket vectorized entropy; ln rides at 6dp (the KL-drift
+    precision discipline: float combine-order noise sits ~1e-13, far
+    below the rounding)."""
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals, parent, _ = _split_words(b["text"])
+        src = b["source"].to_numpy(zero_copy_only=False)[parent]
+        g = (
+            pd.DataFrame({"source": src, "term": vals})
+            .groupby(["source", "term"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "term": pa.array(g["term"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    posts = docs.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["source", "term"], sort=False, as_index=False)["cnt"].sum()
+        # deterministic p*ln(p) fold order (term-sorted) — noise stays
+        # ~1e-13 either way, but determinism keeps re-runs hash-stable
+        c = c.sort_values(["source", "term"], kind="mergesort")
+        n = c.groupby("source", sort=False)["cnt"].transform("sum").to_numpy(np.float64)
+        p = c["cnt"].to_numpy(np.float64) / n
+        c = c.assign(h=p * np.log(p), n=n)
+        out = c.groupby("source", sort=False, as_index=False).agg(
+            n_tokens=("cnt", "sum"), h=("h", "sum")
+        )
+        out["entropy"] = np.round(-out["h"].to_numpy(np.float64), 6)
+        return out[["source", "n_tokens", "entropy"]]
+
+    return bucketed_map_groups(posts, ["source"], per_bucket)
+
+
+SOURCE_ENTROPY_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+c AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY source, term),
+n AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source)
+SELECT c.source, CAST(n.n AS BIGINT) AS n_tokens,
+       round(-sum((cnt * 1.0 / n.n) * ln(cnt * 1.0 / n.n)), 6) AS entropy
+FROM c JOIN n ON n.source = c.source GROUP BY c.source, n.n
+"""
+
+
 #: node-id offset separating part nodes from supplier nodes in the
 #: lineitem co-occurrence graph (shared with the SQL oracle)
 PAGERANK_SUPP_OFFSET = 10_000_000
@@ -9574,6 +9739,8 @@ QUERIES = {
     "dup_span_flags": dup_span_flags,
     "mad_by_type": mad_by_type,
     "snm_pairs": snm_pairs,
+    "pq_encode": pq_encode,
+    "source_entropy": source_entropy,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -9756,6 +9923,8 @@ ORACLE_SQL = {
     "dup_span_flags": DUP_SPAN_FLAGS_SQL,
     "mad_by_type": MAD_BY_TYPE_SQL,
     "snm_pairs": SNM_PAIRS_SQL,
+    "pq_encode": PQ_ENCODE_SQL,
+    "source_entropy": SOURCE_ENTROPY_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,

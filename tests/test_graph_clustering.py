@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -321,3 +322,43 @@ def test_logreg_gd_matches_numpy_reference(ray_session):
     assert np.allclose(got, w, atol=1e-12)
     # it actually learned the separator: both feature weights positive
     assert got[1] > 0 and got[2] > 0
+
+
+def test_pq_encode_subspace_locality(ray_session):
+    """Product-quantization codes: duplicate vectors get identical codes,
+    and perturbing ONLY subspace 2 changes ONLY c2."""
+    import os
+    import tempfile
+
+    from fhirflat_ray.pipelines.queries import _PQ_SUBDIM, _PQ_SUBS, pq_encode
+
+    rng = np.random.default_rng(2)
+    dim = _PQ_SUBS * _PQ_SUBDIM
+    # 4 well-separated base patterns, interleaved so the smallest-id init
+    # seeds each subspace codebook with distinct rows
+    base = rng.standard_normal((4, dim)) * 5
+    mat = np.empty((40, dim))
+    for i in range(40):
+        mat[i] = base[i % 4] + 0.01 * rng.standard_normal(dim)
+    # rows 36..39: copy of row 0..3 but subspace 2 swapped to another basin
+    for j in range(4):
+        mat[36 + j] = mat[j]
+        mat[36 + j, 2 * _PQ_SUBDIM : 3 * _PQ_SUBDIM] = base[
+            (j + 1) % 4, 2 * _PQ_SUBDIM : 3 * _PQ_SUBDIM
+        ]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(40, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in mat],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "embeddings.parquet"))
+        got = pq_encode(d).to_pandas().set_index("vec_id")
+    for j in range(4):
+        orig, pert = got.loc[j], got.loc[36 + j]
+        for s in range(_PQ_SUBS):
+            if s == 2:
+                assert orig[f"c{s}"] != pert[f"c{s}"]
+            else:
+                assert orig[f"c{s}"] == pert[f"c{s}"]
