@@ -6111,6 +6111,235 @@ FROM embeddings e
 PQ_ENCODE_SQL = _pq_sql()
 
 
+def knn_pq_adc(sf_dir: str):
+    """PQ asymmetric-distance (ADC) k-NN search: queries (vec_id 0 and 1)
+    score every corpus vector by the sum of squared subspace distances to
+    the CODEBOOK CENTROID its code names — the memory-bound search an ANN
+    system runs over PQ codes (Jégou et al. TPAMI'11, ADC variant).
+
+    Scale shape: codebooks fit map-only (``pq_encode``'s fits), then ONE
+    scoring pass with (codebooks, query slices) broadcast — per batch the
+    per-subspace distance table is (n_queries x K) tiny and scores gather
+    by code index; global top-10 per query via ``streaming_topk``. The
+    oracle reuses the four unrolled Lloyd chains and mirrors
+    power(list_distance, 2) per subspace."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import _assign, _matrix, kmeans_centroids
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    cents = []
+    for s in range(_PQ_SUBS):
+        lo = s * _PQ_SUBDIM
+
+        def slice_sub(b: pa.Table, lo=lo) -> pa.Table:
+            mat = _matrix(b["embedding"])[:, lo : lo + _PQ_SUBDIM]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1), pa.float64()), _PQ_SUBDIM
+                    ),
+                }
+            )
+
+        sub = ds.map_batches(slice_sub, batch_format="pyarrow")
+        cents.append(kmeans_centroids(sub, k=_PQ_K, iters=3))
+
+    qt = collect_small_table(
+        ds.filter(expr="vec_id == 0 or vec_id == 1").select_columns(
+            ["vec_id", "embedding"]
+        )
+    ).sort_by("vec_id")
+    qmat = _matrix(qt["embedding"])
+    ref = ray.put((cents, qt["vec_id"].to_numpy(zero_copy_only=False), qmat))
+
+    class Score:
+        def __init__(self, ref):
+            self.cents, self.qids, self.qmat = ray.get(ref)
+            # (n_queries, K) squared-distance lookup table per subspace,
+            # built ONCE per worker: sqrt-then-square mirrors the SQL
+            # power(list_distance, 2) bit for bit
+            self.tables = []
+            for s, cent in enumerate(self.cents):
+                qs = self.qmat[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+                d = np.linalg.norm(qs[:, None, :] - cent[None, :, :], axis=2) ** 2
+                self.tables.append(d)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = _matrix(b["embedding"])
+            vid = b["vec_id"].to_numpy(zero_copy_only=False)
+            n = len(vid)
+            dist = np.zeros((len(self.qids), n), np.float64)
+            for s, cent in enumerate(self.cents):
+                code = _assign(mat[:, s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM], cent)
+                dist += self.tables[s][:, code]
+            out_q = np.repeat(self.qids, n)
+            return pa.table(
+                {
+                    "q_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(np.tile(vid, len(self.qids)), pa.int64()),
+                    "dist": pa.array(np.round(dist.reshape(-1), 6), pa.float64()),
+                }
+            )
+
+    from fhirflat_ray.functions.util import topk_per_key
+
+    scored = ds.map_batches(worker_cached_stage(Score, ref=ref), batch_format="pyarrow")
+    return topk_per_key(scored, ["q_id"], 10, ["dist", "vec_id"])
+
+
+def _knn_pq_sql() -> str:
+    # reuse the four unrolled chains from PQ_ENCODE_SQL's builder
+    chain = _pq_sql().split("\nSELECT")[0].removeprefix("WITH ")
+    dparts = []
+    for s in range(_PQ_SUBS):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        dparts.append(
+            f"power(list_distance((q.embedding)[{lo}:{hi}], s{s}_cc.c), 2)"
+        )
+        # join each subspace's final centroid table on the vector's code
+    joins = "\n".join(
+        f"JOIN s{s}_a3 ON s{s}_a3.vec_id = x.vec_id\n"
+        f"JOIN s{s}_c2 s{s}_cc ON s{s}_cc.cluster_id = s{s}_a3.cl"
+        for s in range(_PQ_SUBS)
+    )
+    dist = " + ".join(dparts)
+    return f"""WITH {chain},
+q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id IN (0, 1)),
+sc AS (
+  SELECT q.q_id, x.vec_id, round({dist}, 6) AS dist
+  FROM embeddings x
+{joins}
+  CROSS JOIN q)
+SELECT q_id, vec_id, dist FROM (
+  SELECT q_id, vec_id, dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM sc) WHERE rn <= 10 ORDER BY q_id, dist, vec_id"""
+
+
+KNN_PQ_ADC_SQL = _knn_pq_sql()
+
+
+def edge_common_neighbors(sf_dir: str):
+    """Link-prediction features on the co-ordered-parts graph: the top-25
+    edges by common-neighbor count (= per-edge triangle count) with both
+    endpoint degrees — the integer basis of Jaccard/Adamic-Adar edge
+    scores (the float ratio is left to the consumer: k/(du+dv-2-k) can
+    land exactly on a 1e-6 rounding half where engines' rounding modes
+    diverge). Triangle triples explode to their three canonical edges,
+    fold per edge in one coarse-bucket exchange, degrees broadcast."""
+    import ray
+
+    from fhirflat_ray.functions.graph import triangle_count
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        collect_small_table,
+        streaming_topk,
+        worker_cached_stage,
+    )
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    edges = _coorder_edges(sf_dir, n_parts).materialize()
+    tri = triangle_count(edges, num_partitions=n_parts, return_triangles=True)
+
+    def explode(b: pa.Table) -> pa.Table:
+        n1 = b["n1"].to_numpy(zero_copy_only=False)
+        n2 = b["n2"].to_numpy(zero_copy_only=False)
+        n3 = b["n3"].to_numpy(zero_copy_only=False)
+        us = np.concatenate([np.minimum(n1, n2), np.minimum(n1, n3), np.minimum(n2, n3)])
+        vs = np.concatenate([np.maximum(n1, n2), np.maximum(n1, n3), np.maximum(n2, n3)])
+        t = pa.table({"u": pa.array(us, pa.int64()), "v": pa.array(vs, pa.int64())})
+        g = t.group_by(["u", "v"]).aggregate([([], "count_all")])
+        from fhirflat_ray.functions.util import agg_select
+
+        return agg_select(g, {"u": "u", "v": "v", "count_all": "cn"})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["u", "v"], sort=False, as_index=False).agg(cn=("cn", "sum"))
+
+    per_edge = bucketed_map_groups(
+        tri.map_batches(explode, batch_format="pyarrow"), ["u", "v"], fold,
+        num_buckets=n_parts,
+    )
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    un, inv = np.unique(
+        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    deg = np.zeros(len(un), np.int64)
+    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
+    dref = ray.put((un, deg))
+
+    class Attach:
+        def __init__(self, ref):
+            self.nodes, self.deg = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "u": b["u"],
+                    "v": b["v"],
+                    "cn": b["cn"],
+                    "deg_u": pa.array(
+                        self.deg[np.searchsorted(self.nodes, u)], pa.int64()
+                    ),
+                    "deg_v": pa.array(
+                        self.deg[np.searchsorted(self.nodes, v)], pa.int64()
+                    ),
+                }
+            )
+
+    scored = per_edge.map_batches(
+        worker_cached_stage(Attach, ref=dref), batch_format="pyarrow"
+    )
+    return streaming_topk(
+        scored, ["cn", "u", "v"], 25, descending=[True, False, False]
+    )
+
+
+EDGE_COMMON_NEIGHBORS_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+t AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+te AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM (
+    SELECT least(x, y) AS u, greatest(x, y) AS v FROM t
+    UNION ALL SELECT least(x, z), greatest(x, z) FROM t
+    UNION ALL SELECT least(y, z), greatest(y, z) FROM t)
+  GROUP BY u, v),
+d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY node)
+SELECT te.u, te.v, te.cn, du.deg AS deg_u, dv.deg AS deg_v
+FROM te JOIN d du ON du.node = te.u JOIN d dv ON dv.node = te.v
+ORDER BY te.cn DESC, te.u, te.v LIMIT 25
+"""
+
+
 def source_entropy(sf_dir: str):
     """Per-source token-distribution Shannon entropy (plus token count) —
     the corpus-diversity metric a data-mixture designer reads. One narrow
@@ -9740,6 +9969,8 @@ QUERIES = {
     "mad_by_type": mad_by_type,
     "snm_pairs": snm_pairs,
     "pq_encode": pq_encode,
+    "knn_pq_adc": knn_pq_adc,
+    "edge_common_neighbors": edge_common_neighbors,
     "source_entropy": source_entropy,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
@@ -9924,6 +10155,8 @@ ORACLE_SQL = {
     "mad_by_type": MAD_BY_TYPE_SQL,
     "snm_pairs": SNM_PAIRS_SQL,
     "pq_encode": PQ_ENCODE_SQL,
+    "knn_pq_adc": KNN_PQ_ADC_SQL,
+    "edge_common_neighbors": EDGE_COMMON_NEIGHBORS_SQL,
     "source_entropy": SOURCE_ENTROPY_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
