@@ -4678,6 +4678,170 @@ FROM w GROUP BY conv_id
 """
 
 
+def tool_latency(sf_dir: str):
+    """Per-tool response latency: for every transcript turn, the gap to
+    the NEXT turn in its conversation; per tool, the count and exact
+    median gap in integer MICROSECONDS (discrete quantile over int64 — no
+    float anywhere). The lead-gap extraction fuses into the transcript
+    bucket pass (one shuffle); the per-tool median runs over (tool, gap,
+    cnt) value-count partials in a second narrow exchange."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tool = g["tool"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        out = pd.DataFrame(
+            {"tool": tool[:-1][same], "gap_us": (ts[1:] - ts[:-1])[same]}
+        )
+        # value-count partial: shuffle one row per in-bucket (tool, gap)
+        return out.groupby(["tool", "gap_us"], sort=False, as_index=False).agg(
+            cnt=("gap_us", "size")
+        )
+
+    partials = _transcript_grouped(
+        sf_dir, gaps, columns=["conv_id", "turn_idx", "tool", "ts"]
+    )
+
+    def per_tool(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby(["tool", "gap_us"], sort=False, as_index=False)["cnt"]
+            .sum()
+            .sort_values(["tool", "gap_us"], kind="mergesort")
+        )
+        cum = g.groupby("tool", sort=False)["cnt"].cumsum().to_numpy()
+        tot = g.groupby("tool", sort=False)["cnt"].transform("sum").to_numpy()
+        rank = np.maximum(1, np.ceil(0.5 * tot.astype(np.float64)))
+        sel = g.loc[cum >= rank, ["tool", "gap_us"]]
+        med = sel.groupby("tool", as_index=False, sort=False).first()
+        n = g.groupby("tool", as_index=False, sort=False)["cnt"].sum()
+        out = n.merge(med, on="tool")
+        return pd.DataFrame(
+            {
+                "tool": out["tool"],
+                "n": out["cnt"].astype(np.int64),
+                "med_gap_us": out["gap_us"].astype(np.int64),
+            }
+        )
+
+    return bucketed_map_groups(partials, ["tool"], per_tool)
+
+
+TOOL_LATENCY_SQL = f"""
+WITH w AS (
+  SELECT tool, ts,
+         LEAD(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+  FROM ({TRANSCRIPT_BUILD_SQL})
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(epoch_us(nxt) - epoch_us(ts), 0.5) AS BIGINT)
+         AS med_gap_us
+FROM w WHERE nxt IS NOT NULL GROUP BY tool
+"""
+
+
+def role_runs(sf_dir: str):
+    """Dialogue-monologue detection (gaps and islands): per conversation,
+    the number of maximal same-role runs and the longest run — integer
+    outputs, fused into the transcript bucket pass (one shuffle)."""
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        n = len(g)
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        r = pd.DataFrame({"conv_id": conv[starts], "len": lens})
+        return r.groupby("conv_id", sort=False, as_index=False).agg(
+            n_runs=("len", "size"), max_run=("len", "max")
+        )
+
+    return _transcript_grouped(sf_dir, runs, columns=["conv_id", "turn_idx", "role"])
+
+
+ROLE_RUNS_SQL = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM ({TRANSCRIPT_BUILD_SQL})),
+g AS (
+  SELECT conv_id,
+         sum(CASE WHEN prev IS NULL OR role != prev THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM w),
+r AS (SELECT conv_id, run_id, count(*) AS len FROM g GROUP BY conv_id, run_id)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(len) AS BIGINT) AS max_run
+FROM r GROUP BY conv_id
+"""
+
+
+def gini_activity(sf_dir: str):
+    """Activity-concentration statistic: the integer basis of the Gini
+    coefficient of per-user event counts — (n_users, total_events,
+    Σ rank·count) with ranks from the range-partitioned GLOBAL sort of the
+    per-user aggregate (counts shuffle once as two int64 columns; the
+    corpus never re-sorts). Integer-only output: the final
+    G = (2S)/(n·T) − (n+1)/n division is the consumer's, because a
+    rounded ratio can land on the half-boundary where engines' rounding
+    modes diverge."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["user_id"]).aggregate([([], "count_all")])
+        return agg_select(g, {"user_id": "user_id", "count_all": "cnt"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    ranked = range_partition_sort(counts, "cnt", ["user_id"], n_ranges=8)
+
+    def fold(b: pa.Table) -> pa.Table:
+        cnt = b["cnt"].to_numpy(zero_copy_only=False)
+        rk = b["pos"].to_numpy(zero_copy_only=False) + 1
+        return pa.table(
+            {
+                "n": pa.array([len(cnt)], pa.int64()),
+                "tot": pa.array([int(cnt.sum())], pa.int64()),
+                "wrs": pa.array([int((rk * cnt).sum())], pa.int64()),
+            }
+        )
+
+    t = collect_small_table(ranked.map_batches(fold, batch_format="pyarrow"))
+    return pa.table(
+        {
+            "n_users": pa.array([int(t["n"].to_numpy().sum())], pa.int64()),
+            "total_events": pa.array([int(t["tot"].to_numpy().sum())], pa.int64()),
+            "weighted_rank_sum": pa.array(
+                [int(t["wrs"].to_numpy().sum())], pa.int64()
+            ),
+        }
+    )
+
+
+GINI_ACTIVITY_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cnt) AS BIGINT) AS total_events,
+       CAST(sum(rk * cnt) AS BIGINT) AS weighted_rank_sum
+FROM r
+"""
+
+
 def sft_pack_examples(sf_dir: str):
     """Training-example materialization: greedy-pack each conversation
     into 64-token chunks, then collapse every (conversation, chunk) into
@@ -9946,6 +10110,9 @@ QUERIES = {
     "alternation_audit": alternation_audit,
     "sft_pack_examples": sft_pack_examples,
     "tool_transitions": tool_transitions,
+    "tool_latency": tool_latency,
+    "role_runs": role_runs,
+    "gini_activity": gini_activity,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
     "q18_large_orders": q18_large_orders,
@@ -10132,6 +10299,9 @@ ORACLE_SQL = {
     "alternation_audit": ALTERNATION_AUDIT_SQL,
     "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
     "tool_transitions": TOOL_TRANSITIONS_SQL,
+    "tool_latency": TOOL_LATENCY_SQL,
+    "role_runs": ROLE_RUNS_SQL,
+    "gini_activity": GINI_ACTIVITY_SQL,
     "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
     "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
