@@ -4782,6 +4782,118 @@ FROM r GROUP BY conv_id
 """
 
 
+def activity_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user (gaps and islands on
+    the distinct active-day set): the retention statistic behind "N-day
+    streak" features. Per-batch distinct (user, day) pre-reduce shrinks
+    the shuffle; one user-bucket exchange; the island detection is one
+    vectorized day - rank subtraction across the whole bucket. Integer
+    outputs only."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, distinct_rows
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.date32())
+        t = pa.table({"user_id": b["user_id"], "day": d})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    dd = distinct_rows(ds.map_batches(days, batch_format="pyarrow"), ["user_id", "day"])
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        n = len(g)
+        new = np.ones(n, bool)
+        if n > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, n))
+        r = pd.DataFrame({"user_id": uid[starts], "len": lens})
+        out = r.groupby("user_id", sort=False, as_index=False).agg(
+            max_streak=("len", "max")
+        )
+        tot = (
+            pd.DataFrame({"user_id": uid})
+            .groupby("user_id", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n_active_days"})
+        )
+        return tot.merge(out, on="user_id")
+
+    return bucketed_map_groups(dd, ["user_id"], streaks)
+
+
+ACTIVITY_STREAKS_SQL = """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+g AS (
+  SELECT user_id, day,
+         CAST(day - CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS INTEGER) AS DATE) AS anchor
+  FROM d),
+r AS (SELECT user_id, anchor, count(*) AS len FROM g GROUP BY user_id, anchor)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM r GROUP BY user_id
+"""
+
+
+def weekly_delta(sf_dir: str):
+    """Week-over-week event-count deltas per type (trend monitoring): the
+    heavy pass is the ordinary distributed partial+final count into the
+    BOUNDED (type, week) grid; lag/delta derive from that aggregate on
+    the driver. Integer outputs."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.floor_temporal(b["ts"], unit="week"), pa.date32())
+        t = pa.table({"event_type": b["event_type"], "week": wk})
+        g = t.group_by(["event_type", "week"]).aggregate([([], "count_all")])
+        return agg_select(
+            g, {"event_type": "event_type", "week": "week", "count_all": "n"}
+        )
+
+    grid = collect_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "week"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    df = grid.to_pandas()
+    df["week"] = pd.to_datetime(df["week"])
+    df = df.sort_values(["event_type", "week"], kind="mergesort")
+    prev = df.groupby("event_type", sort=False)["n"].shift(1)
+    same_week = df.groupby("event_type", sort=False)["week"].shift(1) == df[
+        "week"
+    ] - pd.Timedelta(days=7)
+    delta = np.where(same_week.fillna(False), df["n"] - prev.fillna(0), np.nan)
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "week": pa.array(df["week"].to_numpy().astype("datetime64[us]"), pa.timestamp("us")),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "delta": pa.array(
+                [None if np.isnan(d) else int(d) for d in delta], pa.int64()
+            ),
+        }
+    )
+
+
+WEEKLY_DELTA_SQL = """
+WITH w AS (
+  SELECT event_type, date_trunc('week', ts) AS week, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('week', ts))
+SELECT event_type, week, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN lag(week) OVER win = week - INTERVAL 7 DAY
+                 THEN n - lag(n) OVER win END AS BIGINT) AS delta
+FROM w WINDOW win AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 def gini_activity(sf_dir: str):
     """Activity-concentration statistic: the integer basis of the Gini
     coefficient of per-user event counts — (n_users, total_events,
@@ -10113,6 +10225,8 @@ QUERIES = {
     "tool_latency": tool_latency,
     "role_runs": role_runs,
     "gini_activity": gini_activity,
+    "activity_streaks": activity_streaks,
+    "weekly_delta": weekly_delta,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
     "q18_large_orders": q18_large_orders,
@@ -10302,6 +10416,8 @@ ORACLE_SQL = {
     "tool_latency": TOOL_LATENCY_SQL,
     "role_runs": ROLE_RUNS_SQL,
     "gini_activity": GINI_ACTIVITY_SQL,
+    "activity_streaks": ACTIVITY_STREAKS_SQL,
+    "weekly_delta": WEEKLY_DELTA_SQL,
     "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
     "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
