@@ -4894,6 +4894,110 @@ FROM w WINDOW win AS (PARTITION BY event_type ORDER BY week)
 """
 
 
+def acf1_by_type(sf_dir: str):
+    """Lag-1 autocorrelation of event value per type (time-series
+    regularity probe). Adjacent-pair moments need global (ts, event_id)
+    adjacency per type WITHOUT holding a whole type in one task: rows
+    co-partition on (type, DAY), each day folds its within-day pair
+    moments to one row, and every day also emits its first/last row — the
+    cross-day pairs reconstruct on the driver from that BOUNDED
+    (types × days) boundary table. Same mirrored-moment 6dp discipline as
+    ``qty_price_corr``."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value", "event_id"])
+
+    def day_tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "day", pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.date32())
+        )
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day", "ts", "event_id"], kind="mergesort")
+        t = g["event_type"].to_numpy()
+        day = g["day"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        n = len(g)
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = (t[1:] == t[:-1]) & (day[1:] == day[:-1])
+        x, y = v[:-1][same[1:]], v[1:][same[1:]]
+        pk = pd.DataFrame(
+            {
+                "event_type": t[1:][same[1:]],
+                "day": day[1:][same[1:]],
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        mom = pk.groupby(["event_type", "day"], sort=False, as_index=False).sum()
+        new = np.ones(n, bool)
+        new[1:] = ~same[1:]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n) - 1
+        bound = pd.DataFrame(
+            {
+                "event_type": t[starts],
+                "day": day[starts],
+                "first_v": v[starts],
+                "last_v": v[ends],
+            }
+        )
+        return mom.merge(bound, on=["event_type", "day"], how="outer")
+
+    tagged = ds.map_batches(day_tag, batch_format="pyarrow")
+    folded = collect_small_table(
+        bucketed_map_groups(tagged, ["event_type", "day"], per_day)
+    ).to_pandas()
+    folded = folded.sort_values(["event_type", "day"], kind="mergesort")
+    out_rows = []
+    for et, sub in folded.groupby("event_type", sort=True):
+        n = float(sub["n"].fillna(0).sum())
+        sx = float(sub["sx"].fillna(0).sum())
+        sy = float(sub["sy"].fillna(0).sum())
+        sxx = float(sub["sxx"].fillna(0).sum())
+        syy = float(sub["syy"].fillna(0).sum())
+        sxy = float(sub["sxy"].fillna(0).sum())
+        # cross-day adjacent pairs from the bounded boundary rows
+        lv = sub["last_v"].to_numpy(np.float64)
+        fv = sub["first_v"].to_numpy(np.float64)
+        for i in range(len(sub) - 1):
+            x, y = lv[i], fv[i + 1]
+            n += 1
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+        cov = sxy / n - (sx / n) * (sy / n)
+        vx = sxx / n - (sx / n) * (sx / n)
+        vy = syy / n - (sy / n) * (sy / n)
+        out_rows.append((et, round(cov / ((vx**0.5) * (vy**0.5)), 6)))
+    return pd.DataFrame(out_rows, columns=["event_type", "acf1"])
+
+
+ACF1_BY_TYPE_SQL = """
+WITH w AS (
+  SELECT event_type, value AS y,
+         LAG(value) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+  FROM events),
+m AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM w WHERE x IS NOT NULL GROUP BY event_type)
+SELECT event_type,
+       round((sxy / n - (sx / n) * (sy / n)) /
+             (sqrt(sxx / n - (sx / n) * (sx / n)) *
+              sqrt(syy / n - (sy / n) * (sy / n))), 6) AS acf1
+FROM m
+"""
+
+
 def gini_activity(sf_dir: str):
     """Activity-concentration statistic: the integer basis of the Gini
     coefficient of per-user event counts — (n_users, total_events,
@@ -10227,6 +10331,7 @@ QUERIES = {
     "gini_activity": gini_activity,
     "activity_streaks": activity_streaks,
     "weekly_delta": weekly_delta,
+    "acf1_by_type": acf1_by_type,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
     "q18_large_orders": q18_large_orders,
@@ -10418,6 +10523,7 @@ ORACLE_SQL = {
     "gini_activity": GINI_ACTIVITY_SQL,
     "activity_streaks": ACTIVITY_STREAKS_SQL,
     "weekly_delta": WEEKLY_DELTA_SQL,
+    "acf1_by_type": ACF1_BY_TYPE_SQL,
     "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
     "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
