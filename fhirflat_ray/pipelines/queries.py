@@ -4894,6 +4894,100 @@ FROM w WINDOW win AS (PARTITION BY event_type ORDER BY week)
 """
 
 
+def conv_prefix_dedup(sf_dir: str):
+    """Conversation-PREFIX dedup — the agent-log reality that many
+    trajectories share their first turns (same system prompt + opening):
+    conversations group by the exact first-3-turn text concat, each group
+    keeps its lexicographically-min conv_id and reports the group size.
+    Prefix fingerprints build inside the transcript bucket pass (the
+    shared ``_ordered_group_concat`` kernel); groups fold in one more
+    narrow exchange on the prefix."""
+    from fhirflat_ray.functions.transcripts import _ordered_group_concat
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def prefixes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["turn_idx"] < 3]
+        if not len(g):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype=object),
+                                 "pfx": pd.Series([], dtype=object)})
+        t = _ordered_group_concat(g, ["conv_id"], ["turn_idx"], "text", "\x1f")
+        return pd.DataFrame(
+            {
+                "conv_id": t["conv_id"].to_pandas(),
+                "pfx": t["__joined"].to_pandas(),
+            }
+        )
+
+    pfx = _transcript_grouped(sf_dir, prefixes, columns=["conv_id", "turn_idx", "text"])
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pfx", sort=False, as_index=False).agg(
+            conv_id=("conv_id", "min"), n_convs=("conv_id", "size")
+        )[["conv_id", "n_convs"]]
+
+    return bucketed_map_groups(pfx, ["pfx"], survivors)
+
+
+CONV_PREFIX_DEDUP_SQL = f"""
+WITH t AS ({TRANSCRIPT_BUILD_SQL}),
+p AS (
+  SELECT conv_id, string_agg(text, chr(31) ORDER BY turn_idx) AS pfx
+  FROM t WHERE turn_idx < 3 GROUP BY conv_id)
+SELECT min(conv_id) AS conv_id, CAST(count(*) AS BIGINT) AS n_convs
+FROM p GROUP BY pfx
+"""
+
+
+def rolling_median3(sf_dir: str):
+    """Per-user rolling 3-point median smoothing of event values — the
+    spike filter a telemetry pipeline applies before trend fits. The
+    3-median is PURE min/max selection (greatest(least(a,b),
+    least(greatest(a,b), c))), so outputs are bit-identical doubles with
+    no arithmetic and no rounding at all. One user-bucket exchange;
+    interior rows only."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def med3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        eid = g["event_id"].to_numpy()
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "med3": pd.Series([], dtype=np.float64),
+                }
+            )
+        interior = (uid[1:-1] == uid[:-2]) & (uid[1:-1] == uid[2:])
+        p, c, nx = v[:-2][interior], v[1:-1][interior], v[2:][interior]
+        med = np.maximum(np.minimum(p, c), np.minimum(np.maximum(p, c), nx))
+        return pd.DataFrame(
+            {
+                "event_id": eid[1:-1][interior],
+                "user_id": uid[1:-1][interior],
+                "med3": med,
+            }
+        )
+
+    return bucketed_map_groups(ds, ["user_id"], med3)
+
+
+ROLLING_MEDIAN3_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         LAG(value) OVER win AS p, LEAD(value) OVER win AS nx
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       greatest(least(p, value), least(greatest(p, value), nx)) AS med3
+FROM w WHERE p IS NOT NULL AND nx IS NOT NULL
+"""
+
+
 def acf1_by_type(sf_dir: str):
     """Lag-1 autocorrelation of event value per type (time-series
     regularity probe). Adjacent-pair moments need global (ts, event_id)
@@ -10332,6 +10426,8 @@ QUERIES = {
     "activity_streaks": activity_streaks,
     "weekly_delta": weekly_delta,
     "acf1_by_type": acf1_by_type,
+    "conv_prefix_dedup": conv_prefix_dedup,
+    "rolling_median3": rolling_median3,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
     "q18_large_orders": q18_large_orders,
@@ -10524,6 +10620,8 @@ ORACLE_SQL = {
     "activity_streaks": ACTIVITY_STREAKS_SQL,
     "weekly_delta": WEEKLY_DELTA_SQL,
     "acf1_by_type": ACF1_BY_TYPE_SQL,
+    "conv_prefix_dedup": CONV_PREFIX_DEDUP_SQL,
+    "rolling_median3": ROLLING_MEDIAN3_SQL,
     "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
     "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
     "q18_large_orders": Q18_LARGE_ORDERS_SQL,
