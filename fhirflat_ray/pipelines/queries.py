@@ -7872,6 +7872,123 @@ EWMA_VALUE_SQL = _ewma_sql()
 _HOUR_US = 3_600_000_000
 
 
+def fuzzy_components(sf_dir: str):
+    """Entity-resolution clusters: the blocked fuzzy pair set
+    (``fuzzy_block_join``) feeds the distributed connected-components
+    engine; every linked document maps to its cluster representative (the
+    min doc id reachable through fuzzy matches). Puts
+    ``functions/components.py`` under a SECOND full oracle (a recursive
+    transitive-closure CTE over the identical Levenshtein pair set) on a
+    graph whose edges came from string similarity rather than embeddings."""
+    from fhirflat_ray.functions.components import connected_components
+
+    from fhirflat_ray.functions.util import distinct_rows
+
+    pairs = fuzzy_block_join(sf_dir).select_columns(["l_doc", "r_doc"])
+    comps = connected_components(pairs, src="l_doc", dst="r_doc").materialize()
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_rep": b["component"]})
+
+    # the star forest leaves minima implicit (node == component rows are
+    # dropped by the engine); restore each representative's self-row
+    def self_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["component"], "cluster_rep": b["component"]})
+
+    reps = distinct_rows(
+        comps.map_batches(self_rows, batch_format="pyarrow"),
+        ["doc_id", "cluster_rep"],
+    )
+    return comps.map_batches(rename, batch_format="pyarrow").union(reps)
+
+
+FUZZY_COMPONENTS_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.doc_id AS l_doc, b.doc_id AS r_doc
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.n_chars // 16 = b.n_chars // 16 AND a.doc_id < b.doc_id
+  WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8),
+e AS (SELECT l_doc AS u, r_doc AS v FROM p
+      UNION SELECT r_doc AS u, l_doc AS v FROM p),
+n AS (SELECT DISTINCT u AS node FROM e),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r)
+SELECT node AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY node
+"""
+
+
+def contamination_rate(sf_dir: str):
+    """Train/eval contamination statistic: of the eval split's distinct
+    8-token windows (every 10th doc plays the eval set), how many also
+    appear in the train split — the scalar the decontamination gate
+    reports. Eval windows are split-bounded and broadcast as a sorted
+    hash-free string set is avoided: both sides reduce to DISTINCT window
+    sets and the train pass streams map-only against the broadcast eval
+    set. Integer outputs."""
+    import ray
+
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import collect_small_table
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    w = _DUP_SPAN_W
+
+    def windows(b: pa.Table, keep_eval: bool) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ids % 10 == 0
+        b = b.filter(pa.array(mask if keep_eval else ~mask))
+        vals, parent, _ = _split_words(b["text"])
+        n = len(vals)
+        if n < w:
+            return pa.table({"g": pa.array([], pa.string())})
+        valid = parent[w - 1 :] == parent[: n - w + 1]
+        shifted = [pa.array(vals[i : n - w + 1 + i], pa.string()) for i in range(w)]
+        g = pc.binary_join_element_wise(*shifted, "\x1f")
+        return pa.table({"g": pc.unique(g.filter(pa.array(valid)))})
+
+    ev = collect_small_table(
+        docs.map_batches(lambda b: windows(b, True), batch_format="pyarrow")
+    )
+    ev_set = np.unique(ev["g"].to_numpy(zero_copy_only=False))
+    ref = ray.put(ev_set)
+
+    def hits(b: pa.Table) -> pa.Table:
+        es = ray.get(ref)
+        tr = windows(b, False)["g"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(es, tr)
+        pos = np.clip(pos, 0, max(0, len(es) - 1))
+        hit = es[pos] == tr if len(es) else np.zeros(len(tr), bool)
+        return pa.table({"g": pa.array(np.unique(tr[hit]), pa.string())})
+
+    hit_t = collect_small_table(docs.map_batches(hits, batch_format="pyarrow"))
+    n_hit = len(np.unique(hit_t["g"].to_numpy(zero_copy_only=False)))
+    return pa.table(
+        {
+            "n_eval_ngrams": pa.array([len(ev_set)], pa.int64()),
+            "n_contaminated": pa.array([n_hit], pa.int64()),
+        }
+    )
+
+
+CONTAMINATION_RATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+  FROM documents),
+ng AS (
+  SELECT doc_id, {" || chr(31) || ".join(["term"] + [f"lead(term, {k}) OVER win" for k in range(1, _DUP_SPAN_W)])} AS g
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 = 0 AND g IS NOT NULL),
+tr AS (SELECT DISTINCT g FROM ng WHERE doc_id % 10 != 0 AND g IS NOT NULL)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_ngrams,
+       (SELECT CAST(count(*) AS BIGINT) FROM ev JOIN tr ON tr.g = ev.g)
+         AS n_contaminated
+"""
+
+
 def resample_fill(sf_dir: str):
     """Time-series resample with gap fill: hourly event counts per type
     over the full observed range, missing (type, hour) cells filled with
@@ -10472,6 +10589,8 @@ QUERIES = {
     "q17_small_quantity": q17_small_quantity,
     "part_min_supplier": part_min_supplier,
     "qty_price_corr": qty_price_corr,
+    "fuzzy_components": fuzzy_components,
+    "contamination_rate": contamination_rate,
     "brand_supplier_counts": brand_supplier_counts,
     "distinct_users_hll_by_type": distinct_users_hll_by_type,
     "running_totals": running_totals,
@@ -10665,6 +10784,8 @@ ORACLE_SQL = {
     "q17_small_quantity": Q17_SMALL_QUANTITY_SQL,
     "part_min_supplier": PART_MIN_SUPPLIER_SQL,
     "qty_price_corr": QTY_PRICE_CORR_SQL,
+    "fuzzy_components": FUZZY_COMPONENTS_SQL,
+    "contamination_rate": CONTAMINATION_RATE_SQL,
     "brand_supplier_counts": BRAND_SUPPLIER_COUNTS_SQL,
     "distinct_users_hll_by_type": _distinct_users_hll_by_type_sql(),
     "running_totals": RUNNING_TOTALS_SQL,

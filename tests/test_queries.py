@@ -27,6 +27,9 @@ FAST = [
     "ewma_value",
     "bm25_search",
     "source_cap",
+    "role_runs",
+    "rolling_median3",
+    "gini_activity",
 ]
 
 
