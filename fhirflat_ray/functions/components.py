@@ -84,8 +84,18 @@ def _fingerprint(edges) -> tuple[int, int]:
 
     def part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
+        # explicit uint64 dtype: a Python-int list infers int64 below 2^63
+        # and uint64 above, and Ray's mixed-schema unification goes through
+        # float64, shearing low bits (the verify.py false-alarm bug) — here
+        # a sheared fingerprint could fake CONVERGENCE and stop the star
+        # rounds early with wrong components
         return pd.DataFrame(
-            {"s": [int(h.astype(np.uint64).sum(dtype=np.uint64))], "n": [len(batch)]}
+            {
+                "s": np.array(
+                    [h.astype(np.uint64).sum(dtype=np.uint64)], dtype=np.uint64
+                ),
+                "n": np.array([len(batch)], dtype=np.int64),
+            }
         )
 
     rows = edges.map_batches(part, batch_format="pandas").take_all()

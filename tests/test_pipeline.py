@@ -1017,3 +1017,37 @@ def test_decode_columns_plus_predicate(ray_session, tmp_path):
         segd, columns=["s"], predicate=[("key_id", "<", 100)]
     ).to_pandas()
     assert len(out2) == 100 and list(out2.columns) == ["s"]
+
+
+def test_fingerprint_invariant_under_partitioning(ray_session):
+    """Partial hash sums straddle 2^63 across blocks; with a Python-int
+    column pandas infers int64 vs uint64 per block and Ray's mixed-schema
+    unification went through float64, shearing low bits (the 16M-row
+    verify false alarm). The fingerprint must equal the locally-computed
+    truth under ANY partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import dataset_fingerprint
+
+    rng = np.random.default_rng(123)
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"conv-{i%977}" for i in range(60_000)],
+            "text": [f"t{i}" for i in range(60_000)],
+            "v": rng.integers(0, 1 << 40, 60_000),
+        }
+    )
+    want = int(
+        pd.util.hash_pandas_object(df, index=False)
+        .to_numpy()
+        .astype(np.uint64)
+        .sum(dtype=np.uint64)
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    for nparts in (3, 17, 64):
+        got = dataset_fingerprint(rd.from_arrow(t).repartition(nparts))
+        assert got["n"] == len(df)
+        assert got["hash_sum"] == want, f"nparts={nparts}"

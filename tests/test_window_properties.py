@@ -197,3 +197,40 @@ def test_global_running_rank_only(ray_session):
         .reset_index(drop=True)
     )
     assert out["rn"].tolist() == list(range(1, 1001))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=20, deadline=None)
+def test_triangle_count_matches_brute_force(ray_session, raw_edges, n_parts):
+    """Degree-ordered distributed triangle count == O(n^3) brute force on
+    random small graphs (duplicates and both orientations in the input)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import triangle_count
+
+    canon = {(min(a, b), max(a, b)) for a, b in raw_edges}
+    if not canon:
+        return
+    u = np.array([e[0] for e in canon], np.int64)
+    v = np.array([e[1] for e in canon], np.int64)
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)})).repartition(3)
+    got = triangle_count(ds, num_partitions=n_parts)["n_triangles"][0].as_py()
+
+    nodes = sorted({n for e in canon for n in e})
+    want = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in canon and (x, z) in canon and (y, z) in canon
+    )
+    assert got == want
