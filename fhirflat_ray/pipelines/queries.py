@@ -4557,6 +4557,142 @@ FROM c GROUP BY content
 """
 
 
+def sft_export(sf_dir: str):
+    """FLAGSHIP transcript composition #2 — the end-to-end SFT dataset
+    export a post-training pipeline runs, in one streaming plan:
+    transcript build → structure gate (break ratio: at most 3 same-role
+    adjacencies per 5 turns, integer cross-multiplied so the gate is
+    float-free) → conversation-level exact dedup (min-conv_id per
+    content fingerprint) → leakage-free hash split at conversation
+    granularity → per-conversation turn/token accounting. The gate,
+    content fingerprint and token counts all FUSE into the single
+    transcript bucket pass (one shuffle); dedup adds one narrow exchange
+    on the 64-bit content hash; split assignment is map-only. The whole
+    composition sits under ONE SQL oracle."""
+    from fhirflat_ray.functions.dedup import add_content_hash
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.transcripts import _ordered_group_concat
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy(dtype=object)
+        text = g["text"].to_numpy(dtype=object)
+        n = len(g)
+        toks = pc.count_substring_regex(
+            pc.fill_null(pa.array(text, pa.string()), ""), r"\S+"
+        ).to_numpy(zero_copy_only=False)
+        part = pd.Series(np.where(pd.isna(role), "", role), dtype=object).str.cat(
+            pd.Series(np.where(pd.isna(text), "", text), dtype=object), sep="|"
+        )
+        gg = g.assign(part=part.to_numpy(), toks=toks)
+        stats = gg.groupby("conv_id", sort=False).agg(
+            n_turns=("turn_idx", "size"), n_tokens=("toks", "sum")
+        )
+        first_ok = (
+            gg[gg["turn_idx"] == 0]
+            .assign(ok=lambda d: d["role"] == "user")
+            .set_index("conv_id")["ok"]
+        )
+        same = np.zeros(n, bool)
+        if n > 1:
+            same[1:] = (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
+        breaks = (
+            pd.DataFrame({"conv_id": conv, "b": same})
+            .groupby("conv_id", sort=False)["b"]
+            .sum()
+        )
+        content = _ordered_group_concat(
+            gg, ["conv_id"], ["turn_idx"], "part", "\x1e"
+        )
+        out = pd.DataFrame(
+            {
+                "conv_id": content["conv_id"].to_pandas(),
+                "content": content["__joined"].to_pandas(),
+            }
+        )
+        out = out.set_index("conv_id")
+        out["n_turns"] = stats["n_turns"]
+        out["n_tokens"] = stats["n_tokens"].astype(np.int64)
+        out["starts_ok"] = first_ok.reindex(out.index, fill_value=False)
+        br = breaks.reindex(out.index, fill_value=0).astype(np.int64)
+        out = out[5 * br <= 3 * out["n_turns"]].reset_index()
+        return out
+
+    convs = _transcript_grouped(
+        sf_dir, per_conv, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+    hashed = convs.map_batches(
+        lambda b: add_content_hash(b, "content").drop_columns(["content"]),
+        batch_format="pyarrow",
+    )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", sort=False).agg(
+            conv_id=("conv_id", "min"),
+            n_turns=("n_turns", "min"),
+            n_tokens=("n_tokens", "min"),
+            starts_ok=("starts_ok", "min"),
+        )
+        return out.reset_index(drop=True)
+
+    survivors = bucketed_map_groups(hashed, ["content_hash"], dedup)
+
+    def assign(b: pa.Table) -> pa.Table:
+        conv = b["conv_id"].to_numpy(zero_copy_only=False).astype(object)
+        uid = np.array([int(c[5:]) for c in conv], np.int64)
+        h = hash32(uid) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "split": pa.array(split, pa.string()),
+                "n_turns": pc.cast(b["n_turns"], pa.int64()),
+                "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+                "starts_ok": b["starts_ok"],
+            }
+        )
+
+    return survivors.map_batches(assign, batch_format="pyarrow")
+
+
+def _sft_export_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    h = hash32_sql("CAST(substr(conv_id, 6) AS BIGINT)")
+    return rf"""
+WITH t AS ({TRANSCRIPT_BUILD_SQL}),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t),
+c AS (
+  SELECT conv_id,
+         string_agg(COALESCE(role, '') || '|' || COALESCE(text, ''),
+                    chr(30) ORDER BY turn_idx) AS content,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(length(regexp_extract_all(COALESCE(text, ''), '\S+')) ) AS BIGINT)
+           AS n_tokens,
+         bool_or(turn_idx = 0 AND role = 'user') AS starts_ok,
+         count(*) FILTER (role = prev) AS n_breaks
+  FROM w GROUP BY conv_id),
+d AS (
+  SELECT min(conv_id) AS conv_id, min(n_turns) AS n_turns,
+         min(n_tokens) AS n_tokens, min(starts_ok) AS starts_ok
+  FROM c WHERE 5 * n_breaks <= 3 * n_turns GROUP BY content)
+SELECT conv_id,
+       CASE WHEN ({h}) % 100 < 80 THEN 'train'
+            WHEN ({h}) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       n_turns, n_tokens, starts_ok
+FROM d
+"""
+
+
+SFT_EXPORT_SQL = _sft_export_sql()
+
+
 def role_tool_pmi(sf_dir: str):
     """Pointwise mutual information between role and tool across all turns
     — the association-statistics pass (feature selection / co-occurrence
@@ -10544,6 +10680,7 @@ QUERIES = {
     "weekly_delta": weekly_delta,
     "acf1_by_type": acf1_by_type,
     "conv_prefix_dedup": conv_prefix_dedup,
+    "sft_export": sft_export,
     "rolling_median3": rolling_median3,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
@@ -10740,6 +10877,7 @@ ORACLE_SQL = {
     "weekly_delta": WEEKLY_DELTA_SQL,
     "acf1_by_type": ACF1_BY_TYPE_SQL,
     "conv_prefix_dedup": CONV_PREFIX_DEDUP_SQL,
+    "sft_export": SFT_EXPORT_SQL,
     "rolling_median3": ROLLING_MEDIAN3_SQL,
     "q4_priority_exists": Q4_PRIORITY_EXISTS_SQL,
     "q13_order_distribution": Q13_ORDER_DISTRIBUTION_SQL,
