@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "salted_join_segments",
     "jaccard_join_exact",
     "curriculum_export",
+    "sft_export",
+    "bm25_search",
+    "triangles_coorder",
+    "dup_span_flags",
+    "semantic_dedup",
 ]
 
 
