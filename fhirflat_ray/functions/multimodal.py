@@ -218,6 +218,8 @@ def _image_pixels(payload: bytes) -> np.ndarray | None:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return _decode_gif(payload)
     return None
 
 
@@ -568,3 +570,164 @@ class AudioChunker:
                 "chunk": pa.array(chunks, pa.binary()),
             }
         )
+
+
+# ----------------------------------------------------------------- GIF (LZW)
+
+
+def _lzw_decode_gif(data: bytes, min_code: int, expected: int) -> np.ndarray:
+    """GIF-variant LZW decode (variable width, LSB-first, CLEAR/EOI codes,
+    width bumps at 2^width up to 12 bits). Sequential by nature — the
+    per-code Python loop is bounded by the image's pixel count, the same
+    budget as the PNG per-row unfilter loop."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    buf = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    width = min_code + 1
+    roots = [bytes([i]) for i in range(clear)]
+    table: list[bytes] = []
+    prev: int = -1
+    out = bytearray()
+    while pos + width <= nbits and len(out) < expected:
+        code = (buf >> pos) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            table = list(roots) + [b"", b""]
+            width = min_code + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if not table:
+            raise ValueError("GIF LZW stream missing initial clear code")
+        if prev == -1:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if prev != -1 and len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = code
+    if len(out) < expected:
+        raise ValueError("GIF LZW stream ended early")
+    return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+
+
+def _lzw_encode_literal_gif(indices: np.ndarray, min_code: int) -> bytes:
+    """Valid GIF LZW stream emitting only literal codes — it mirrors the
+    decoder's dictionary-growth/width schedule exactly (one entry per
+    literal after the first, width bump at 2^width, CLEAR before the
+    12-bit table fills) without storing any multi-symbol strings."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+
+    width = min_code + 1
+    emit(clear, width)
+    next_code = eoi + 1
+    prev = False
+    for ix in indices.astype(np.uint8).tolist():
+        emit(int(ix), width)
+        if prev:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4094:
+                emit(clear, width)
+                width = min_code + 1
+                next_code = eoi + 1
+                prev = False
+                continue
+        prev = True
+    emit(eoi, width)
+    raw = buf.to_bytes((nbits + 7) // 8, "little")
+    out = bytearray()
+    for i in range(0, len(raw), 255):
+        block = raw[i : i + 255]
+        out.append(len(block))
+        out.extend(block)
+    out.append(0)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixels from the FIRST frame of a GIF87a/89a payload
+    (global or local color table, no interlace)."""
+    if payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    w_s, h_s, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data.extend(payload[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode_gif(bytes(data), min_code, iw * ih)
+        return table[idx.reshape(ih, iw)]
+    raise ValueError("GIF payload has no image block")
+
+
+def make_gif_bytes(
+    width: int = 16, height: int = 12, seed: int = 44, indices: np.ndarray | None = None
+) -> bytes:
+    """Real single-frame GIF87a with a 256-entry grayscale global table."""
+    rng = np.random.default_rng(seed)
+    if indices is None:
+        indices = rng.integers(0, 256, (height, width)).astype(np.uint8)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | 0x70 | 0x07, 0, 0)
+    gray = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out += gray.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out.append(8)  # LZW min code size
+    out += _lzw_encode_literal_gif(indices.reshape(-1), 8)
+    out.append(0x3B)
+    return bytes(out)

@@ -8867,6 +8867,63 @@ FROM px GROUP BY doc_id
 """
 
 
+def media_features_gif(sf_dir: str):
+    """The multimodal-oracle trick through the GIF path: palette indices
+    are the text's own bytes under a 256-entry GRAYSCALE global color
+    table, and the payload is a real GIF87a whose LZW stream the decoder
+    must walk (variable code widths, CLEAR/EOI) — so the driver gate
+    exercises the whole stdlib-only GIF decode, and the SQL oracle
+    recomputes the decoded mean-red via ord() exactly as for PPM/PNG/WAV.
+    With the gray table every channel equals the source byte, so the red
+    mean is the byte mean."""
+    from fhirflat_ray.functions.multimodal import (
+        ImageFeatureExtractor,
+        make_gif_bytes,
+    )
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, H = 16, 12
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            need = W * H
+            buf = (raw * (need // len(raw) + 1))[:need]
+            ix = np.frombuffer(buf, dtype=np.uint8).reshape(H, W)
+            payloads.append(make_gif_bytes(W, H, indices=ix))
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    feats = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        worker_cached_stage(ImageFeatureExtractor, dim=8),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "f0": f0})
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+MEDIA_FEATURES_GIF_SQL = """
+WITH px AS (
+  SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
+  FROM documents, generate_series(0, 191, 1) s(p)
+)
+SELECT doc_id,
+       round(CAST(CAST(CAST(avg(red) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0
+FROM px GROUP BY doc_id
+"""
+
+
 def audio_features_wav(sf_dir: str):
     """The multimodal-oracle trick for AUDIO: each document's bytes become
     8-bit PCM samples in a REAL RIFF/WAVE payload (stdlib ``wave``
@@ -10641,6 +10698,7 @@ QUERIES = {
     "quantiles_cont_value": quantiles_cont_value,
     "media_features": media_features,
     "media_features_png": media_features_png,
+    "media_features_gif": media_features_gif,
     "audio_features_wav": audio_features_wav,
     "video_frame_features": video_frame_features,
     "nearest_eval_vec": nearest_eval_vec,
@@ -10956,6 +11014,7 @@ ORACLE_SQL = {
     # red channel is SQL-recomputable; CAST AS REAL mirrors the float32
     # feature quantization, absorbing float64 sum-order noise on both sides
     "media_features_png": MEDIA_FEATURES_PNG_SQL,
+    "media_features_gif": MEDIA_FEATURES_GIF_SQL,
     "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
     "video_frame_features": VIDEO_FRAME_FEATURES_SQL,
     "media_features": """
