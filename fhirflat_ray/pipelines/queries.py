@@ -6039,6 +6039,121 @@ def _coorder_edges(sf_dir: str, n_parts: int):
     return distinct_rows(prs, ["u", "v"], num_buckets=n_parts)
 
 
+def quality_scores(sf_dir: str):
+    """Train-then-apply composition: the distributed logistic regression
+    of ``logreg_train`` fits in-pipeline (3 map-only GD iterations), then
+    ONE scoring pass applies the learned weights to every document —
+    P(lang='en' | features) at 6dp. The oracle chains the unrolled
+    gradient CTEs into a per-document sigmoid."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import logreg_train_gd
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def feat(b: pa.Table) -> pa.Table:
+        nsp = pc.subtract(
+            pc.utf8_length(b["text"]),
+            pc.utf8_length(pc.replace_substring(b["text"], " ", "")),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "x1": pc.divide(pc.cast(b["n_chars"], pa.float64()), 1000.0),
+                "x2": pc.divide(pc.cast(nsp, pa.float64()), 100.0),
+                "y": pc.if_else(
+                    pc.equal(b["lang"], "en"), pa.scalar(1.0), pa.scalar(0.0)
+                ),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    w = logreg_train_gd(feats, ["x1", "x2"], "y", iters=3, lr=0.5)
+    ref = ray.put(w)
+
+    class Score:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x1 = b["x1"].to_numpy(zero_copy_only=False)
+            x2 = b["x2"].to_numpy(zero_copy_only=False)
+            z = self.w[0] + self.w[1] * x1 + self.w[2] * x2
+            p = 1.0 / (1.0 + np.exp(-z))
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "p_en": pa.array(np.round(p, 6), pa.float64()),
+                }
+            )
+
+    return feats.map_batches(worker_cached_stage(Score, ref=ref), batch_format="pyarrow")
+
+
+def _quality_scores_sql() -> str:
+    # reuse the unrolled training CTEs, then score every document
+    train = _logreg_sql(3, 0.5).split("\nSELECT 'bias'")[0].removeprefix("WITH ")
+    b = "(SELECT b FROM w3)"
+    w1 = "(SELECT wx1 FROM w3)"
+    w2 = "(SELECT wx2 FROM w3)"
+    return f"""WITH fd AS (
+  SELECT doc_id, n_chars/1000.0 AS x1,
+         (length(text) - length(replace(text,' ','')))/100.0 AS x2
+  FROM documents),
+{train}
+SELECT doc_id,
+       round(1.0/(1.0+exp(-({b} + {w1}*x1 + {w2}*x2))), 6) AS p_en
+FROM fd"""
+
+
+QUALITY_SCORES_SQL = _quality_scores_sql()
+
+
+def lang_balance(sf_dir: str):
+    """Balanced-mixture downsampling: every language keeps exactly
+    min-language-count documents (smallest doc_ids win) — the
+    equal-representation resample a multilingual mixture designer runs.
+    The per-lang count folds tiny, the global min broadcasts, and the
+    keep-k pass is one lang-bucket exchange with a vectorized head(k)."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        collect_small_table,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang"]).aggregate([([], "count_all")])
+        return agg_select(g, {"lang": "lang", "count_all": "n"})
+
+    counts = collect_small_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    k = int(counts["n"].to_numpy(zero_copy_only=False).min())
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "doc_id"], kind="mergesort")
+        return g.groupby("lang", sort=False).head(k)
+
+    return bucketed_map_groups(ds, ["lang"], keep)
+
+
+LANG_BALANCE_SQL = """
+WITH k AS (
+  SELECT min(n) AS k FROM (SELECT count(*) AS n FROM documents GROUP BY lang))
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= (SELECT k FROM k)
+"""
+
+
 def triangles_coorder(sf_dir: str):
     """Exact triangle count on the parts-co-ordered-together graph (edge =
     two parts sharing an order; triangle = three parts pairwise
@@ -10751,6 +10866,8 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "embed_outliers": embed_outliers,
     "logreg_train": logreg_train,
+    "quality_scores": quality_scores,
+    "lang_balance": lang_balance,
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
     "source_cap": source_cap,
@@ -10948,6 +11065,8 @@ ORACLE_SQL = {
     "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "embed_outliers": EMBED_OUTLIERS_SQL,
     "logreg_train": LOGREG_TRAIN_SQL,
+    "quality_scores": QUALITY_SCORES_SQL,
+    "lang_balance": LANG_BALANCE_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
     "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
     "source_cap": SOURCE_CAP_SQL,
