@@ -6110,6 +6110,93 @@ FROM fd"""
 QUALITY_SCORES_SQL = _quality_scores_sql()
 
 
+#: hashed-feature dims for document clustering (leading-byte buckets —
+#: a SQL-mirrorable stand-in for the term-hashing trick)
+_DOCVEC_DIMS = 16
+
+
+def doc_clusters(sf_dir: str):
+    """Document clustering over hashed bag-of-words features: each doc
+    reduces to a 16-dim count vector (terms bucketed by leading byte mod
+    16 — the hashing-trick shape with a SQL-mirrorable hash), distributed
+    Lloyd k-means (k=4, 3 iters) fits on those vectors, and the output is
+    the integer per-cluster summary (members, id sum) so the whole
+    unsupervised pipeline is hash-comparable with no float tolerance.
+    Feature build is map-only (token ord only ever computed on the
+    vocab-bounded UNIQUE leading chars per batch); clustering reuses the
+    broadcast/fold kmeans engine."""
+    from fhirflat_ray.functions.clustering import kmeans_fit_assign
+    from fhirflat_ray.functions.text import _split_words
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_vec(b: pa.Table) -> pa.Table:
+        vals, parent, n = _split_words(b["text"])
+        mat = np.zeros((n, _DOCVEC_DIMS), np.float64)
+        if len(vals):
+            firsts = np.array([s[:1] for s in vals], dtype=object)
+            un, inv = np.unique(firsts, return_inverse=True)
+            buckets = np.array([ord(c) % _DOCVEC_DIMS for c in un], np.int64)[inv]
+            np.add.at(mat, (parent, buckets), 1.0)
+        return pa.table(
+            {
+                "vec_id": b["doc_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.float64()), _DOCVEC_DIMS
+                ),
+            }
+        )
+
+    vecs = docs.map_batches(to_vec, batch_format="pyarrow")
+    return kmeans_fit_assign(vecs, k=4, iters=3)
+
+
+def _doc_clusters_sql() -> str:
+    d = _DOCVEC_DIMS
+
+    def assign(prev: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cluster_id FROM {prev} c
+          ORDER BY list_distance(e.embedding, c.c), c.cluster_id LIMIT 1) AS cl
+  FROM docvec e)"""
+
+    def cent(prev: str, name: str) -> str:
+        return f"""{name}_d AS (
+  SELECT cl, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM {prev}),
+{name} AS (
+  SELECT cl AS cluster_id, list(avg_v ORDER BY i) AS c FROM (
+    SELECT cl, i, avg(v) AS avg_v FROM {name}_d GROUP BY cl, i) GROUP BY cl)"""
+
+    return rf"""WITH tok AS (
+  SELECT doc_id, ord(substr(term, 1, 1)) % {d} AS b FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)),
+cnt AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS v FROM tok GROUP BY doc_id, b),
+grid AS (
+  SELECT d.doc_id, s.d AS b, coalesce(c.v, 0.0) AS v
+  FROM documents d CROSS JOIN generate_series(0, {d - 1}) s(d)
+  LEFT JOIN cnt c ON c.doc_id = d.doc_id AND c.b = s.d),
+docvec AS (
+  SELECT doc_id AS vec_id, list(v ORDER BY b) AS embedding
+  FROM grid GROUP BY doc_id),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+         embedding AS c
+  FROM (SELECT * FROM docvec ORDER BY vec_id LIMIT 4)),
+{assign('c0', 'a1')},
+{cent('a1', 'c1')},
+{assign('c1', 'a2')},
+{cent('a2', 'c2')},
+{assign('c2', 'a3')}
+SELECT cl AS cluster_id, count(*) AS n_members,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM a3 GROUP BY cl"""
+
+
+DOC_CLUSTERS_SQL = _doc_clusters_sql()
+
+
 def lang_balance(sf_dir: str):
     """Balanced-mixture downsampling: every language keeps exactly
     min-language-count documents (smallest doc_ids win) — the
@@ -10868,6 +10955,7 @@ QUERIES = {
     "logreg_train": logreg_train,
     "quality_scores": quality_scores,
     "lang_balance": lang_balance,
+    "doc_clusters": doc_clusters,
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
     "source_cap": source_cap,
@@ -11067,6 +11155,7 @@ ORACLE_SQL = {
     "logreg_train": LOGREG_TRAIN_SQL,
     "quality_scores": QUALITY_SCORES_SQL,
     "lang_balance": LANG_BALANCE_SQL,
+    "doc_clusters": DOC_CLUSTERS_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
     "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
     "source_cap": SOURCE_CAP_SQL,
