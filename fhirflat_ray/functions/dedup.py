@@ -1669,7 +1669,13 @@ def semantic_dedup(
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
-            adj = (mat @ mat.T) >= threshold  # diagonal True (self-sim = 1)
+            adj = (mat @ mat.T) >= threshold
+            # the diagonal must be True EXPLICITLY: a zero-norm vector's
+            # self-similarity is 0 under the norm guard, and a False
+            # diagonal sends the row to the flood sentinel — silently
+            # DROPPING a unique document (and diverging from the oracle,
+            # whose reach CTE seeds every vec_id)
+            np.fill_diagonal(adj, True)
             # vectorized min-label flood: each round every node takes the
             # smallest id among its neighbours; converges in component-
             # diameter rounds, all numpy — no Python per edge

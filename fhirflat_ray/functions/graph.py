@@ -33,7 +33,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pagerank", "triangle_count", "group_pairs", "BROADCAST_NODE_BUDGET"]
+__all__ = ["pagerank", "triangle_count", "group_pairs", "group_pairs_idx", "degree_fold", "BROADCAST_NODE_BUDGET"]
 
 #: broadcast-path cap: 2M nodes x (8B id + 8B rank + 8B degree) = 48 MB of
 #: driver/broadcast state — past this the distributed join path runs
@@ -233,14 +233,14 @@ def _pagerank_broadcast(
     )
 
 
-def group_pairs(vals: np.ndarray, gid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All ordered within-group pairs (vals[i], vals[j]) with i < j, for
-    rows SORTED by group — output-linear (one ``np.repeat`` index build,
-    no Python per group). ``gid`` must be a group id array that is
-    constant within each group and changes between groups."""
-    n = len(vals)
+def group_pairs_idx(gid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Row-index pairs (i, j) with i < j for every within-group pair, rows
+    SORTED by group — output-linear (one ``np.repeat`` index build, no
+    Python per group). ``gid`` must be constant within each group and
+    change between groups."""
+    n = len(gid)
+    e = np.empty(0, np.int64)
     if n == 0:
-        e = np.empty(0, vals.dtype)
         return e, e
     new = np.ones(n, bool)
     new[1:] = gid[1:] != gid[:-1]
@@ -250,11 +250,61 @@ def group_pairs(vals: np.ndarray, gid: np.ndarray) -> tuple[np.ndarray, np.ndarr
     rem = cnt[g] - 1 - pos  # pairs this row starts (with each later row)
     tot = int(rem.sum())
     if tot == 0:
-        e = np.empty(0, vals.dtype)
         return e, e
     starts = np.repeat(np.arange(n), rem)
     k = np.arange(tot) - np.repeat(np.cumsum(rem) - rem, rem)
-    return vals[starts], vals[starts + k + 1]
+    return starts, starts + k + 1
+
+
+def group_pairs(vals: np.ndarray, gid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All ordered within-group pairs (vals[i], vals[j]) with i < j — the
+    value view over :func:`group_pairs_idx`."""
+    i, j = group_pairs_idx(gid)
+    if len(i) == 0:
+        e = np.empty(0, vals.dtype)
+        return e, e
+    return vals[i], vals[j]
+
+
+def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
+    """Node-bounded degree fold over a distinct undirected edge Dataset
+    (int64 columns ``u < v``): per-batch ``np.unique`` partials, ONE
+    driver fold — the broadcast-state assumption shared by the graph
+    analytics (triangle counting, k-core, coefficients). Returns
+    ``(nodes_sorted, degrees)``; raises past ``node_budget`` and on
+    NEGATIVE node ids (the packed pair keys downstream require a
+    non-negative id space)."""
+    from fhirflat_ray.functions.util import collect_small_table
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    un, inv = np.unique(
+        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
+    )
+    if len(un) and int(un.min()) < 0:
+        raise ValueError(
+            "graph node ids must be non-negative (packed int64 pair keys)"
+        )
+    if len(un) > node_budget:
+        raise ValueError(
+            f"degree fold of {len(un)} nodes exceeds the broadcast budget "
+            f"({node_budget}); attach degrees via a distributed hash join "
+            "(pagerank's above-budget path)"
+        )
+    deg = np.zeros(len(un), np.int64)
+    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
+    return un, deg
 
 
 def triangle_count(edges, num_partitions: int | None = None,
@@ -295,23 +345,7 @@ def triangle_count(edges, num_partitions: int | None = None,
 
     n_parts = num_partitions or default_num_buckets()
     edges = edges.materialize()
-
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
-
-    parts = collect_small_table(
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-    )
-    un, inv = np.unique(parts["node"].to_numpy(zero_copy_only=False), return_inverse=True)
+    un, deg = degree_fold(edges, node_budget)
     if len(un) == 0:
         if return_triangles:
             import ray.data as rd
@@ -322,14 +356,6 @@ def triangle_count(edges, num_partitions: int | None = None,
                 ).empty_table()
             )
         return pa.table({"n_triangles": pa.array([0], pa.int64())})
-    if len(un) > node_budget:
-        raise ValueError(
-            f"triangle_count: {len(un)} nodes exceeds the broadcast rank "
-            f"budget ({node_budget}); attach ranks via a distributed hash "
-            "join (pagerank's above-budget path) before orienting"
-        )
-    deg = np.zeros(len(un), np.int64)
-    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
     order = np.lexsort((un, deg))
     rank = np.empty(len(un), np.int64)
     rank[order] = np.arange(len(un), dtype=np.int64)
@@ -367,11 +393,12 @@ def triangle_count(edges, num_partitions: int | None = None,
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["a", "rb"], kind="mergesort")
-        lo, hi = group_pairs(g["b"].to_numpy(), g["a"].to_numpy())
+        i, j = group_pairs_idx(g["a"].to_numpy())
+        b = g["b"].to_numpy()
+        lo, hi = b[i], b[j]
         out = {"wk": lo * off + hi}
         if return_triangles:
-            src, _ = group_pairs(g["a"].to_numpy(), g["a"].to_numpy())
-            out.update({"n1": src, "n2": lo, "n3": hi})
+            out.update({"n1": g["a"].to_numpy()[i], "n2": lo, "n3": hi})
         return pd.DataFrame(out)
 
     wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=n_parts)

@@ -219,7 +219,13 @@ def _image_pixels(payload: bytes) -> np.ndarray | None:
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
     if payload[:4] == b"GIF8":
-        return _decode_gif(payload)
+        # unsupported GIF variants (interlace) or truncated payloads fall
+        # back to the stub path instead of killing the whole map stage on
+        # one bad row — the pre-GIF behavior for any b"GIF8" payload
+        try:
+            return _decode_gif(payload)
+        except (ValueError, IndexError, struct.error):
+            return None
     return None
 
 

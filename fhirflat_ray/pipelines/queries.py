@@ -5100,6 +5100,11 @@ def rolling_median3(sf_dir: str):
                 }
             )
         interior = (uid[1:-1] == uid[:-2]) & (uid[1:-1] == uid[2:])
+        # windows containing a null are excluded on BOTH sides: numpy
+        # min/max would propagate NaN where SQL least/greatest SKIP nulls,
+        # so the mirrored form is "all three present" (oracle WHERE)
+        finite = ~(np.isnan(v[:-2]) | np.isnan(v[1:-1]) | np.isnan(v[2:]))
+        interior = interior & finite
         p, c, nx = v[:-2][interior], v[1:-1][interior], v[2:][interior]
         med = np.maximum(np.minimum(p, c), np.minimum(np.maximum(p, c), nx))
         return pd.DataFrame(
@@ -5120,7 +5125,7 @@ WITH w AS (
   FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
 SELECT event_id, user_id,
        greatest(least(p, value), least(greatest(p, value), nx)) AS med3
-FROM w WHERE p IS NOT NULL AND nx IS NOT NULL
+FROM w WHERE p IS NOT NULL AND nx IS NOT NULL AND value IS NOT NULL
 """
 
 
@@ -6333,35 +6338,17 @@ def kcore_filter(sf_dir: str):
     edge build. Returns the distinct surviving nodes."""
     import ray
 
-    from fhirflat_ray.functions.util import collect_small_table, distinct_rows
+    from fhirflat_ray.functions.graph import degree_fold
+    from fhirflat_ray.functions.util import distinct_rows
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
     edges = _coorder_edges(sf_dir, n_parts).materialize()
 
     k = 75
     for _ in range(3):
-        def deg_partial(b: pa.Table) -> pa.Table:
-            nodes = np.concatenate(
-                [
-                    b["u"].to_numpy(zero_copy_only=False),
-                    b["v"].to_numpy(zero_copy_only=False),
-                ]
-            )
-            un, cnt = np.unique(nodes, return_counts=True)
-            return pa.table(
-                {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-            )
-
-        parts = collect_small_table(
-            edges.map_batches(deg_partial, batch_format="pyarrow")
-        )
-        un, inv = np.unique(
-            parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
-        )
+        un, deg = degree_fold(edges)
         if len(un) == 0:
             break
-        deg = np.zeros(len(un), np.int64)
-        np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
         drop = un[deg < k]
         if len(drop) == 0:
             break
@@ -6464,25 +6451,9 @@ def clustering_coeff(sf_dir: str):
     )
 
     # degrees: node-bounded fold (the triangle counter's own assumption)
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
+    from fhirflat_ray.functions.graph import degree_fold
 
-    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
-    un, inv = np.unique(
-        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
-    )
-    deg = np.zeros(len(un), np.int64)
-    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
-    dref = ray.put((un, deg))
+    dref = ray.put(degree_fold(edges))
 
     class Coeff:
         def __init__(self, ref):
@@ -6822,24 +6793,12 @@ WHERE levenshtein(substr(a.text, 1, 24), substr(b.text, 1, 24)) <= 8
 _PQ_SUBS, _PQ_SUBDIM, _PQ_K = 4, 16, 4
 
 
-def pq_encode(sf_dir: str):
-    """Product-quantization codebook encode (Jégou et al., "Product
-    Quantization for Nearest Neighbor Search", TPAMI'11): each embedding
-    splits into 4 contiguous 16-dim subvectors, each subspace gets its own
-    k-means codebook (k=4, the deterministic smallest-id init), and every
-    vector reduces to 4 int codes — the memory-compressed representation
-    an ANN index stores at 100 TB (64 float32 -> 4 bytes here).
-
-    Scale shape: 4 independent ``kmeans_centroids`` fits (map-only
-    broadcast/fold each) + ONE final encode pass with all 4 codebooks
-    broadcast together. The oracle unrolls four parallel Lloyd CTE chains
-    over ``embedding[lo:hi]`` slices and joins the four assignments."""
-    import ray
-
-    from fhirflat_ray.functions.clustering import _assign, _matrix, kmeans_centroids
-    from fhirflat_ray.functions.util import worker_cached_stage
-
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+def _pq_fit_codebooks(ds):
+    """Fit the 4 per-subspace k-means codebooks (shared by ``pq_encode``
+    and ``knn_pq_adc`` — the SQL side shares ``_pq_sql`` the same way).
+    Each fit is the map-only broadcast/fold Lloyd loop over one 16-dim
+    slice."""
+    from fhirflat_ray.functions.clustering import _matrix, kmeans_centroids
 
     cents = []
     for s in range(_PQ_SUBS):
@@ -6858,6 +6817,28 @@ def pq_encode(sf_dir: str):
 
         sub = ds.map_batches(slice_sub, batch_format="pyarrow")
         cents.append(kmeans_centroids(sub, k=_PQ_K, iters=3))
+    return cents
+
+
+def pq_encode(sf_dir: str):
+    """Product-quantization codebook encode (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11): each embedding
+    splits into 4 contiguous 16-dim subvectors, each subspace gets its own
+    k-means codebook (k=4, the deterministic smallest-id init), and every
+    vector reduces to 4 int codes — the memory-compressed representation
+    an ANN index stores at 100 TB (64 float32 -> 4 bytes here).
+
+    Scale shape: 4 independent ``kmeans_centroids`` fits (map-only
+    broadcast/fold each) + ONE final encode pass with all 4 codebooks
+    broadcast together. The oracle unrolls four parallel Lloyd CTE chains
+    over ``embedding[lo:hi]`` slices and joins the four assignments."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import _assign, _matrix
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = _pq_fit_codebooks(ds)
 
     ref = ray.put(cents)
 
@@ -6937,28 +6918,11 @@ def knn_pq_adc(sf_dir: str):
     power(list_distance, 2) per subspace."""
     import ray
 
-    from fhirflat_ray.functions.clustering import _assign, _matrix, kmeans_centroids
+    from fhirflat_ray.functions.clustering import _assign, _matrix
     from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    cents = []
-    for s in range(_PQ_SUBS):
-        lo = s * _PQ_SUBDIM
-
-        def slice_sub(b: pa.Table, lo=lo) -> pa.Table:
-            mat = _matrix(b["embedding"])[:, lo : lo + _PQ_SUBDIM]
-            return pa.table(
-                {
-                    "vec_id": b["vec_id"],
-                    "embedding": pa.FixedSizeListArray.from_arrays(
-                        pa.array(mat.reshape(-1), pa.float64()), _PQ_SUBDIM
-                    ),
-                }
-            )
-
-        sub = ds.map_batches(slice_sub, batch_format="pyarrow")
-        cents.append(kmeans_centroids(sub, k=_PQ_K, iters=3))
+    cents = _pq_fit_codebooks(ds)
 
     qt = collect_small_table(
         ds.filter(expr="vec_id == 0 or vec_id == 1").select_columns(
@@ -7077,25 +7041,9 @@ def edge_common_neighbors(sf_dir: str):
         num_buckets=n_parts,
     )
 
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
+    from fhirflat_ray.functions.graph import degree_fold
 
-    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
-    un, inv = np.unique(
-        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
-    )
-    deg = np.zeros(len(un), np.int64)
-    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
-    dref = ray.put((un, deg))
+    dref = ray.put(degree_fold(edges))
 
     class Attach:
         def __init__(self, ref):
@@ -8152,7 +8100,7 @@ def _ewma_coefs() -> list[float]:
 
 def ewma_value(sf_dir: str):
     """Per-user exponentially-weighted moving average of event values
-    (16-lag window, alpha=0.25) — the time-series smoothing pass a
+    (16-lag window, alpha=1/3) — the time-series smoothing pass a
     monitoring/feature pipeline runs. One user-bucket shuffle; the kernel
     is 16 vectorized shifted multiply-adds across ALL users in the bucket
     (missing lags contribute exact 0.0, so the float add order matches the

@@ -362,3 +362,23 @@ def test_pq_encode_subspace_locality(ray_session):
                 assert orig[f"c{s}"] != pert[f"c{s}"]
             else:
                 assert orig[f"c{s}"] == pert[f"c{s}"]
+
+
+def test_semantic_dedup_keeps_zero_norm_vectors(ray_session):
+    """A zero-norm embedding is nobody's near-duplicate — it must survive
+    as its own singleton, not vanish (regression: the similarity diagonal
+    was False for zero vectors under the norm guard)."""
+    from fhirflat_ray.functions.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    mat = np.empty((9, 3))
+    for i in range(4):
+        mat[i * 2] = [5.0, 0, 0] + 0.01 * rng.standard_normal(3)
+    for i in range(4):
+        mat[i * 2 + 1] = [0, 5.0, 0] + 0.01 * rng.standard_normal(3)
+    mat[8] = 0.0  # zero vector
+    out = semantic_dedup(_vec_ds(mat), k=2, iters=3, threshold=0.45).to_pandas()
+    survivors = set(out["vec_id"].tolist())
+    assert 8 in survivors
+    assert 0 in survivors and 1 in survivors
+    assert len(survivors) == 3
