@@ -39,6 +39,10 @@ __all__ = ["pagerank", "triangle_count", "group_pairs", "group_pairs_idx", "degr
 #: driver/broadcast state — past this the distributed join path runs
 BROADCAST_NODE_BUDGET = 2_000_000
 
+#: fused triangle counting: edge-key sets at or below this broadcast once
+#: and wedges are counted inside their bucket task (16 MB of int64 keys)
+_TRI_BROADCAST_EDGE_BUDGET = 2_000_000
+
 
 def pagerank(
     edges,
@@ -390,6 +394,47 @@ def triangle_count(edges, num_partitions: int | None = None,
     oriented = edges.map_batches(
         worker_cached_stage(Orient, ref=ref, off=off), batch_format="pyarrow"
     ).materialize()
+
+    n_edges = edges.count()  # metadata on the materialized set — free
+
+    if not return_triangles and n_edges <= _TRI_BROADCAST_EDGE_BUDGET:
+        # fused counting path: the wedge set is O(m^1.5) — MUCH bigger
+        # than the edge set — so when the edge keys fit the broadcast
+        # budget, check closure INSIDE the wedge kernel and emit one
+        # count per bucket instead of materializing the whole wedge
+        # stream into object-store blocks for a downstream semi join.
+        # Local wall time is within noise of the semi-join path on this
+        # bandwidth-bound host (9.5 vs 10.0 s on the dense sf0.1
+        # co-order graph), but the ~70M wedge rows never leave their
+        # bucket task — at cluster scale that is the difference between
+        # an O(m^1.5) object-store spill and none
+        from fhirflat_ray.functions.util import collect_small_table as _collect
+
+        ek = np.sort(
+            _collect(oriented.select_columns(["ek"]))["ek"].to_numpy(
+                zero_copy_only=False
+            )
+        )
+        ekref = ray.put(ek)
+
+        def count_closed(g: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(ekref)
+            g = g.sort_values(["a", "rb"], kind="mergesort")
+            i, j = group_pairs_idx(g["a"].to_numpy())
+            b = g["b"].to_numpy()
+            wk = b[i] * off + b[j]
+            if len(keys) == 0 or len(wk) == 0:
+                n = 0
+            else:
+                pos = np.clip(np.searchsorted(keys, wk), 0, len(keys) - 1)
+                n = int((keys[pos] == wk).sum())
+            return pd.DataFrame({"n": np.array([n], np.int64)})
+
+        parts = _collect(
+            bucketed_map_groups(oriented, ["a"], count_closed, num_buckets=n_parts)
+        )
+        total = int(parts["n"].to_numpy(zero_copy_only=False).sum())
+        return pa.table({"n_triangles": pa.array([total], pa.int64())})
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["a", "rb"], kind="mergesort")
