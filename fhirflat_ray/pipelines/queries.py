@@ -7100,6 +7100,146 @@ ORDER BY te.cn DESC, te.u, te.v LIMIT 25
 """
 
 
+#: co-occurrence window (token positions apart) + minimum pair support
+_COOC_W, _COOC_MIN = 3, 5
+
+
+def term_cooc_pmi(sf_dir: str):
+    """Windowed term co-occurrence PMI — the SGNS/word-embedding prep
+    statistic: top-20 term pairs (within 3 positions, support ≥ 5) by
+    pointwise mutual information. Pairs build map-only from shifted
+    slices of the flat token stream (the ``dup_span_flags`` trick) with
+    per-batch pre-aggregation; unigram counts fold vocab-bounded and
+    broadcast; ONE narrow (ta, tb, cnt) exchange; ln rides at 6dp with
+    the division order mirrored token-for-token in SQL."""
+    import ray
+
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        collect_small_table,
+        streaming_topk,
+        worker_cached_stage,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    w = _COOC_W
+
+    def pairs(b: pa.Table) -> pa.Table:
+        vals, parent, _ = _split_words(b["text"])
+        n = len(vals)
+        las, lbs = [], []
+        for k in range(1, w + 1):
+            if n <= k:
+                break
+            ok = parent[k:] == parent[:-k]
+            a, bb = vals[:-k][ok], vals[k:][ok]
+            lo = np.where(a <= bb, a, bb)
+            hi = np.where(a <= bb, bb, a)
+            las.append(lo)
+            lbs.append(hi)
+        if not las:
+            return pa.table(
+                {
+                    "ta": pa.array([], pa.string()),
+                    "tb": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"ta": np.concatenate(las), "tb": np.concatenate(lbs)})
+            .groupby(["ta", "tb"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "ta": pa.array(g["ta"], pa.string()),
+                "tb": pa.array(g["tb"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+            }
+        )
+
+    pair_partials = docs.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        vals, _, _ = _split_words(b["text"])
+        un, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"term": pa.array(un, pa.string()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    ug = collect_small_table(docs.map_batches(unigrams, batch_format="pyarrow"))
+    terms, inv = np.unique(ug["term"].to_numpy(zero_copy_only=False), return_inverse=True)
+    ucnt = np.zeros(len(terms), np.int64)
+    np.add.at(ucnt, inv, ug["n"].to_numpy(zero_copy_only=False))
+    n_tokens = int(ucnt.sum())
+    n_pairs = int(
+        collect_small_table(pair_partials.select_columns(["cnt"]))["cnt"]
+        .to_numpy(zero_copy_only=False)
+        .sum()
+    )
+    ref = ray.put((terms, ucnt, n_pairs, n_tokens))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["ta", "tb"], sort=False, as_index=False).agg(
+            nab=("cnt", "sum")
+        )
+
+    merged = bucketed_map_groups(pair_partials, ["ta", "tb"], combine)
+
+    class Pmi:
+        def __init__(self, ref):
+            self.terms, self.ucnt, self.np_, self.nt = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ta = b["ta"].to_numpy(zero_copy_only=False)
+            tb = b["tb"].to_numpy(zero_copy_only=False)
+            nab = b["nab"].to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = nab >= _COOC_MIN
+            ta, tb, nab = ta[keep], tb[keep], nab[keep]
+            na = self.ucnt[np.searchsorted(self.terms, ta)].astype(np.float64)
+            nb = self.ucnt[np.searchsorted(self.terms, tb)].astype(np.float64)
+            pmi = np.log(
+                (nab * 1.0 / self.np_) / ((na * 1.0 / self.nt) * (nb * 1.0 / self.nt))
+            )
+            return pa.table(
+                {
+                    "ta": pa.array(ta, pa.string()),
+                    "tb": pa.array(tb, pa.string()),
+                    "nab": pa.array(nab.astype(np.int64)),
+                    "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+                }
+            )
+
+    scored = merged.map_batches(worker_cached_stage(Pmi, ref=ref), batch_format="pyarrow")
+    return streaming_topk(
+        scored, ["pmi", "ta", "tb"], 20, descending=[True, False, False]
+    )
+
+
+TERM_COOC_PMI_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS i
+  FROM documents),
+pr AS (
+  SELECT least(a.term, b.term) AS ta, greatest(a.term, b.term) AS tb
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + {_COOC_W}),
+pcnt AS (SELECT ta, tb, count(*) AS nab FROM pr GROUP BY ta, tb),
+ug AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+tot AS (SELECT (SELECT count(*) FROM pr) AS np, (SELECT count(*) FROM tok) AS nt)
+SELECT ta, tb, CAST(nab AS BIGINT) AS nab,
+       round(ln((nab * 1.0 / tot.np) /
+                ((ua.n * 1.0 / tot.nt) * (ub.n * 1.0 / tot.nt))), 6) AS pmi
+FROM pcnt JOIN ug ua ON ua.term = pcnt.ta JOIN ug ub ON ub.term = pcnt.tb, tot
+WHERE nab >= {_COOC_MIN}
+ORDER BY pmi DESC, ta, tb LIMIT 20
+"""
+
+
 def source_entropy(sf_dir: str):
     """Per-source token-distribution Shannon entropy (plus token count) —
     the corpus-diversity metric a data-mixture designer reads. One narrow
@@ -10919,6 +11059,7 @@ QUERIES = {
     "knn_pq_adc": knn_pq_adc,
     "edge_common_neighbors": edge_common_neighbors,
     "source_entropy": source_entropy,
+    "term_cooc_pmi": term_cooc_pmi,
     "embed_cov": embed_cov,
     "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
@@ -11119,6 +11260,7 @@ ORACLE_SQL = {
     "knn_pq_adc": KNN_PQ_ADC_SQL,
     "edge_common_neighbors": EDGE_COMMON_NEIGHBORS_SQL,
     "source_entropy": SOURCE_ENTROPY_SQL,
+    "term_cooc_pmi": TERM_COOC_PMI_SQL,
     "embed_cov": EMBED_COV_SQL,
     "pagerank_partsupp": PAGERANK_PARTSUPP_SQL,
     "bloom_semi_orders": BLOOM_SEMI_ORDERS_SQL,
