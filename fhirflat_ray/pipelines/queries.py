@@ -10557,6 +10557,178 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share): for PROMO-type parts sold
+    to ASIA customers during 1995-1996, the yearly revenue of
+    NATION_3-supplied line items vs the total — emitted as the two exact
+    integer cents×bp sums (the ratio is the consumer's; a rounded share
+    can tie on 1e-6 halves).
+
+    Scale shape: the PROMO part-key set and the supplier→nation and
+    nation→region maps broadcast (dim-bounded, with the standard budget
+    assumption); customers prune to the region BEFORE their hash join
+    with date-filtered orders; lineitem prunes map-only on the part
+    bloom/broadcast set, hash-joins orders once, and folds a ≤ 2-year
+    partial. One distributed join on the fact table."""
+    import datetime as dt
+
+    import ray
+
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    n_parts = _join_partitions(sf_dir, ["lineitem", "orders"])
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia = int(
+        region["r_regionkey"].to_numpy(zero_copy_only=False)[
+            np.array(region["r_name"].to_pylist()) == "ASIA"
+        ][0]
+    )
+    nk = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    asia_nations = pa.array(
+        sorted(
+            nk[
+                nation["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+                == asia
+            ].tolist()
+        ),
+        pa.int64(),
+    )
+    target_nk = int(nk[np.array(nation["n_name"].to_pylist()) == "NATION_3"][0])
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo_keys = np.sort(
+        part["p_partkey"].to_numpy(zero_copy_only=False)[
+            np.array(part["p_type"].to_pylist()) == "PROMO"
+        ].astype(np.int64)
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    s_keys = np.sort(supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    s_order = np.argsort(supp["s_suppkey"].to_numpy(zero_copy_only=False))
+    s_nk = (
+        supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[s_order]
+    )
+    sref = ray.put((s_keys, s_nk, promo_keys))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: b.select(["c_custkey"]).filter(
+            pc.is_in(b["c_nationkey"].cast(pa.int64()), value_set=asia_nations)
+        ),
+        batch_format="pyarrow",
+    ).repartition(2)
+
+    lo = pa.scalar(dt.datetime(1995, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], lo), pc.less(b["o_orderdate"], hi)
+            )
+        )
+        return pa.table(
+            {
+                "o_orderkey": keep["o_orderkey"],
+                "o_custkey": keep["o_custkey"],
+                "o_year": pc.cast(pc.year(keep["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    o_pruned = (
+        orders.map_batches(o_prep, batch_format="pyarrow")
+        .join(cust, "inner", n_parts, on=("o_custkey",), right_on=("c_custkey",))
+        .select_columns(["o_orderkey", "o_year"])
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class LiPrep:
+        def __init__(self, ref):
+            self.s_keys, self.s_nk, self.promo = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.promo, pk), 0, max(0, len(self.promo) - 1))
+            keep_m = self.promo[pos] == pk if len(self.promo) else np.zeros(len(pk), bool)
+            keep = b.filter(pa.array(keep_m))
+            sk = keep["l_suppkey"].to_numpy(zero_copy_only=False)
+            s_nk = self.s_nk[np.searchsorted(self.s_keys, sk)]
+            return pa.table(
+                {
+                    "l_orderkey": keep["l_orderkey"],
+                    "is_target": pa.array(s_nk == target_nk),
+                    "rev_bp": _revenue_cents_bp(keep),
+                }
+            )
+
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    j = li.map_batches(
+        worker_cached_stage(LiPrep, ref=sref), batch_format="pyarrow"
+    ).join(o_pruned, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["o_year", "is_target", "rev_bp"])
+            .group_by(["o_year", "is_target"])
+            .aggregate([("rev_bp", "sum")])
+        )
+        return agg_select(
+            g, {"o_year": "o_year", "is_target": "is_target", "rev_bp_sum": "rev_bp"}
+        )
+
+    t = collect_small_table(j.map_batches(partial, batch_format="pyarrow"))
+    df = (
+        t.to_pandas()
+        .groupby(["o_year", "is_target"], as_index=False)["rev_bp"]
+        .sum()
+    )
+    out = []
+    for y, sub in df.groupby("o_year"):
+        tgt = int(sub.loc[sub.is_target, "rev_bp"].sum())
+        tot = int(sub["rev_bp"].sum())
+        out.append((int(y), tgt, tot))
+    return pd.DataFrame(
+        out, columns=["o_year", "nation_bp", "total_bp"]
+    ).sort_values("o_year").reset_index(drop=True)
+
+
+Q8_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN ns.n_name = 'NATION_3' THEN {_REV_BP_SQL} ELSE 0 END)
+            AS BIGINT) AS nation_bp,
+       CAST(sum({_REV_BP_SQL}) AS BIGINT) AS total_bp
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = nc.n_regionkey AND r_name = 'ASIA'
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year
+"""
+
+
 def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between two nations by direction and
     year. Scale shape: supplier and customer prune to the two nations at
@@ -10966,6 +11138,7 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q6_revenue_delta": q6_revenue_delta,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
     "q10_returned_items": q10_returned_items,
     "q15_top_supplier": q15_top_supplier,
     "customer_order_counts": customer_order_counts,
@@ -11172,6 +11345,7 @@ ORACLE_SQL = {
     "q3_top_orders": Q3_TOP_ORDERS_SQL,
     "q6_revenue_delta": Q6_REVENUE_DELTA_SQL,
     "q7_volume_shipping": Q7_VOLUME_SHIPPING_SQL,
+    "q8_market_share": Q8_MARKET_SHARE_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
