@@ -6202,6 +6202,85 @@ FROM a3 GROUP BY cl"""
 DOC_CLUSTERS_SQL = _doc_clusters_sql()
 
 
+def quality_confusion(sf_dir: str):
+    """Classifier evaluation: confusion counts (tp/fp/fn/tn at the 0.5
+    threshold) of the in-pipeline-trained logistic regression against the
+    true labels — the eval loop closing the train→apply→measure ML cycle.
+    Integer-only output; the threshold compare uses the UNROUNDED sigmoid
+    on both sides (z > 0 ⟺ p > 0.5, so the compare is sign(z) — no float
+    boundary at all)."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import logreg_train_gd
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def feat(b: pa.Table) -> pa.Table:
+        nsp = pc.subtract(
+            pc.utf8_length(b["text"]),
+            pc.utf8_length(pc.replace_substring(b["text"], " ", "")),
+        )
+        return pa.table(
+            {
+                "x1": pc.divide(pc.cast(b["n_chars"], pa.float64()), 1000.0),
+                "x2": pc.divide(pc.cast(nsp, pa.float64()), 100.0),
+                "y": pc.if_else(
+                    pc.equal(b["lang"], "en"), pa.scalar(1.0), pa.scalar(0.0)
+                ),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    w = logreg_train_gd(feats, ["x1", "x2"], "y", iters=3, lr=0.5)
+    ref = ray.put(w)
+
+    class Confuse:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x1 = b["x1"].to_numpy(zero_copy_only=False)
+            x2 = b["x2"].to_numpy(zero_copy_only=False)
+            y = b["y"].to_numpy(zero_copy_only=False) > 0.5
+            pred = (self.w[0] + self.w[1] * x1 + self.w[2] * x2) > 0.0
+            return pa.table(
+                {
+                    "tp": pa.array([int((pred & y).sum())], pa.int64()),
+                    "fp": pa.array([int((pred & ~y).sum())], pa.int64()),
+                    "fn": pa.array([int((~pred & y).sum())], pa.int64()),
+                    "tn": pa.array([int((~pred & ~y).sum())], pa.int64()),
+                }
+            )
+
+    t = collect_small_table(
+        feats.map_batches(worker_cached_stage(Confuse, ref=ref), batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            c: pa.array([int(t[c].to_numpy(zero_copy_only=False).sum())], pa.int64())
+            for c in ("tp", "fp", "fn", "tn")
+        }
+    )
+
+
+def _quality_confusion_sql() -> str:
+    train = _logreg_sql(3, 0.5).split("\nSELECT 'bias'")[0].removeprefix("WITH ")
+    z = (
+        "((SELECT b FROM w3) + (SELECT wx1 FROM w3)*x1"
+        " + (SELECT wx2 FROM w3)*x2)"
+    )
+    return f"""WITH {train}
+SELECT CAST(sum(CASE WHEN {z} > 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN {z} > 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN {z} <= 0 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN {z} <= 0 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM f"""
+
+
+QUALITY_CONFUSION_SQL = _quality_confusion_sql()
+
+
 def lang_balance(sf_dir: str):
     """Balanced-mixture downsampling: every language keeps exactly
     min-language-count documents (smallest doc_ids win) — the
@@ -11216,6 +11295,7 @@ QUERIES = {
     "logreg_train": logreg_train,
     "quality_scores": quality_scores,
     "lang_balance": lang_balance,
+    "quality_confusion": quality_confusion,
     "doc_clusters": doc_clusters,
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
@@ -11418,6 +11498,7 @@ ORACLE_SQL = {
     "logreg_train": LOGREG_TRAIN_SQL,
     "quality_scores": QUALITY_SCORES_SQL,
     "lang_balance": LANG_BALANCE_SQL,
+    "quality_confusion": QUALITY_CONFUSION_SQL,
     "doc_clusters": DOC_CLUSTERS_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
     "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
