@@ -9877,6 +9877,121 @@ FROM documents
 """
 
 
+def dup_rate_by_source(sf_dir: str):
+    """Duplicate-rate report per source — the curation dashboard number
+    that tells you WHICH crawl is flooding the corpus with copies: per
+    source, total documents and how many are non-canonical members of an
+    exact-content group. The dedup provenance shuffle ships
+    (content-hash, doc_id, source); duplicate flags assign per bucket and
+    the per-source tallies fold as a tiny second exchange. Integer
+    outputs."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        import pandas.util as pdu
+
+        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
+        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), "doc_id": b["doc_id"], "source": b["source"]}
+        )
+
+    hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        canon = g.groupby("h", sort=False)["doc_id"].transform("min")
+        dup = (g["doc_id"].to_numpy() != canon.to_numpy()).astype(np.int64)
+        out = pd.DataFrame({"source": g["source"], "dup": dup})
+        return out.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("dup", "size"), n_dupes=("dup", "sum")
+        )
+
+    partials = bucketed_map_groups(hashed, ["h"], flag)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_dupes=("n_dupes", "sum")
+        )
+
+    return bucketed_map_groups(partials, ["source"], fold)
+
+
+DUP_RATE_BY_SOURCE_SQL = """
+WITH m AS (
+  SELECT source, CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY text)
+                      THEN 1 ELSE 0 END AS dup
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dup) AS BIGINT) AS n_dupes
+FROM m GROUP BY source
+"""
+
+
+def split_leak_audit(sf_dir: str):
+    """Split-integrity audit: the invariant check that NO conversation
+    straddles train/val/test after the leakage-free hash split — reports
+    conversations per split-count bucket (every conversation must land in
+    exactly 1). Distinct (user, split) pairs fold through one narrow
+    exchange; at a healthy pipeline the answer is one row (1, n_users).
+    Integer outputs."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import agg_select, bucketed_map_groups
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        h = hash32(ids) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        t = pa.table(
+            {"user_id": b["user_id"], "split": pa.array(split, pa.string())}
+        )
+        return t.group_by(["user_id", "split"]).aggregate([])
+
+    pairs = ds.map_batches(assign, batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates().groupby("user_id", sort=False).size()
+        return pd.DataFrame({"n_splits": c.to_numpy(np.int64)})
+
+    per = bucketed_map_groups(pairs, ["user_id"], per_user)
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["n_splits"]).aggregate([([], "count_all")])
+        return agg_select(g, {"n_splits": "n_splits", "count_all": "n_convs"})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        per.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("n_splits")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+    )
+
+
+def _split_leak_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    h = hash32_sql("user_id")
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN ({h}) % 100 < 80 THEN 'train'
+              WHEN ({h}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events),
+c AS (SELECT user_id, count(*) AS n_splits FROM a GROUP BY user_id)
+SELECT n_splits, CAST(count(*) AS BIGINT) AS n_convs FROM c GROUP BY n_splits
+"""
+
+
+SPLIT_LEAK_AUDIT_SQL = _split_leak_sql()
+
+
 def conv_turn_histogram(sf_dir: str):
     """Conversation-length distribution: how many conversations have
     exactly N turns — the two-level aggregate (per-conv count, then
@@ -11351,6 +11466,8 @@ QUERIES = {
     "snapshot_diff": snapshot_diff,
     "normalize_text": normalize_text,
     "dedup_mapping": dedup_mapping,
+    "dup_rate_by_source": dup_rate_by_source,
+    "split_leak_audit": split_leak_audit,
     "conv_turn_histogram": conv_turn_histogram,
     "value_zscore_by_type": value_zscore_by_type,
     "leakfree_split": leakfree_split,
@@ -11553,6 +11670,8 @@ ORACLE_SQL = {
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
     "normalize_text": NORMALIZE_TEXT_SQL,
     "dedup_mapping": DEDUP_MAPPING_SQL,
+    "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
+    "split_leak_audit": SPLIT_LEAK_AUDIT_SQL,
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
     "value_zscore_by_type": VALUE_ZSCORE_BY_TYPE_SQL,
     "leakfree_split": _leakfree_split_sql(),
