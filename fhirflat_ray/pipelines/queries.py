@@ -10923,6 +10923,113 @@ GROUP BY o_year
 """
 
 
+def q21_blame_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    this schema ("late" = shipped more than 90 days after the order
+    date): count, per supplier, the multi-supplier orders where THIS
+    supplier shipped late and NO other supplier did — the classic
+    EXISTS + NOT EXISTS double-correlated join.
+
+    Scale shape: both correlations collapse into ONE order-bucket
+    aggregate — per (order, supplier) partials (any-late, line count)
+    shuffle once on the order key, and a vectorized per-bucket pass
+    derives each order's supplier count and late-supplier count, then
+    emits blame rows only for orders with ≥ 2 suppliers and EXACTLY one
+    late supplier. Top-10 suppliers by (count DESC, suppkey)."""
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        bucketed_map_groups,
+        streaming_topk,
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    n_parts = _join_partitions(sf_dir, ["lineitem", "orders"])
+
+    j = li.join(orders, "inner", n_parts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        late = pc.greater(
+            pc.cast(b["l_shipdate"], pa.int64()),
+            pc.add(
+                pc.cast(b["o_orderdate"], pa.int64()),
+                pa.scalar(90 * 24 * 3600 * 1_000_000, pa.int64()),
+            ),
+        )
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"],
+                "late": pc.cast(late, pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("late", "max")])
+        return agg_select(
+            g,
+            {"l_orderkey": "l_orderkey", "l_suppkey": "l_suppkey", "late_max": "late"},
+        )
+
+    per_os = j.map_batches(partial, batch_format="pyarrow")
+
+    def blame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["l_orderkey", "l_suppkey"], sort=False, as_index=False).agg(
+            late=("late", "max")
+        )
+        n_supp = g.groupby("l_orderkey", sort=False)["l_suppkey"].transform("size")
+        n_late = g.groupby("l_orderkey", sort=False)["late"].transform("sum")
+        keep = (g["late"] == 1) & (n_supp.to_numpy() >= 2) & (n_late.to_numpy() == 1)
+        out = g.loc[keep, ["l_suppkey"]]
+        return out.groupby("l_suppkey", sort=False, as_index=False).size().rename(
+            columns={"size": "numwait"}
+        )
+
+    partials = bucketed_map_groups(per_os, ["l_orderkey"], blame, num_buckets=n_parts)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_suppkey", sort=False, as_index=False).agg(
+            numwait=("numwait", "sum")
+        )
+
+    totals = bucketed_map_groups(partials, ["l_suppkey"], fold)
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+                "numwait": pc.cast(b["numwait"], pa.int64()),
+            }
+        )
+
+    return streaming_topk(
+        totals.map_batches(typed, batch_format="pyarrow"),
+        ["numwait", "l_suppkey"],
+        10,
+        descending=[True, False],
+    )
+
+
+Q21_BLAME_SUPPLIERS_SQL = """
+WITH os AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey),
+blame AS (
+  SELECT l_suppkey, count(*) AS numwait FROM (
+    SELECT l_orderkey, l_suppkey, late,
+           count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+           sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM os)
+  WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+  GROUP BY l_suppkey)
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(numwait AS BIGINT) AS numwait
+FROM blame ORDER BY numwait DESC, l_suppkey LIMIT 10
+"""
+
+
 def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between two nations by direction and
     year. Scale shape: supplier and customer prune to the two nations at
@@ -11333,6 +11440,7 @@ QUERIES = {
     "q6_revenue_delta": q6_revenue_delta,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "q21_blame_suppliers": q21_blame_suppliers,
     "q10_returned_items": q10_returned_items,
     "q15_top_supplier": q15_top_supplier,
     "customer_order_counts": customer_order_counts,
@@ -11543,6 +11651,7 @@ ORACLE_SQL = {
     "q6_revenue_delta": Q6_REVENUE_DELTA_SQL,
     "q7_volume_shipping": Q7_VOLUME_SHIPPING_SQL,
     "q8_market_share": Q8_MARKET_SHARE_SQL,
+    "q21_blame_suppliers": Q21_BLAME_SUPPLIERS_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
