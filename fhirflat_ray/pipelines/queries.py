@@ -5129,6 +5129,154 @@ FROM w WHERE p IS NOT NULL AND nx IS NOT NULL AND value IS NOT NULL
 """
 
 
+def moments_by_type(sf_dir: str):
+    """Higher-moment shape statistics per event type: population skewness
+    (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) from raw-moment partials
+    — the distribution-drift probe. One row of (n, Σx..Σx⁴) per (batch,
+    type) leaves the map stage; the closed forms are mirrored
+    expression-for-expression in SQL at 6dp (the ``qty_price_corr``
+    discipline extended two moments up)."""
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(zero_copy_only=False),
+                "x": b["value"].to_numpy(zero_copy_only=False),
+            }
+        )
+        df["x2"] = df["x"] * df["x"]
+        df["x3"] = df["x2"] * df["x"]
+        df["x4"] = df["x2"] * df["x2"]
+        g = df.groupby("event_type", sort=False).agg(
+            n=("x", "size"), s1=("x", "sum"), s2=("x2", "sum"),
+            s3=("x3", "sum"), s4=("x4", "sum"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    t = collect_small_table(ds.map_batches(partial, batch_format="pyarrow"))
+    df = (
+        t.to_pandas()
+        .groupby("event_type", as_index=False)[["n", "s1", "s2", "s3", "s4"]]
+        .sum()
+        .sort_values("event_type")
+    )
+    n = df["n"].to_numpy(np.float64)
+    m = df["s1"].to_numpy() / n
+    m2 = df["s2"].to_numpy() / n - m * m
+    m3 = df["s3"].to_numpy() / n - 3.0 * m * (df["s2"].to_numpy() / n) + 2.0 * m**3
+    m4 = (
+        df["s4"].to_numpy() / n
+        - 4.0 * m * (df["s3"].to_numpy() / n)
+        + 6.0 * (m * m) * (df["s2"].to_numpy() / n)
+        - 3.0 * m**4
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "skew": pa.array(np.round(m3 / m2**1.5, 6), pa.float64()),
+            "kurt": pa.array(np.round(m4 / (m2 * m2) - 3.0, 6), pa.float64()),
+        }
+    )
+
+
+MOMENTS_BY_TYPE_SQL = """
+WITH r AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3, sum(value*value*value*value) AS s4
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type,
+         s1/n AS mu,
+         s2/n - (s1/n)*(s1/n) AS m2,
+         s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n) AS m3,
+         s4/n - 4.0*(s1/n)*(s3/n) + 6.0*((s1/n)*(s1/n))*(s2/n)
+              - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+  FROM r)
+SELECT event_type,
+       round(m3 / power(m2, 1.5), 6) AS skew,
+       round(m4 / (m2 * m2) - 3.0, 6) AS kurt
+FROM m
+"""
+
+
+def iqr_outliers(sf_dir: str):
+    """Tukey-fence outlier counting per type: values outside
+    [q1 - 1.5·IQR, q3 + 1.5·IQR] with EXACT discrete quartiles — integer
+    outputs, so no float tolerance anywhere (the fences are the same
+    doubles on both sides because the quartiles are selected, not
+    interpolated). Quartiles fold type-bounded and broadcast; the count
+    pass is map-only."""
+    import ray
+
+    from fhirflat_ray.functions.quantiles import grouped_quantile_disc
+    from fhirflat_ray.functions.util import (
+        agg_select,
+        collect_small_table,
+        worker_cached_stage,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    qt = collect_small_table(
+        grouped_quantile_disc(ds, "event_type", "value", [0.25, 0.75])
+    ).to_pandas()
+    piv = qt.pivot(index="event_type", columns="q", values="value")
+    types = np.array(sorted(piv.index))
+    q1 = piv.loc[types, 0.25].to_numpy(np.float64)
+    q3 = piv.loc[types, 0.75].to_numpy(np.float64)
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    ref = ray.put((types.astype(str), lo, hi))
+
+    class Count:
+        def __init__(self, ref):
+            self.types, self.lo, self.hi = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            t = b["event_type"].to_numpy(zero_copy_only=False).astype(str)
+            v = b["value"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(self.types, t)
+            out = (v < self.lo[i]) | (v > self.hi[i])
+            g = pd.DataFrame({"event_type": t, "o": out.astype(np.int64)}).groupby(
+                "event_type", sort=False, as_index=False
+            ).agg(n=("o", "size"), n_outliers=("o", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = collect_small_table(
+        ds.map_batches(worker_cached_stage(Count, ref=ref), batch_format="pyarrow")
+    )
+    df = (
+        parts.to_pandas()
+        .groupby("event_type", as_index=False)[["n", "n_outliers"]]
+        .sum()
+        .sort_values("event_type")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "n_outliers": pa.array(df["n_outliers"].to_numpy(np.int64)),
+        }
+    )
+
+
+IQR_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1, quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < q.q1 - 1.5*(q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5*(q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
 def acf1_by_type(sf_dir: str):
     """Lag-1 autocorrelation of event value per type (time-series
     regularity probe). Adjacent-pair moments need global (ts, event_id)
@@ -11502,6 +11650,8 @@ QUERIES = {
     "activity_streaks": activity_streaks,
     "weekly_delta": weekly_delta,
     "acf1_by_type": acf1_by_type,
+    "moments_by_type": moments_by_type,
+    "iqr_outliers": iqr_outliers,
     "conv_prefix_dedup": conv_prefix_dedup,
     "sft_export": sft_export,
     "rolling_median3": rolling_median3,
@@ -11708,6 +11858,8 @@ ORACLE_SQL = {
     "activity_streaks": ACTIVITY_STREAKS_SQL,
     "weekly_delta": WEEKLY_DELTA_SQL,
     "acf1_by_type": ACF1_BY_TYPE_SQL,
+    "moments_by_type": MOMENTS_BY_TYPE_SQL,
+    "iqr_outliers": IQR_OUTLIERS_SQL,
     "conv_prefix_dedup": CONV_PREFIX_DEDUP_SQL,
     "sft_export": SFT_EXPORT_SQL,
     "rolling_median3": ROLLING_MEDIAN3_SQL,
