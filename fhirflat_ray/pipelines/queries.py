@@ -5531,6 +5531,111 @@ GROUP BY 1 ORDER BY n DESC, transition LIMIT 20
 """
 
 
+def _tool_transition_counts(sf_dir: str) -> pd.DataFrame:
+    """Distributed (tool, next_tool, n) transition counts over the
+    transcript turn order — the bounded (|tools|²) table behind the
+    Markov-chain analytics. Counting fuses into the transcript bucket
+    pass; the fold is a driver sum over the vocab-bounded partials."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        tool = g["tool"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        out = pd.DataFrame({"a": tool[:-1][same], "b": tool[1:][same]})
+        return out.groupby(["a", "b"], sort=False, as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    from fhirflat_ray.functions.util import collect_small_table
+
+    t = collect_small_table(
+        _transcript_grouped(sf_dir, pairs, columns=["conv_id", "turn_idx", "tool"])
+    )
+    return t.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
+
+
+def tool_markov_stationary(sf_dir: str):
+    """Stationary distribution of the tool-transition Markov chain (3
+    power iterations from uniform, row-normalized counts) — which tools
+    an agent's behavior concentrates on in the long run. The distributed
+    work is the transition counting (vocab-bounded partials); the 3
+    matrix-vector steps run on the bounded |tools|² table and are
+    unrolled exactly in the oracle (6dp)."""
+    df = _tool_transition_counts(sf_dir)
+    tools = np.array(sorted(set(df["a"]) | set(df["b"])))
+    k = len(tools)
+    idx = {t: i for i, t in enumerate(tools)}
+    P = np.zeros((k, k), np.float64)
+    for a, b, n in df.itertuples(index=False):
+        P[idx[a], idx[b]] = n
+    rs = P.sum(axis=1, keepdims=True)
+    rs[rs == 0] = 1.0
+    P = P / rs
+    pi = np.full(k, 1.0 / k)
+    for _ in range(3):
+        pi = pi @ P
+    return pa.table(
+        {
+            "tool": pa.array(tools, pa.string()),
+            "pi": pa.array(np.round(pi, 6), pa.float64()),
+        }
+    )
+
+
+def _markov_sql() -> str:
+    def step(prev: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT p.b AS tool, sum(v.pi * p.pr) AS pi
+  FROM p JOIN {prev} v ON v.tool = p.a GROUP BY p.b)"""
+
+    return f"""WITH w AS (
+  SELECT conv_id, tool,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM ({TRANSCRIPT_BUILD_SQL})),
+c AS (SELECT tool AS a, next_tool AS b, CAST(count(*) AS DOUBLE) AS n
+      FROM w WHERE next_tool IS NOT NULL GROUP BY tool, next_tool),
+p AS (SELECT a, b, n / sum(n) OVER (PARTITION BY a) AS pr FROM c),
+tools AS (SELECT DISTINCT a AS tool FROM c UNION SELECT DISTINCT b FROM c),
+v0 AS (SELECT tool, 1.0 / (SELECT count(*) FROM tools) AS pi FROM tools),
+{step('v0', 'v1')},
+{step('v1', 'v2')},
+{step('v2', 'v3')}
+SELECT t.tool, round(coalesce(v3.pi, 0.0), 6) AS pi
+FROM tools t LEFT JOIN v3 ON v3.tool = t.tool"""
+
+
+TOOL_MARKOV_STATIONARY_SQL = _markov_sql()
+
+
+def tool_entropy_rate(sf_dir: str):
+    """Conditional entropy H(next tool | tool) of agent trajectories —
+    the regularity/predictability audit: 0 means deterministic workflows,
+    ln(|tools|) means uniform wandering. One number from the bounded
+    transition table; ln at 6dp with the weighting mirrored
+    (Σ p(a,b)·(−ln p(b|a)))."""
+    df = _tool_transition_counts(sf_dir)
+    n_ab = df["n"].to_numpy(np.float64)
+    total = n_ab.sum()
+    row = df.groupby("a")["n"].transform("sum").to_numpy(np.float64)
+    h = float(np.sum((n_ab / total) * (-np.log(n_ab / row))))
+    return pa.table({"entropy_rate": pa.array([round(h, 6)], pa.float64())})
+
+
+TOOL_ENTROPY_RATE_SQL = f"""
+WITH w AS (
+  SELECT conv_id, tool,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM ({TRANSCRIPT_BUILD_SQL})),
+c AS (SELECT tool AS a, next_tool AS b, CAST(count(*) AS DOUBLE) AS n
+      FROM w WHERE next_tool IS NOT NULL GROUP BY tool, next_tool),
+t AS (SELECT a, b, n, sum(n) OVER (PARTITION BY a) AS row_n,
+             sum(n) OVER () AS total FROM c)
+SELECT round(sum((n / total) * (-ln(n / row_n))), 6) AS entropy_rate FROM t
+"""
+
+
+
 # =====================================================================
 # Wave 7: join/aggregate breadth (TPC-H Q4/Q13/Q18 shapes) + product
 # analytics (cohort retention, distributed histogram) + corpus filtering
@@ -11644,6 +11749,8 @@ QUERIES = {
     "alternation_audit": alternation_audit,
     "sft_pack_examples": sft_pack_examples,
     "tool_transitions": tool_transitions,
+    "tool_markov_stationary": tool_markov_stationary,
+    "tool_entropy_rate": tool_entropy_rate,
     "tool_latency": tool_latency,
     "role_runs": role_runs,
     "gini_activity": gini_activity,
@@ -11852,6 +11959,8 @@ ORACLE_SQL = {
     "alternation_audit": ALTERNATION_AUDIT_SQL,
     "sft_pack_examples": SFT_PACK_EXAMPLES_SQL,
     "tool_transitions": TOOL_TRANSITIONS_SQL,
+    "tool_markov_stationary": TOOL_MARKOV_STATIONARY_SQL,
+    "tool_entropy_rate": TOOL_ENTROPY_RATE_SQL,
     "tool_latency": TOOL_LATENCY_SQL,
     "role_runs": ROLE_RUNS_SQL,
     "gini_activity": GINI_ACTIVITY_SQL,
