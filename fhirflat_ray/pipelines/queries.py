@@ -1008,6 +1008,123 @@ FROM s
 LANG_ID_SQL = _lang_id_sql()
 
 
+def langid_confusion(sf_dir: str):
+    """Language-ID evaluation: the (predicted, labeled) confusion counts
+    of the stopword classifier against the corpus's own lang labels —
+    closing the classify→measure loop for the text ops the way
+    ``quality_confusion`` does for the trained model. Map-only prediction
+    (the ``lang_id`` kernel) + a ≤ |langs|² partial fold."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.text import LangId
+    from fhirflat_ray.functions.util import agg_select, worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(worker_cached_stage(LangId), batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.select(["lang_pred", "lang"])
+            .group_by(["lang_pred", "lang"])
+            .aggregate([([], "count_all")])
+        )
+        return agg_select(
+            g, {"lang_pred": "lang_pred", "lang": "lang", "count_all": "n"}
+        )
+
+    return (
+        pred.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_pred", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH p AS ({LANG_ID_SQL.strip()})
+SELECT p.lang_pred, d.lang, CAST(count(*) AS BIGINT) AS n
+FROM p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY p.lang_pred, d.lang
+"""
+
+
+#: PSI histogram geometry: 10 fixed-width bins over [0, 500); shared with
+#: the SQL oracle so bin edges are identical integer math
+_PSI_BINS, _PSI_HI = 10, 500.0
+
+
+def psi_value_split(sf_dir: str):
+    """Population-stability index of event values between the train and
+    test hash splits — the standard drift metric an MLOps gate reports.
+    Bin counts are exact integers (fixed-width bins, clipped top bin);
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) rides at 6dp with the expression
+    mirrored (zero-count bins take the standard 0.5-count floor so the
+    ln is defined on both sides identically)."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    width = _PSI_HI / _PSI_BINS
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        h = hash32(ids) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bins = np.minimum((v / width).astype(np.int64), _PSI_BINS - 1)
+        g = (
+            pd.DataFrame({"split": split, "bin": bins})
+            .groupby(["split", "bin"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = collect_small_table(ds.map_batches(partial, batch_format="pyarrow"))
+    df = t.to_pandas().groupby(["split", "bin"], as_index=False)["n"].sum()
+    cnt = {s: np.zeros(_PSI_BINS, np.float64) for s in ("train", "test")}
+    for sp, bn, n in df.itertuples(index=False):
+        if sp in cnt:
+            cnt[sp][int(bn)] = n
+    a, b_ = cnt["train"], cnt["test"]
+    a = np.where(a == 0, 0.5, a)
+    b_ = np.where(b_ == 0, 0.5, b_)
+    p = a / a.sum()
+    q = b_ / b_.sum()
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    return pa.table({"psi": pa.array([round(psi, 6)], pa.float64())})
+
+
+def _psi_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    h = hash32_sql("user_id")
+    w = _PSI_HI / _PSI_BINS
+    return f"""
+WITH a AS (
+  SELECT CASE WHEN ({h}) % 100 < 80 THEN 'train'
+              WHEN ({h}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         least(CAST(floor(value / {w}) AS BIGINT), {_PSI_BINS - 1}) AS bin
+  FROM events),
+g AS (SELECT split, bin, CAST(count(*) AS DOUBLE) AS n FROM a
+      WHERE split IN ('train', 'test') GROUP BY split, bin),
+grid AS (
+  SELECT s.split, b.b AS bin,
+         coalesce((SELECT n FROM g WHERE g.split = s.split AND g.bin = b.b), 0.5)
+           AS n
+  FROM (VALUES ('train'), ('test')) s(split)
+  CROSS JOIN generate_series(0, {_PSI_BINS - 1}) b(b)),
+norm AS (
+  SELECT split, bin, n / sum(n) OVER (PARTITION BY split) AS p FROM grid)
+SELECT round(sum((tr.p - te.p) * ln(tr.p / te.p)), 6) AS psi
+FROM norm tr JOIN norm te ON te.bin = tr.bin
+WHERE tr.split = 'train' AND te.split = 'test'
+"""
+
+
+PSI_VALUE_SPLIT_SQL = _psi_sql()
+
+
 def poisson_sample(sf_dir: str):
     """Deterministic importance sampling: each document keeps with
     probability proportional to its token count (p = n_tokens/100, capped
@@ -6534,6 +6651,92 @@ FROM f"""
 QUALITY_CONFUSION_SQL = _quality_confusion_sql()
 
 
+def quality_calibration(sf_dir: str):
+    """Reliability-diagram data for the trained quality classifier: 10
+    equal-width probability bins with (n, n_pos) INTEGER counts — the
+    calibration curve a model gate plots. The bin index derives from the
+    ROUNDED 6dp sigmoid (the ``quality_scores`` output), so the integer
+    bin edges are boundary-safe on both engines."""
+    import ray
+
+    from fhirflat_ray.functions.clustering import logreg_train_gd
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+
+    def feat(b: pa.Table) -> pa.Table:
+        nsp = pc.subtract(
+            pc.utf8_length(b["text"]),
+            pc.utf8_length(pc.replace_substring(b["text"], " ", "")),
+        )
+        return pa.table(
+            {
+                "x1": pc.divide(pc.cast(b["n_chars"], pa.float64()), 1000.0),
+                "x2": pc.divide(pc.cast(nsp, pa.float64()), 100.0),
+                "y": pc.if_else(
+                    pc.equal(b["lang"], "en"), pa.scalar(1.0), pa.scalar(0.0)
+                ),
+            }
+        )
+
+    feats = ds.map_batches(feat, batch_format="pyarrow").materialize()
+    w = logreg_train_gd(feats, ["x1", "x2"], "y", iters=3, lr=0.5)
+    ref = ray.put(w)
+
+    class Bins:
+        def __init__(self, ref):
+            self.w = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            x1 = b["x1"].to_numpy(zero_copy_only=False)
+            x2 = b["x2"].to_numpy(zero_copy_only=False)
+            y = (b["y"].to_numpy(zero_copy_only=False) > 0.5).astype(np.int64)
+            p = np.round(
+                1.0 / (1.0 + np.exp(-(self.w[0] + self.w[1] * x1 + self.w[2] * x2))),
+                6,
+            )
+            bn = np.minimum((p * 10.0).astype(np.int64), 9)
+            g = (
+                pd.DataFrame({"bin": bn, "n": 1, "n_pos": y})
+                .groupby("bin", sort=False, as_index=False)
+                .agg(n=("n", "sum"), n_pos=("n_pos", "sum"))
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = collect_small_table(
+        feats.map_batches(worker_cached_stage(Bins, ref=ref), batch_format="pyarrow")
+    )
+    df = (
+        t.to_pandas().groupby("bin", as_index=False)[["n", "n_pos"]].sum()
+        .sort_values("bin")
+    )
+    return pa.table(
+        {
+            "bin": pa.array(df["bin"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "n_pos": pa.array(df["n_pos"].to_numpy(np.int64)),
+        }
+    )
+
+
+def _quality_calibration_sql() -> str:
+    train = _logreg_sql(3, 0.5).split("\nSELECT 'bias'")[0].removeprefix("WITH ")
+    z = (
+        "((SELECT b FROM w3) + (SELECT wx1 FROM w3)*x1"
+        " + (SELECT wx2 FROM w3)*x2)"
+    )
+    return f"""WITH {train},
+sc AS (
+  SELECT y, least(CAST(floor(round(1.0/(1.0+exp(-{z})), 6) * 10.0) AS BIGINT), 9) AS bin
+  FROM f)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM sc GROUP BY bin"""
+
+
+QUALITY_CALIBRATION_SQL = _quality_calibration_sql()
+
+
 def lang_balance(sf_dir: str):
     """Balanced-mixture downsampling: every language keeps exactly
     min-language-count documents (smallest doc_ids win) — the
@@ -11776,6 +11979,9 @@ QUERIES = {
     "quality_scores": quality_scores,
     "lang_balance": lang_balance,
     "quality_confusion": quality_confusion,
+    "quality_calibration": quality_calibration,
+    "langid_confusion": langid_confusion,
+    "psi_value_split": psi_value_split,
     "doc_clusters": doc_clusters,
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
@@ -11986,6 +12192,9 @@ ORACLE_SQL = {
     "quality_scores": QUALITY_SCORES_SQL,
     "lang_balance": LANG_BALANCE_SQL,
     "quality_confusion": QUALITY_CONFUSION_SQL,
+    "quality_calibration": QUALITY_CALIBRATION_SQL,
+    "langid_confusion": LANGID_CONFUSION_SQL,
+    "psi_value_split": PSI_VALUE_SPLIT_SQL,
     "doc_clusters": DOC_CLUSTERS_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
     "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
