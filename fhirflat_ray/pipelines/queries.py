@@ -11486,6 +11486,103 @@ FROM blame ORDER BY numwait DESC, l_suppkey LIMIT 10
 """
 
 
+def open_orders_daily(sf_dir: str):
+    """Sweep-line interval counting: how many orders are OPEN on each day
+    (an order stays open 30 days from placement) — the backlog time
+    series an ops dashboard plots. Each order emits a +1 at its start day
+    and a -1 at its end day (map-only); the deltas fold into the BOUNDED
+    day grid and one driver prefix-sum converts deltas to levels — the
+    interval-stabbing shape that never joins intervals against days.
+    Integer outputs."""
+    from fhirflat_ray.functions.util import agg_select, collect_small_table
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def deltas(b: pa.Table) -> pa.Table:
+        d = (
+            pc.cast(pc.floor_temporal(b["o_orderdate"], unit="day"), pa.date32())
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        days = np.concatenate([d, d + 30])
+        sign = np.concatenate(
+            [np.ones(len(d), np.int64), -np.ones(len(d), np.int64)]
+        )
+        g = (
+            pd.DataFrame({"day": days, "delta": sign})
+            .groupby("day", sort=False, as_index=False)["delta"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    t = collect_small_table(ds.map_batches(deltas, batch_format="pyarrow"))
+    df = t.to_pandas().groupby("day", as_index=False)["delta"].sum().sort_values("day")
+    level = df["delta"].cumsum().to_numpy(np.int64)
+    # report only days where the level CHANGES (the compact event form),
+    # excluding the trailing zero after the last close
+    days = df["day"].to_numpy(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(days.astype("datetime64[D]"), pa.date32()).cast(
+                pa.timestamp("us")
+            ),
+            "n_open": pa.array(level, pa.int64()),
+        }
+    )
+
+
+OPEN_ORDERS_DAILY_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+  UNION ALL
+  SELECT CAST(o_orderdate AS DATE) + 30, -1 FROM orders),
+g AS (SELECT day, sum(delta) AS delta FROM d GROUP BY day)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS n_open
+FROM g ORDER BY day
+"""
+
+
+def brand_return_rate(sf_dir: str):
+    """Return-rate report by part brand: per brand, line items and how
+    many came back (l_returnflag = 'R') — integer counts via one
+    fact-side hash join against the brand dimension (aggregate-after-join
+    with per-batch partials)."""
+    from ray.data.aggregate import Sum
+
+    from fhirflat_ray.functions.util import agg_select
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_returnflag"])
+
+    j = li.join(part, "inner", n_parts, on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ret = pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64())
+        t = pa.table({"p_brand": b["p_brand"], "ret": ret})
+        g = t.group_by(["p_brand"]).aggregate([("ret", "sum"), ([], "count_all")])
+        return agg_select(
+            g, {"p_brand": "p_brand", "count_all": "n", "ret_sum": "n_returned"}
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_returned", alias_name="n_returned"))
+    )
+
+
+BRAND_RETURN_RATE_SQL = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
 def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape: shipping volume between two nations by direction and
     year. Scale shape: supplier and customer prune to the two nations at
@@ -11897,6 +11994,8 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q21_blame_suppliers": q21_blame_suppliers,
+    "open_orders_daily": open_orders_daily,
+    "brand_return_rate": brand_return_rate,
     "q10_returned_items": q10_returned_items,
     "q15_top_supplier": q15_top_supplier,
     "customer_order_counts": customer_order_counts,
@@ -12115,6 +12214,8 @@ ORACLE_SQL = {
     "q7_volume_shipping": Q7_VOLUME_SHIPPING_SQL,
     "q8_market_share": Q8_MARKET_SHARE_SQL,
     "q21_blame_suppliers": Q21_BLAME_SUPPLIERS_SQL,
+    "open_orders_daily": OPEN_ORDERS_DAILY_SQL,
+    "brand_return_rate": BRAND_RETURN_RATE_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "q15_top_supplier": Q15_TOP_SUPPLIER_SQL,
     "customer_order_counts": CUSTOMER_ORDER_COUNTS_SQL,
