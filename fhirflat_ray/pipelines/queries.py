@@ -1125,6 +1125,158 @@ WHERE tr.split = 'train' AND te.split = 'test'
 PSI_VALUE_SPLIT_SQL = _psi_sql()
 
 
+def ks_value_split(sf_dir: str):
+    """EXACT Kolmogorov-Smirnov statistic between the train and test
+    value distributions — reported as the integer triple
+    (max |cum_train·n_test − cum_test·n_train|, n_train, n_test), so the
+    supremum is computed with NO floats anywhere (D = d_num/(n_train·
+    n_test) is the consumer's division). Per-split value counts fold
+    through one value-bucket exchange; the cum-diff maximum needs the
+    values in order, so the merged count table (distinct-value-bounded)
+    sorts once on the driver."""
+    from fhirflat_ray.functions.sampling import hash32
+    from fhirflat_ray.functions.util import collect_small_table
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        h = hash32(ids) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        g = (
+            pd.DataFrame({"split": split, "value": b["value"].to_numpy(zero_copy_only=False)})
+            .groupby(["split", "value"], sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g[g["split"] != "val"], preserve_index=False)
+
+    t = collect_small_table(ds.map_batches(partial, batch_format="pyarrow"))
+    df = t.to_pandas().groupby(["split", "value"], as_index=False)["n"].sum()
+    piv = (
+        df.pivot(index="value", columns="split", values="n")
+        .fillna(0)
+        .sort_index()
+    )
+    a = piv.get("train", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    b_ = piv.get("test", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    na, nb = int(a.sum()), int(b_.sum())
+    d_num = int(np.abs(np.cumsum(a) * nb - np.cumsum(b_) * na).max())
+    return pa.table(
+        {
+            "d_num": pa.array([d_num], pa.int64()),
+            "n_train": pa.array([na], pa.int64()),
+            "n_test": pa.array([nb], pa.int64()),
+        }
+    )
+
+
+def _ks_sql() -> str:
+    from fhirflat_ray.functions.sampling import hash32_sql
+
+    h = hash32_sql("user_id")
+    return f"""
+WITH a AS (
+  SELECT value,
+         CASE WHEN ({h}) % 100 < 80 THEN 'train'
+              WHEN ({h}) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM events),
+c AS (
+  SELECT value,
+         sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS nb
+  FROM a WHERE split IN ('train', 'test') GROUP BY value),
+t AS (SELECT (SELECT sum(na) FROM c) AS n_train, (SELECT sum(nb) FROM c) AS n_test),
+cum AS (
+  SELECT sum(na) OVER (ORDER BY value) AS ca,
+         sum(nb) OVER (ORDER BY value) AS cb
+  FROM c)
+SELECT CAST(max(abs(ca * t.n_test - cb * t.n_train)) AS BIGINT) AS d_num,
+       CAST(t.n_train AS BIGINT) AS n_train, CAST(t.n_test AS BIGINT) AS n_test
+FROM cum, t GROUP BY t.n_train, t.n_test
+"""
+
+
+KS_VALUE_SPLIT_SQL = _ks_sql()
+
+
+def degree_assortativity(sf_dir: str):
+    """Degree assortativity of the co-ordered-parts graph: the Pearson
+    correlation of endpoint degrees over all edges (both orientations) —
+    positive means hubs connect to hubs. Degrees broadcast (the
+    ``degree_fold`` assumption); per-edge moment partials fold map-only;
+    the closed form mirrors ``qty_price_corr`` at 6dp."""
+    import ray
+
+    from fhirflat_ray.functions.graph import degree_fold
+    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+
+    n_parts = _join_partitions(sf_dir, ["lineitem"])
+    edges = _coorder_edges(sf_dir, n_parts).materialize()
+    dref = ray.put(degree_fold(edges))
+
+    class Moments:
+        def __init__(self, ref):
+            self.nodes, self.deg = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            du = self.deg[np.searchsorted(self.nodes, u)].astype(np.float64)
+            dv = self.deg[np.searchsorted(self.nodes, v)].astype(np.float64)
+            # both orientations: x = deg(src), y = deg(dst) symmetrized
+            x = np.concatenate([du, dv])
+            y = np.concatenate([dv, du])
+            return pa.table(
+                {
+                    "n": pa.array([len(x)], pa.int64()),
+                    "sx": pa.array([x.sum()], pa.float64()),
+                    "sy": pa.array([y.sum()], pa.float64()),
+                    "sxx": pa.array([(x * x).sum()], pa.float64()),
+                    "syy": pa.array([(y * y).sum()], pa.float64()),
+                    "sxy": pa.array([(x * y).sum()], pa.float64()),
+                }
+            )
+
+    t = collect_small_table(
+        edges.map_batches(worker_cached_stage(Moments, ref=dref), batch_format="pyarrow")
+    ).to_pandas()
+    n = float(t["n"].sum())
+    sx, sy = float(t["sx"].sum()), float(t["sy"].sum())
+    sxx, syy, sxy = float(t["sxx"].sum()), float(t["syy"].sum()), float(t["sxy"].sum())
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    r = cov / ((vx**0.5) * (vy**0.5))
+    return pa.table({"assortativity": pa.array([round(r, 6)], pa.float64())})
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+d AS (
+  SELECT node, CAST(count(*) AS DOUBLE) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+p AS (
+  SELECT du.deg AS x, dv.deg AS y FROM e
+  JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
+  UNION ALL
+  SELECT dv.deg, du.deg FROM e
+  JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM p)
+SELECT round((sxy / n - (sx / n) * (sy / n)) /
+             (sqrt(sxx / n - (sx / n) * (sx / n)) *
+              sqrt(syy / n - (sy / n) * (sy / n))), 6) AS assortativity
+FROM m
+"""
+
+
 def poisson_sample(sf_dir: str):
     """Deterministic importance sampling: each document keeps with
     probability proportional to its token count (p = n_tokens/100, capped
@@ -12081,6 +12233,8 @@ QUERIES = {
     "quality_calibration": quality_calibration,
     "langid_confusion": langid_confusion,
     "psi_value_split": psi_value_split,
+    "ks_value_split": ks_value_split,
+    "degree_assortativity": degree_assortativity,
     "doc_clusters": doc_clusters,
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
@@ -12296,6 +12450,8 @@ ORACLE_SQL = {
     "quality_calibration": QUALITY_CALIBRATION_SQL,
     "langid_confusion": LANGID_CONFUSION_SQL,
     "psi_value_split": PSI_VALUE_SPLIT_SQL,
+    "ks_value_split": KS_VALUE_SPLIT_SQL,
+    "degree_assortativity": DEGREE_ASSORTATIVITY_SQL,
     "doc_clusters": DOC_CLUSTERS_SQL,
     "triangles_coorder": TRIANGLES_COORDER_SQL,
     "fuzzy_best_match": FUZZY_BEST_MATCH_SQL,
