@@ -10539,6 +10539,108 @@ FROM m GROUP BY source
 """
 
 
+def dup_size_histogram(sf_dir: str):
+    """Duplicate-cluster size distribution: how many exact-content groups
+    have exactly N members — the structural report that distinguishes "a
+    few mega-clusters" from "many pairs" before choosing a dedup
+    strategy. Double aggregate: per-hash sizes in one bucketed exchange,
+    then the bounded count-of-counts folds on the driver. Integer
+    outputs."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_partial(b: pa.Table) -> pa.Table:
+        import pandas.util as pdu
+
+        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
+        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", sort=False).size()
+        out = c.value_counts()
+        return pd.DataFrame(
+            {
+                "group_size": out.index.to_numpy(np.int64),
+                "n_groups": out.to_numpy(np.int64),
+            }
+        )
+
+    t = collect_small_table(bucketed_map_groups(hashed, ["h"], sizes))
+    df = (
+        t.to_pandas()
+        .groupby("group_size", as_index=False)["n_groups"]
+        .sum()
+        .sort_values("group_size")
+    )
+    return pa.table(
+        {
+            "group_size": pa.array(df["group_size"].to_numpy(np.int64)),
+            "n_groups": pa.array(df["n_groups"].to_numpy(np.int64)),
+        }
+    )
+
+
+DUP_SIZE_HISTOGRAM_SQL = """
+WITH g AS (SELECT text, count(*) AS sz FROM documents GROUP BY text)
+SELECT CAST(sz AS BIGINT) AS group_size, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY sz
+"""
+
+
+def term_freq_spectrum(sf_dir: str):
+    """Token frequency-of-frequencies spectrum (the Zipf/Heaps
+    diagnostic): how many distinct terms occur exactly N times. The term
+    counts fold through one term-bucket exchange (A5 combiner partials);
+    the count-of-counts is a bounded second aggregate. Integer outputs."""
+    from fhirflat_ray.functions.text import _split_words
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals, _, _ = _split_words(b["text"])
+        un, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {"term": pa.array(un, pa.string()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+
+    def spectrum(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("term", sort=False)["n"].sum()
+        out = c.value_counts()
+        return pd.DataFrame(
+            {"freq": out.index.to_numpy(np.int64), "n_terms": out.to_numpy(np.int64)}
+        )
+
+    t = collect_small_table(bucketed_map_groups(partials, ["term"], spectrum))
+    df = (
+        t.to_pandas().groupby("freq", as_index=False)["n_terms"].sum()
+        .sort_values("freq")
+    )
+    return pa.table(
+        {
+            "freq": pa.array(df["freq"].to_numpy(np.int64)),
+            "n_terms": pa.array(df["n_terms"].to_numpy(np.int64)),
+        }
+    )
+
+
+TERM_FREQ_SPECTRUM_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+c AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+SELECT CAST(n AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_terms
+FROM c GROUP BY n
+"""
+
+
 def split_leak_audit(sf_dir: str):
     """Split-integrity audit: the invariant check that NO conversation
     straddles train/val/test after the leakage-free hash split — reports
@@ -12291,6 +12393,8 @@ QUERIES = {
     "normalize_text": normalize_text,
     "dedup_mapping": dedup_mapping,
     "dup_rate_by_source": dup_rate_by_source,
+    "dup_size_histogram": dup_size_histogram,
+    "term_freq_spectrum": term_freq_spectrum,
     "split_leak_audit": split_leak_audit,
     "conv_turn_histogram": conv_turn_histogram,
     "value_zscore_by_type": value_zscore_by_type,
@@ -12507,6 +12611,8 @@ ORACLE_SQL = {
     "normalize_text": NORMALIZE_TEXT_SQL,
     "dedup_mapping": DEDUP_MAPPING_SQL,
     "dup_rate_by_source": DUP_RATE_BY_SOURCE_SQL,
+    "dup_size_histogram": DUP_SIZE_HISTOGRAM_SQL,
+    "term_freq_spectrum": TERM_FREQ_SPECTRUM_SQL,
     "split_leak_audit": SPLIT_LEAK_AUDIT_SQL,
     "conv_turn_histogram": CONV_TURN_HISTOGRAM_SQL,
     "value_zscore_by_type": VALUE_ZSCORE_BY_TYPE_SQL,
