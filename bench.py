@@ -332,8 +332,37 @@ def run_scaling() -> dict:
     }
 
 
+# Keys kept on the FINAL stdout line. The driver's tail capture parses only
+# the last line and truncates long ones (round 3's 30-entry per-query dicts
+# made BENCH_r03.json record `parsed: null`), so the last line is a compact
+# headline (~500 bytes) and the full detail (per-query timings, steal
+# telemetry, byte counts, medians) is printed on the line before it.
+_COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "sf",
+    "num_cpus",
+    "bench_rows",
+    "encode_sec",
+    "decode_sec",
+    "encode_rows_per_sec",
+    "encode_mb_per_sec",
+    "encoded_vs_snappy",
+    "ref_write_sec",
+    "encode_speedup_vs_ref",
+    "encode_speedup_vs_ref_best",
+    "roundtrip_speedup_vs_ref_rw",
+    "run_steal_pct",
+)
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        print(json.dumps({"detail": True, **result}))
+        compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+        compact["queries_sec_total"] = round(sum(result["queries"].values()), 2)
+        compact["n_queries"] = len(result["queries"])
+        print(json.dumps(compact))

@@ -84,15 +84,17 @@ def _fingerprint(edges) -> tuple[int, int]:
 
     def part(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
-        # explicit uint64 dtype: a Python-int list infers int64 below 2^63
-        # and uint64 above, and Ray's mixed-schema unification goes through
-        # float64, shearing low bits (the verify.py false-alarm bug) — here
-        # a sheared fingerprint could fake CONVERGENCE and stop the star
-        # rounds early with wrong components
+        # int64 wraparound sum (zero-copy view of the uint64 hashes) —
+        # bit-identical mod 2^64, sidesteps this host's slow unsigned-64
+        # numpy path. Explicit fixed dtype: a Python-int list infers int64
+        # vs uint64 per block and Ray's mixed-schema unification goes
+        # through float64, shearing low bits (the verify.py false-alarm
+        # bug) — here a sheared fingerprint could fake CONVERGENCE and
+        # stop the star rounds early with wrong components.
         return pd.DataFrame(
             {
                 "s": np.array(
-                    [h.astype(np.uint64).sum(dtype=np.uint64)], dtype=np.uint64
+                    [h.view(np.int64).sum(dtype=np.int64)], dtype=np.int64
                 ),
                 "n": np.array([len(batch)], dtype=np.int64),
             }

@@ -1070,9 +1070,14 @@ def psi_value_split(sf_dir: str):
         h = hash32(ids) % 100
         split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
         v = b["value"].to_numpy(zero_copy_only=False)
-        bins = np.minimum((v / width).astype(np.int64), _PSI_BINS - 1)
+        # floor (not int-truncation, which rounds toward zero for negative
+        # values) to match SQL's floor(); the oracle's 0..BINS-1 grid drops
+        # negative bins entirely, so mask them out rather than letting a
+        # negative index silently add the count to the top bin.
+        bins = np.minimum(np.floor(v / width).astype(np.int64), _PSI_BINS - 1)
+        keep = bins >= 0
         g = (
-            pd.DataFrame({"split": split, "bin": bins})
+            pd.DataFrame({"split": split[keep], "bin": bins[keep]})
             .groupby(["split", "bin"], sort=False, as_index=False)
             .size()
             .rename(columns={"size": "n"})
@@ -1161,7 +1166,16 @@ def ks_value_split(sf_dir: str):
     a = piv.get("train", pd.Series(0, index=piv.index)).to_numpy(np.int64)
     b_ = piv.get("test", pd.Series(0, index=piv.index)).to_numpy(np.int64)
     na, nb = int(a.sum()), int(b_.sum())
-    d_num = int(np.abs(np.cumsum(a) * nb - np.cumsum(b_) * na).max())
+    if na * nb < 2**62:
+        d_num = int(np.abs(np.cumsum(a) * nb - np.cumsum(b_) * na).max())
+    else:
+        # cum·n products approach n_train·n_test; past ~2^62 the int64 path
+        # would wrap silently while the SQL oracle's window sums promote to
+        # HUGEINT — redo the cross-multiplication in Python ints (object
+        # dtype) to keep the exact-integer guarantee at any scale.
+        ca = np.cumsum(a.astype(object))
+        cb = np.cumsum(b_.astype(object))
+        d_num = int(max(abs(x * nb - y * na) for x, y in zip(ca, cb)))
     return pa.table(
         {
             "d_num": pa.array([d_num], pa.int64()),
@@ -4866,7 +4880,16 @@ def sft_export(sf_dir: str):
         )
         same = np.zeros(n, bool)
         if n > 1:
-            same[1:] = (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
+            # SQL's `role = prev` is NULL (FILTER-skipped) when either side
+            # is NULL; numpy object equality would count None == None as a
+            # break, so mask null roles out of the adjacency comparison.
+            role_ok = ~pd.isna(role)
+            same[1:] = (
+                (conv[1:] == conv[:-1])
+                & (role[1:] == role[:-1])
+                & role_ok[1:]
+                & role_ok[:-1]
+            )
         breaks = (
             pd.DataFrame({"conv_id": conv, "b": same})
             .groupby("conv_id", sort=False)["b"]
@@ -10446,6 +10469,24 @@ FROM documents
 """
 
 
+def _content_group_hash64(col) -> pa.Array:
+    """64-bit content-group key for the exact-dedup provenance queries.
+
+    The SQL oracles partition by raw text, where NULL is its own group —
+    distinct from the empty string — so the hashed value is a prefixed key:
+    "v:" + text for non-null rows, the length-1 marker "n" for nulls (no
+    prefixed string can collide with the marker). Two distinct contents
+    merging on a 64-bit hash collision remains a ~2^-64-per-pair
+    approximation relative to the oracle's raw-text partition, the same
+    contract as the other content-hash dedup paths."""
+    import pandas.util as pdu
+
+    keyed = pc.fill_null(pc.binary_join_element_wise("v", col, ":"), "n")
+    txt = keyed.to_numpy(zero_copy_only=False)
+    h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(np.int64)
+    return pa.array(h, pa.int64())
+
+
 def dedup_mapping(sf_dir: str):
     """Dedup PROVENANCE mapping — every document mapped to the canonical
     (minimum) doc_id of its exact-content group, not just the survivor
@@ -10460,13 +10501,7 @@ def dedup_mapping(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def hash_partial(b: pa.Table) -> pa.Table:
-        import pandas.util as pdu
-
-        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
-        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
-            np.int64
-        )
-        return pa.table({"h": pa.array(h, pa.int64()), "doc_id": b["doc_id"]})
+        return pa.table({"h": _content_group_hash64(b["text"]), "doc_id": b["doc_id"]})
 
     hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
 
@@ -10498,14 +10533,12 @@ def dup_rate_by_source(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def hash_partial(b: pa.Table) -> pa.Table:
-        import pandas.util as pdu
-
-        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
-        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
-            np.int64
-        )
         return pa.table(
-            {"h": pa.array(h, pa.int64()), "doc_id": b["doc_id"], "source": b["source"]}
+            {
+                "h": _content_group_hash64(b["text"]),
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+            }
         )
 
     hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
@@ -10551,13 +10584,7 @@ def dup_size_histogram(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def hash_partial(b: pa.Table) -> pa.Table:
-        import pandas.util as pdu
-
-        txt = pc.fill_null(b["text"], "").to_numpy(zero_copy_only=False)
-        h = (pdu.hash_array(np.asarray(txt, dtype=object)) >> np.uint64(1)).astype(
-            np.int64
-        )
-        return pa.table({"h": pa.array(h, pa.int64())})
+        return pa.table({"h": _content_group_hash64(b["text"])})
 
     hashed = ds.map_batches(hash_partial, batch_format="pyarrow")
 
@@ -12183,7 +12210,51 @@ QUERIES = {
     "events_roundtrip": events_roundtrip,
     "documents_roundtrip": documents_roundtrip,
     "embeddings_roundtrip": embeddings_roundtrip,
+    "corpus_prep": corpus_prep,
+    "transcript_prep": transcript_prep,
+    "sft_export": sft_export,
+    "curriculum_export": curriculum_export,
+    "pruned_scan": pruned_scan,
+    "pruned_scan_zorder": pruned_scan_zorder,
+    "role_counts_encoded": role_counts_encoded,
+    "turn_sum_encoded": turn_sum_encoded,
+    "turn_var_encoded": turn_var_encoded,
+    "role_turn_sum_encoded": role_turn_sum_encoded,
+    "role_tool_counts_encoded": role_tool_counts_encoded,
+    "tool_vocab_encoded": tool_vocab_encoded,
+    "ts_range_encoded": ts_range_encoded,
+    "dedup_exact": dedup_exact,
+    "dedup_passage": dedup_passage,
+    "dedup_near_exhaustive": dedup_near_exhaustive,
+    "dedup_embedding": dedup_embedding,
+    "dedup_embedding_auto": dedup_embedding_auto,
+    "semantic_dedup": semantic_dedup,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_quantized": knn_quantized,
+    "knn_ivf_exhaustive": knn_ivf_exhaustive,
+    "knn_ivf_persisted": knn_ivf_persisted,
+    "kmeans_embeddings": kmeans_embeddings,
+    "embed_cov": embed_cov,
     "q1_lineitem": q1_lineitem,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_revenue": q5_region_revenue,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q8_market_share": q8_market_share,
+    "q21_blame_suppliers": q21_blame_suppliers,
+    "asof_join": asof_join,
+    "asof_join_bucketed": asof_join_bucketed,
+    "tumbling_window": tumbling_window,
+    "session_windows": session_windows,
+    "fk_anti_join": fk_anti_join,
+    "jaccard_join_exact": jaccard_join_exact,
+    "token_count": token_count,
+    "bpe_train": bpe_train,
+    "bpe_tokenize": bpe_tokenize,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "fingerprint": fingerprint,
+    "decontaminate": decontaminate_corpus,
+    "bm25_search": bm25_search,
     "events_condense": events_condense,
     "distinct_users": distinct_users,
     "stats_profile": stats_profile,
@@ -12193,45 +12264,16 @@ QUERIES = {
     "date_format": date_format,
     "mapping_apply": mapping_apply,
     "dict_vocab": dict_vocab,
-    "fk_anti_join": fk_anti_join,
     "top_docs": top_docs,
-    "tumbling_window": tumbling_window,
-    "session_windows": session_windows,
-    "asof_join": asof_join,
-    "asof_join_bucketed": asof_join_bucketed,
-    "token_count": token_count,
     "chunk_docs": chunk_docs,
     "token_count_bpe": token_count_bpe,
-    "bpe_train": bpe_train,
-    "bpe_tokenize": bpe_tokenize,
-    "text_quality": text_quality,
-    "fingerprint": fingerprint,
-    "lang_id": lang_id,
     "poisson_sample": poisson_sample,
-    "dedup_exact": dedup_exact,
-    "dedup_passage": dedup_passage,
-    "dedup_minhash": dedup_minhash,
-    "dedup_simhash": dedup_simhash,
-    "dedup_near": dedup_near,
-    "dedup_near_exhaustive": dedup_near_exhaustive,
-    "dedup_embedding": dedup_embedding,
-    "dedup_incremental": dedup_incremental,
     "split_kl_divergence": split_kl_divergence,
     "value_trend_by_type": value_trend_by_type,
-    "curriculum_export": curriculum_export,
     "reach_3hop": reach_3hop,
-    "jaccard_join_exact": jaccard_join_exact,
-    "dedup_embedding_lsh": dedup_embedding_lsh,
-    "dedup_embedding_auto": dedup_embedding_auto,
-    "dedup_simhash_near": dedup_simhash_near,
-    "knn_bruteforce": knn_bruteforce,
     "hard_negatives": hard_negatives_mining,
     "mmr_select": mmr_diverse_select,
     "embed_quantize": embed_quantize,
-    "knn_quantized": knn_quantized,
-    "knn_ivf": knn_ivf,
-    "knn_ivf_exhaustive": knn_ivf_exhaustive,
-    "knn_ivf_persisted": knn_ivf_persisted,
     "validate_errors": validate_errors,
     "schema_check": schema_check,
     "flatten_props": flatten_props,
@@ -12243,18 +12285,13 @@ QUERIES = {
     "users_intersect": users_intersect,
     "users_except": users_except,
     "stratified_sample": stratified_sample,
-    "q3_top_orders": q3_top_orders,
-    "q6_revenue_delta": q6_revenue_delta,
     "q7_volume_shipping": q7_volume_shipping,
-    "q8_market_share": q8_market_share,
-    "q21_blame_suppliers": q21_blame_suppliers,
     "open_orders_daily": open_orders_daily,
     "brand_return_rate": brand_return_rate,
     "q10_returned_items": q10_returned_items,
     "q15_top_supplier": q15_top_supplier,
     "customer_order_counts": customer_order_counts,
     "nation_coverage_full_outer": nation_coverage_full_outer,
-    "q5_region_revenue": q5_region_revenue,
     "user_event_windows": user_event_windows,
     "user_value_ranks": user_value_ranks,
     "user_type_seq": user_type_seq,
@@ -12263,10 +12300,8 @@ QUERIES = {
     "heavy_hitters_cms": heavy_hitters_cms,
     "funnel_events": funnel_events,
     "pivot_user_events": pivot_user_events,
-    "decontaminate": decontaminate_corpus,
     "quantiles_by_type": quantiles_by_type,
     "revenue_rollup": revenue_rollup,
-    "corpus_prep": corpus_prep,
     "rolling_hour_sum": rolling_hour_sum,
     "label_centroids": label_centroids,
     "quantiles_cont_value": quantiles_cont_value,
@@ -12277,18 +12312,13 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
-    "pruned_scan": pruned_scan,
-    "pruned_scan_zorder": pruned_scan_zorder,
     "schema_evolve": schema_evolve,
     "time_travel": time_travel,
     "incremental_counts": incremental_counts,
     "conv_lookup": conv_lookup,
-    "role_counts_encoded": role_counts_encoded,
     "compacted_roundtrip": compacted_roundtrip,
     "merge_events": merge_events,
     "delete_events": delete_events,
-    "tool_vocab_encoded": tool_vocab_encoded,
-    "ts_range_encoded": ts_range_encoded,
     "context_pack": context_pack,
     "context_truncate": context_truncate,
     "turn_pairs": turn_pairs,
@@ -12316,7 +12346,6 @@ QUERIES = {
     "moments_by_type": moments_by_type,
     "iqr_outliers": iqr_outliers,
     "conv_prefix_dedup": conv_prefix_dedup,
-    "sft_export": sft_export,
     "rolling_median3": rolling_median3,
     "q4_priority_exists": q4_priority_exists,
     "q13_order_distribution": q13_order_distribution,
@@ -12325,8 +12354,6 @@ QUERIES = {
     "value_histogram": value_histogram,
     "blocklist_filter": blocklist_filter,
     "embed_dim_stats": embed_dim_stats,
-    "kmeans_embeddings": kmeans_embeddings,
-    "semantic_dedup": semantic_dedup,
     "embed_outliers": embed_outliers,
     "logreg_train": logreg_train,
     "quality_scores": quality_scores,
@@ -12341,7 +12368,6 @@ QUERIES = {
     "triangles_coorder": triangles_coorder,
     "fuzzy_best_match": fuzzy_best_match,
     "source_cap": source_cap,
-    "bm25_search": bm25_search,
     "ewma_value": ewma_value,
     "span_corruption": span_corruption,
     "kcore_filter": kcore_filter,
@@ -12354,8 +12380,6 @@ QUERIES = {
     "edge_common_neighbors": edge_common_neighbors,
     "source_entropy": source_entropy,
     "term_cooc_pmi": term_cooc_pmi,
-    "embed_cov": embed_cov,
-    "embed_pca_project": embed_pca_project,
     "pagerank_partsupp": pagerank_partsupp,
     "bloom_semi_orders": bloom_semi_orders,
     "promo_revenue": promo_revenue,
@@ -12381,11 +12405,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "sorted_export": sorted_export,
     "salted_join_segments": salted_join_segments,
-    "turn_sum_encoded": turn_sum_encoded,
-    "turn_var_encoded": turn_var_encoded,
     "export_shards": export_shards,
-    "role_turn_sum_encoded": role_turn_sum_encoded,
-    "role_tool_counts_encoded": role_tool_counts_encoded,
     "table_diff_events": table_diff_events,
     "mode_event_type": mode_event_type,
     "data_mixture": data_mixture,
@@ -12405,7 +12425,14 @@ QUERIES = {
     "user_ltv_deciles": user_ltv_deciles,
     "first_touch_attribution": first_touch_attribution,
     "gap_quantiles": gap_quantiles,
-    "transcript_prep": transcript_prep,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_near": dedup_near,
+    "dedup_incremental": dedup_incremental,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_simhash_near": dedup_simhash_near,
+    "knn_ivf": knn_ivf,
+    "embed_pca_project": embed_pca_project,
 }
 
 ORACLE_SQL = {

@@ -29,16 +29,18 @@ MASK64 = (1 << 64) - 1
 
 def _batch_fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
     h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
-    # the partial MUST be emitted as an explicit uint64 column: a plain
-    # Python-int list makes pandas infer int64 for sums < 2^63 and uint64
-    # above, and Ray's cross-block schema unification of that mix goes
-    # through float64 — shearing the low bits of ~half the partials, with
-    # WHICH half depending on batch splits (a session-dependent, data-true
-    # "verify failed" false alarm observed at 16M rows)
+    # int64 WRAPAROUND sum of the uint64 hashes (zero-copy reinterpret):
+    # bit-identical to the uint64 sum mod 2^64, but avoids this host's
+    # pathologically slow unsigned-64 numpy path on the hottest verify
+    # primitive. The partial MUST be an explicit fixed dtype column: a plain
+    # Python-int list makes pandas infer int64 vs uint64 per block and Ray's
+    # cross-block schema unification of that mix goes through float64 —
+    # shearing low bits (a session-dependent "verify failed" false alarm
+    # observed at 16M rows). int64 everywhere keeps the schema uniform.
     return pd.DataFrame(
         {
             "hash_sum": np.array(
-                [h.astype(np.uint64).sum(dtype=np.uint64)], dtype=np.uint64
+                [h.view(np.int64).sum(dtype=np.int64)], dtype=np.int64
             ),
             "n": np.array([len(batch)], dtype=np.int64),
         }
