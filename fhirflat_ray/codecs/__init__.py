@@ -9,5 +9,16 @@ branch (/root/reference/fhirflat/fhir2flat.py:56-65).
 """
 
 from fhirflat_ray.codecs.core import decode_column, encode_column
+from fhirflat_ray.codecs.registry import (
+    register_codec,
+    registered_codecs,
+    unregister_codec,
+)
 
-__all__ = ["encode_column", "decode_column"]
+__all__ = [
+    "encode_column",
+    "decode_column",
+    "register_codec",
+    "unregister_codec",
+    "registered_codecs",
+]

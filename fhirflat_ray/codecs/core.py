@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from fhirflat_ray.codecs import registry
 from fhirflat_ray.codecs.ints import decode_ints, encode_ints
 from fhirflat_ray.codecs.strings import decode_strings, encode_strings
 
@@ -130,6 +131,12 @@ def encode_column(
         arr = arr.combine_chunks()
     n = len(arr)
     t = arr.type
+    # plug-in codecs get first refusal on every column (registry consulted
+    # before the built-ins so users can override even the fast paths); the
+    # common no-plug-ins case is a single O(1) check
+    custom = registry.try_custom_encode(arr)
+    if custom is not None:
+        return custom
     if _is_numeric_list(t) and arr.null_count == 0:
         enc = _encode_numeric_list(arr)
         if enc is not None:
@@ -385,6 +392,8 @@ def decode_column(
     blob: bytes,
     dict_store: dict[str, pa.Array] | None = None,
 ) -> pa.Array:
+    if hdr.get("c", "").startswith(registry.CUSTOM_PREFIX):
+        return registry.custom_decode(hdr, blob)
     if hdr.get("c") == "ipc":
         return _ipc_deserialize(blob)
     if hdr.get("c") == "numlist":

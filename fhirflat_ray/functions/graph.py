@@ -33,7 +33,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-__all__ = ["pagerank", "triangle_count", "group_pairs", "group_pairs_idx", "degree_fold", "BROADCAST_NODE_BUDGET"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "group_pairs",
+    "group_pairs_idx",
+    "degree_fold",
+    "NodeBudgetExceeded",
+    "BROADCAST_NODE_BUDGET",
+]
+
+
+class NodeBudgetExceeded(ValueError):
+    """Raised by :func:`degree_fold` when the distinct node count exceeds
+    the broadcast budget. Callers with a distributed path (triangle_count)
+    catch this and switch to join-attached degrees; callers that are
+    inherently broadcast-shaped let it propagate as the honest guard."""
 
 #: broadcast-path cap: 2M nodes x (8B id + 8B rank + 8B degree) = 48 MB of
 #: driver/broadcast state — past this the distributed join path runs
@@ -237,6 +252,142 @@ def _pagerank_broadcast(
     )
 
 
+def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
+    """Above-node-budget triangle counting — NO driver-resident node state.
+
+    Same rank-orientation algorithm as the broadcast path, re-expressed so
+    every node-scale structure stays a Dataset:
+
+    - degrees fold as per-batch ``np.unique`` partials into a bucketed
+      groupby (a (node, deg) Dataset — never collected);
+    - each edge picks up (du, dv) via two distributed hash joins against
+      that Dataset;
+    - orientation compares (deg, id) LEXICOGRAPHICALLY per batch — exactly
+      the total order the broadcast path's dense rank encodes
+      (``np.lexsort((un, deg))``), so both paths orient every edge
+      identically and count the identical exact triangle set;
+    - wedges sort by (db, b) within each source bucket (again the same
+      order) and close via ``hybrid_semi_join``, whose Bloom-prefiltered
+      distributed plan handles an over-budget edge-key set.
+
+    Driver state is O(partition partials) for the id-bounds fold only."""
+    from fhirflat_ray.functions.joins import hybrid_semi_join
+    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+
+    # global id bounds: O(1) partial per batch, one tiny driver fold —
+    # needed for the packed int64 pair keys and the non-negative-id guard
+    def bounds(b: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        if len(ids) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "lo": pa.array([int(ids.min())], pa.int64()),
+                "hi": pa.array([int(ids.max())], pa.int64()),
+            }
+        )
+
+    bt = collect_small_table(edges.map_batches(bounds, batch_format="pyarrow"))
+    if bt.num_rows == 0:
+        if return_triangles:
+            import ray.data as rd
+
+            return rd.from_arrow(
+                pa.schema(
+                    [("n1", pa.int64()), ("n2", pa.int64()), ("n3", pa.int64())]
+                ).empty_table()
+            )
+        return pa.table({"n_triangles": pa.array([0], pa.int64())})
+    lo_id = int(bt["lo"].to_numpy(zero_copy_only=False).min())
+    if lo_id < 0:
+        raise ValueError("graph node ids must be non-negative (packed int64 pair keys)")
+    off = int(bt["hi"].to_numpy(zero_copy_only=False).max()) + 1
+    if off * off >= 2**63:
+        raise ValueError("triangle_count: node-id range too wide for int64 pair keys")
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False).agg(deg=("deg", "sum"))
+
+    deg = (
+        bucketed_map_groups(
+            edges.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            deg_final,
+            num_buckets=n_parts,
+        )
+        .repartition(max(4, n_parts))
+        .materialize()
+    )
+
+    with_du = edges.join(deg, "inner", n_parts, on=("u",), right_on=("node",)).map_batches(
+        lambda b: pa.table({"u": b["u"], "v": b["v"], "du": b["deg"]}),
+        batch_format="pyarrow",
+    )
+    with_both = with_du.join(deg, "inner", n_parts, on=("v",), right_on=("node",))
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        du = b["du"].to_numpy(zero_copy_only=False)
+        dv = b["deg"].to_numpy(zero_copy_only=False)
+        swap = (du > dv) | ((du == dv) & (u > v))
+        a = np.where(swap, v, u)
+        bb = np.where(swap, u, v)
+        db = np.where(swap, du, dv)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "db": pa.array(db.astype(np.int64), pa.int64()),
+                "ek": pa.array(a * off + bb, pa.int64()),
+            }
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # (db, b) is the (degree, id) total order — the rank order the
+        # broadcast path sorts by — so pairs emit low-rank-first and the
+        # closing edge, if present, is stored in exactly that orientation
+        g = g.sort_values(["a", "db", "b"], kind="mergesort")
+        i, j = group_pairs_idx(g["a"].to_numpy())
+        b = g["b"].to_numpy()
+        lo, hi = b[i], b[j]
+        out = {"wk": lo * off + hi}
+        if return_triangles:
+            out.update({"n1": g["a"].to_numpy()[i], "n2": lo, "n3": hi})
+        return pd.DataFrame(out)
+
+    wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=n_parts)
+    closed = hybrid_semi_join(
+        wds,
+        oriented.select_columns(["ek"]),
+        on="wk",
+        right_on="ek",
+        num_partitions=n_parts,
+    )
+    if return_triangles:
+        return closed.select_columns(["n1", "n2", "n3"])
+    return pa.table({"n_triangles": pa.array([closed.count()], pa.int64())})
+
+
 def group_pairs_idx(gid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Row-index pairs (i, j) with i < j for every within-group pair, rows
     SORTED by group — output-linear (one ``np.repeat`` index build, no
@@ -301,10 +452,10 @@ def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
             "graph node ids must be non-negative (packed int64 pair keys)"
         )
     if len(un) > node_budget:
-        raise ValueError(
+        raise NodeBudgetExceeded(
             f"degree fold of {len(un)} nodes exceeds the broadcast budget "
             f"({node_budget}); attach degrees via a distributed hash join "
-            "(pagerank's above-budget path)"
+            "(triangle_count's above-budget path)"
         )
     deg = np.zeros(len(un), np.int64)
     np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
@@ -349,7 +500,12 @@ def triangle_count(edges, num_partitions: int | None = None,
 
     n_parts = num_partitions or default_num_buckets()
     edges = edges.materialize()
-    un, deg = degree_fold(edges, node_budget)
+    try:
+        un, deg = degree_fold(edges, node_budget)
+    except NodeBudgetExceeded:
+        # above the broadcast budget the node state never touches the
+        # driver: degrees stay a Dataset and attach via hash joins
+        return _triangle_count_distributed(edges, n_parts, return_triangles)
     if len(un) == 0:
         if return_triangles:
             import ray.data as rd

@@ -426,3 +426,84 @@ def test_dict_gate_survives_run_structured_columns():
     h, b = st.encode_strings(arr, try_fsst=False)
     assert h["c"] == "dict"
     assert st.decode_strings(h, b, len(arr)).equals(arr)
+
+
+# --------------------------------------------------- plug-in codec registry
+
+
+def _xordelta_fns():
+    """Toy xor-delta codec for non-null int64 columns (closure-defined so
+    cloudpickle ships them BY VALUE to Ray workers in the pipeline test)."""
+
+    def xd_estimate(arr):
+        ok = pa.types.is_int64(arr.type) or pa.types.is_int32(arr.type)
+        if not ok or arr.null_count > 0 or len(arr) == 0:
+            return None
+        return 8 * len(arr)
+
+    def xd_encode(arr):
+        if xd_estimate(arr) is None:
+            return None
+        v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.empty_like(v)
+        d[0] = v[0]
+        np.bitwise_xor(v[1:], v[:-1], out=d[1:])
+        return {"k": "xd1", "t": str(arr.type)}, d.tobytes()
+
+    def xd_decode(hdr, blob, n):
+        assert hdr["k"] == "xd1"
+        d = np.frombuffer(blob, np.int64, count=n)
+        v = np.bitwise_xor.accumulate(d)
+        if hdr["t"] == "int32":
+            return pa.array(v.astype(np.int32), pa.int32())
+        return pa.array(v, pa.int64())
+
+    return xd_encode, xd_decode, xd_estimate
+
+
+def test_register_codec_roundtrip_and_dispatch():
+    """A registered plug-in codec wins dispatch for the columns it accepts,
+    round-trips bit-identically, declines out-of-scope columns (falling
+    through to built-ins), and errors actionably when missing at decode —
+    all WITHOUT editing codecs/core.py (the open-registry contract,
+    reference analogue: extension_validators.py:55-87)."""
+    from fhirflat_ray.codecs import register_codec, unregister_codec
+
+    enc_fn, dec_fn, est_fn = _xordelta_fns()
+    register_codec("xordelta", enc_fn, dec_fn, est_fn)
+    try:
+        v = pa.array(np.arange(10_000, dtype=np.int64) * 7919, pa.int64())
+        hdr, blob = encode_column(v)
+        assert hdr["c"] == "x:xordelta"
+        assert decode_column(hdr, blob).equals(v)
+
+        # declined column (nulls) falls through to the built-in int path
+        with_nulls = pa.array([1, None, 3], pa.int64())
+        hdr2, blob2 = encode_column(with_nulls)
+        assert hdr2["c"] == "ints"
+        assert decode_column(hdr2, blob2).equals(with_nulls)
+
+        # declined type (string) falls through too
+        s = pa.array(["a", "b"], pa.string())
+        hdr3, _ = encode_column(s)
+        assert hdr3["c"] == "str"
+    finally:
+        unregister_codec("xordelta")
+
+    # decoding a plug-in-coded blob without the registration is an
+    # actionable error, not silent corruption
+    with pytest.raises(ValueError, match="register_codec"):
+        decode_column(hdr, blob)
+
+    # built-ins take over again once unregistered
+    hdr4, _ = encode_column(pa.array([1, 2, 3], pa.int64()))
+    assert hdr4["c"] == "ints"
+
+
+def test_register_codec_name_validation():
+    from fhirflat_ray.codecs import register_codec
+
+    with pytest.raises(ValueError):
+        register_codec("bad:name", lambda a: None, lambda h, b, n: None)
+    with pytest.raises(ValueError):
+        register_codec("", lambda a: None, lambda h, b, n: None)

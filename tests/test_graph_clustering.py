@@ -294,6 +294,50 @@ def test_triangle_count_planted_graph(ray_session):
     assert out["n_triangles"].to_pylist() == [5]
 
 
+def test_triangle_count_distributed_above_node_budget(ray_session):
+    """With node_budget smaller than the node count, triangle_count must
+    switch to the join-attached-degree distributed path and still return
+    the EXACT count and the identical triangle set — no driver-resident
+    node state, no raise."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n_nodes = 120
+    u = rng.integers(0, n_nodes, 900)
+    v = rng.integers(0, n_nodes, 900)
+    m = u != v
+    lo = np.minimum(u[m], v[m]).astype(np.int64)
+    hi = np.maximum(u[m], v[m]).astype(np.int64)
+    keys = np.unique(lo * n_nodes + hi)
+    lo, hi = keys // n_nodes, keys % n_nodes
+    t = pa.table({"u": pa.array(lo, pa.int64()), "v": pa.array(hi, pa.int64())})
+
+    adj = np.zeros((n_nodes, n_nodes), np.int64)
+    adj[lo, hi] = 1
+    adj[hi, lo] = 1
+    brute = int(np.einsum("ij,jk,ki->", adj, adj, adj)) // 6
+
+    got = triangle_count(
+        rd.from_arrow(t).repartition(4), num_partitions=4, node_budget=8
+    )
+    assert got["n_triangles"].to_pylist() == [brute]
+
+    tri_b = triangle_count(
+        rd.from_arrow(t).repartition(4), num_partitions=4, return_triangles=True
+    ).to_pandas()
+    tri_d = triangle_count(
+        rd.from_arrow(t).repartition(4),
+        num_partitions=4,
+        node_budget=8,
+        return_triangles=True,
+    ).to_pandas()
+    set_b = set(map(tuple, np.sort(tri_b.to_numpy(), axis=1)))
+    set_d = set(map(tuple, np.sort(tri_d.to_numpy(), axis=1)))
+    assert set_b == set_d and len(set_d) == brute
+
+
 def test_logreg_gd_matches_numpy_reference(ray_session):
     """Distributed full-batch GD must match a single-process numpy run of
     the identical recurrence to float precision."""

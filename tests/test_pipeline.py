@@ -1051,3 +1051,35 @@ def test_fingerprint_invariant_under_partitioning(ray_session):
         got = dataset_fingerprint(rd.from_arrow(t).repartition(nparts))
         assert got["n"] == len(df)
         assert got["hash_sum"] == want, f"nparts={nparts}"
+
+
+def test_plugin_codec_through_segment_pipeline(ray_session, frag_dir, tmp_path):
+    """register_codec → encode_files (Ray workers pick the plug-in up via
+    the DataContext mirror) → segment headers carry the "x:" tag →
+    decode_dataset reproduces the source bit-identically — the full
+    open-registry loop without touching codecs/core.py."""
+    import ray.data as rd
+
+    from fhirflat_ray.codecs import register_codec, unregister_codec
+    from tests.test_codecs import _xordelta_fns
+
+    enc_fn, dec_fn, est_fn = _xordelta_fns()
+    register_codec("xordelta", enc_fn, dec_fn, est_fn)
+    out = str(tmp_path / "enc_plugin")
+    try:
+        enc.encode_files(frag_dir, out, target_rows=4_000)
+        headers = [seg.read_segment_header(p)[0] for p in dec.segment_paths(out)]
+        tags = {c["hdr"]["c"] for h in headers for c in h["columns"]}
+        assert "x:xordelta" in tags, tags
+
+        verdict = ver.verify_roundtrip(
+            rd.read_parquet(frag_dir), dec.decode_dataset(out)
+        )
+        assert verdict["equal"], verdict
+    finally:
+        unregister_codec("xordelta")
+
+    # after driver-side unregister, decode of plug-in-coded segments must
+    # fail actionably in the workers (replace-semantics sync), not corrupt
+    with pytest.raises(Exception, match="register_codec"):
+        dec.decode_dataset(out).materialize()
