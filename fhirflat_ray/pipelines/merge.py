@@ -112,6 +112,34 @@ def _route_keys(keys: np.ndarray, los, his, pids, zoneless) -> tuple[np.ndarray,
     return np.concatenate(out_rows), np.concatenate(out_parts)
 
 
+def _scan_segments(seg_dir: str):
+    """ONE header pass over the on-disk segments → (lineage records for
+    zone routing, part_id → (segment file, prior fragment id)).
+
+    Routing must derive from DISK, not the manifest: after a crashed merge
+    the manifest is stale — it does not cover crash-appended insert
+    segments, so a manifest-routed re-run would miss their zones, classify
+    their keys as "not applied anywhere", and append them AGAIN (duplicate
+    rows). File names are either the planner's ordinal form
+    (part-000007.seg) or content hashes (appended / dataset-encoded
+    segments), so identities resolve from the headers, not the names."""
+    import glob as _glob
+
+    records: list[dict[str, Any]] = []
+    part_meta: dict[int, tuple[str, str]] = {}
+    for p in sorted(_glob.glob(os.path.join(seg_dir, "part-*.seg"))):
+        hdr, _ = seg.read_segment_header(p)
+        rec = hdr.get("lineage")
+        if rec is None:
+            continue
+        records.append(rec)
+        part_meta[int(rec["part_id"])] = (
+            os.path.basename(p),
+            str(rec.get("input_fragment", "")),
+        )
+    return records, part_meta
+
+
 def _shared_for_encode(seg_dir: str, manifest: dict[str, Any] | None):
     """col → (hash, vocab) for re-encoding, from the manifest's shared-dict
     registry (the same vocabularies the untouched segments reference)."""
@@ -142,7 +170,10 @@ def merge_upsert(
 
     manifest = lin.read_manifest(seg_dir)
     _require_no_pending_evolution(manifest, "merge_upsert")
-    records = (manifest or {}).get("partitions") or lin.collect_lineage(seg_dir)
+    # routing records and part metadata come from the SAME on-disk header
+    # scan, so a re-run after a mid-merge crash sees crash-appended insert
+    # segments and routes their keys as updates instead of re-inserting
+    records, part_meta = _scan_segments(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
@@ -150,21 +181,6 @@ def merge_upsert(
 
     los, his, pids, zoneless = _zone_router(records, key)
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})
-
-    # part_id → (segment file, prior fragment id): file names are either the
-    # planner's ordinal form (part-000007.seg) or content hashes (appended /
-    # dataset-encoded segments), so resolve from the headers, not the name
-    import glob as _glob
-
-    part_meta: dict[int, tuple[str, str]] = {}
-    for p in sorted(_glob.glob(os.path.join(seg_dir, "part-*.seg"))):
-        hdr, _ = seg.read_segment_header(p)
-        rec = hdr.get("lineage")
-        if rec is not None:
-            part_meta[int(rec["part_id"])] = (
-                os.path.basename(p),
-                str(rec.get("input_fragment", "")),
-            )
     meta_ref = ray.put(part_meta)
 
     def route(batch: pa.Table) -> pa.Table:
@@ -299,7 +315,8 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
 
     manifest = lin.read_manifest(seg_dir)
     _require_no_pending_evolution(manifest, "merge_delete")
-    records = (manifest or {}).get("partitions") or lin.collect_lineage(seg_dir)
+    # disk-scan routing (same crash-consistency rationale as merge_upsert)
+    records, part_meta = _scan_segments(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
@@ -307,18 +324,6 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
 
     los, his, pids, zoneless = _zone_router(records, key)
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})
-
-    import glob as _glob
-
-    part_meta: dict[int, tuple[str, str]] = {}
-    for p in sorted(_glob.glob(os.path.join(seg_dir, "part-*.seg"))):
-        hdr, _ = seg.read_segment_header(p)
-        rec = hdr.get("lineage")
-        if rec is not None:
-            part_meta[int(rec["part_id"])] = (
-                os.path.basename(p),
-                str(rec.get("input_fragment", "")),
-            )
     meta_ref = ray.put(part_meta)
 
     def route(batch: pa.Table) -> pa.Table:

@@ -1576,3 +1576,105 @@ def test_gif_features_through_actor_pool(ray_session):
     got = np.array(out["features"].iloc[0], dtype=np.float32)
     want = mm._image_features(gif_px, 64)
     assert np.allclose(got, want)
+
+
+# ------------------------------------------------- LSH recall property tests
+
+
+def _planted_pairs(n_pairs: int, dim: int, cosine: float, seed: int):
+    """(u_matrix, v_matrix) of unit vectors with EXACT pairwise cosine:
+    v = c*u + sqrt(1-c^2)*w with w a unit vector orthogonal to u."""
+    rng = np.random.default_rng(seed)
+    u = rng.standard_normal((n_pairs, dim))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.standard_normal((n_pairs, dim))
+    w -= (np.einsum("ij,ij->i", w, u))[:, None] * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    v = cosine * u + np.sqrt(1.0 - cosine**2) * w
+    return u, v
+
+
+def _band_keys(mat: np.ndarray, bits: int, n_bands: int, seed: int) -> np.ndarray:
+    """(n_rows, n_bands) band keys via the production hasher itself."""
+    n, dim = mat.shape
+    ids = pa.array(np.arange(n, dtype=np.int64), pa.int64())
+    vecs = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1), pa.float64()), dim
+    )
+    h = dd.BandedHyperplaneHasher(
+        dim=dim, n_bands=n_bands, bits=bits, vec_column="embedding",
+        id_column="vec_id", seed=seed,
+    )
+    out = h(pa.table({"vec_id": ids, "embedding": vecs}))
+    # rows emit in input order, n_bands keys per row
+    return out["__key"].to_numpy(zero_copy_only=False).reshape(n, n_bands)
+
+
+@pytest.mark.parametrize("threshold", [0.8, 0.9])
+def test_lsh_band_plan_recall_promise(threshold):
+    """lsh_band_plan's QUANTITATIVE promise: pairs planted at the cosine
+    threshold must be recovered (some band key equal) at >= the plan's
+    expected recall, across seeds, within binomial tolerance. This replaces
+    fixed-fixture faith in the rows-only LSH dedup entries with a measured
+    guarantee on the exact production hasher."""
+    target_recall = 0.9
+    bits, n_bands, expected = dd.lsh_band_plan(threshold, target_recall)
+    assert expected >= target_recall
+
+    n_pairs, dim = 400, 16
+    hits = 0
+    total = 0
+    for seed in (11, 12, 13):
+        # plant slightly ABOVE the threshold: recall is monotone in the
+        # cosine, so the plan's number at the threshold is a lower bound
+        # (and exact-at-threshold floats would flap the verify equality)
+        u, v = _planted_pairs(n_pairs, dim, min(0.999, threshold + 0.01), seed)
+        ku = _band_keys(u, bits, n_bands, seed=seed)
+        kv = _band_keys(v, bits, n_bands, seed=seed)
+        hits += int((ku == kv).any(axis=1).sum())
+        total += n_pairs
+    observed = hits / total
+    sigma = np.sqrt(expected * (1.0 - expected) / total)
+    assert observed >= expected - 4.0 * sigma, (
+        f"observed recall {observed:.3f} < planned {expected:.3f} - 4σ "
+        f"({4*sigma:.3f}) at threshold {threshold}"
+    )
+
+
+def test_cosine_dedup_lsh_end_to_end_recall(ray_session):
+    """Full cosine_dedup_lsh pipeline recall on planted near-duplicate
+    pairs: detected pairs remove one survivor each, so recall reads off the
+    survivor count. Must meet the band plan's promise within tolerance."""
+    import ray.data as rd
+
+    threshold, target_recall = 0.9, 0.9
+    _, _, expected = dd.lsh_band_plan(threshold, target_recall)
+    n_pairs, dim = 200, 16
+    u, v = _planted_pairs(n_pairs, dim, 0.91, seed=5)
+    mat = np.concatenate([u, v])
+    vecs = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1), pa.float64()), dim
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2 * n_pairs, dtype=np.int64), pa.int64()),
+            "embedding": vecs,
+        }
+    )
+    survivors = dd.cosine_dedup_lsh(
+        rd.from_arrow(t).repartition(4),
+        id_column="vec_id",
+        vec_column="embedding",
+        threshold=threshold,
+        target_recall=target_recall,
+        num_partitions=4,
+        seed=5,
+    )
+    n_surv = survivors.count()
+    detected = 2 * n_pairs - n_surv
+    observed = detected / n_pairs
+    sigma = np.sqrt(expected * (1.0 - expected) / n_pairs)
+    assert observed >= expected - 4.0 * sigma, (n_surv, observed, expected)
+    # random non-planted cross pairs at dim 16 sit near cosine 0 — exact
+    # verification must not merge them (no over-deletion)
+    assert n_surv >= n_pairs

@@ -1083,3 +1083,180 @@ def test_plugin_codec_through_segment_pipeline(ray_session, frag_dir, tmp_path):
     # fail actionably in the workers (replace-semantics sync), not corrupt
     with pytest.raises(Exception, match="register_codec"):
         dec.decode_dataset(out).materialize()
+
+
+# ------------------------------------------------- crash + resume semantics
+
+
+def _events_frame(n: int) -> "pd.DataFrame":
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "val": np.arange(n, dtype=np.float64) * 0.5,
+            "tag": ["t%d" % (i % 5) for i in range(n)],
+        }
+    )
+
+
+def _run_and_kill(code: str, progressed) -> bool:
+    """Start ``code`` in a fresh python (own Ray session), SIGKILL it the
+    moment ``progressed()`` first returns True. Returns True if the kill
+    landed mid-run (False = the job finished first, which still exercises
+    the re-run path)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if progressed():
+                if proc.poll() is None:
+                    proc.send_signal(signal.SIGKILL)
+                    proc.wait(timeout=30)
+                    return True
+                return False
+            if proc.poll() is not None:
+                return False
+            time.sleep(0.02)
+        raise TimeoutError("job made no observable progress in 120s")
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
+def test_compact_killed_midrun_source_intact_and_rerunnable(ray_session, tmp_path):
+    """SIGKILL during compact_segments must leave the SOURCE segment set
+    fully intact (compaction writes elsewhere); a plain re-run then
+    produces a decode-equal compacted set."""
+    import numpy as np
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = _events_frame(40_000)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=500,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("event_id",), target_rows=500)
+    n_src_segs = len(glob.glob(os.path.join(segd, "part-*.seg")))
+    assert n_src_segs == 80
+    src_bytes = {
+        p: open(p, "rb").read() for p in glob.glob(os.path.join(segd, "part-*.seg"))
+    }
+
+    outd = str(tmp_path / "compacted")
+    code = (
+        "import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR')\n"
+        "from fhirflat_ray.pipelines.encode import compact_segments\n"
+        f"compact_segments({segd!r}, {outd!r}, target_rows=2000, sort_keys=('event_id',))\n"
+    )
+    killed = _run_and_kill(
+        code, lambda: len(glob.glob(os.path.join(outd, "part-*.seg"))) >= 2
+    )
+
+    # source untouched byte-for-byte regardless of where the kill landed
+    for p, blob in src_bytes.items():
+        assert open(p, "rb").read() == blob, f"source segment changed: {p}"
+
+    # re-run to completion (encode_dataset owns+clears out_dir) → equality
+    enc.compact_segments(segd, outd, target_rows=2000, sort_keys=("event_id",))
+    got = dec.decode_dataset(outd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got.equals(df)
+    assert len(glob.glob(os.path.join(outd, "part-*.seg"))) < n_src_segs
+    assert killed in (True, False)  # informational; both paths verified
+
+
+def test_merge_upsert_killed_midrun_no_loss_no_dups(ray_session, tmp_path):
+    """SIGKILL during merge_upsert: every segment stays readable (atomic
+    per-segment replace), no row is lost, no key duplicates; re-running the
+    SAME upsert converges to the exact expected table (crash-appended
+    insert segments are seen by the disk-scan router, not re-inserted)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import merge_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = 20_000
+    df = _events_frame(n)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=400,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("event_id",), target_rows=400)
+    before = {
+        p: os.path.getmtime(p) for p in glob.glob(os.path.join(segd, "part-*.seg"))
+    }
+    assert len(before) == 50
+
+    upd_path = str(tmp_path / "upd.parquet")
+    upd = pd.DataFrame(
+        {
+            "event_id": np.concatenate(
+                [np.arange(0, n, 3), np.arange(n, n + 500)]
+            ).astype(np.int64)
+        }
+    )
+    upd["val"] = upd["event_id"] * -1.0
+    upd["tag"] = "updated"
+    pq.write_table(pa.Table.from_pandas(upd, preserve_index=False), upd_path)
+
+    def progressed() -> bool:
+        paths = glob.glob(os.path.join(segd, "part-*.seg"))
+        if len(paths) != len(before):
+            return True
+        changed = sum(1 for p in paths if os.path.getmtime(p) != before.get(p))
+        return changed >= 2
+
+    code = (
+        "import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR')\n"
+        "import ray.data as rd\n"
+        "from fhirflat_ray.pipelines.merge import merge_upsert\n"
+        f"merge_upsert({segd!r}, rd.read_parquet({upd_path!r}), 'event_id')\n"
+    )
+    _run_and_kill(code, progressed)
+
+    # post-kill invariants: every segment readable, zero lost keys, zero
+    # duplicate keys, every row either its old or its new value
+    mid = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    base_ids = mid[mid.event_id < n]
+    assert len(base_ids) == n and base_ids.event_id.is_unique
+    assert mid.event_id.is_unique  # crash-appended inserts never duplicate
+    old_val = base_ids.event_id.to_numpy() * 0.5
+    new_val = base_ids.event_id.to_numpy() * -1.0
+    v = base_ids.val.to_numpy()
+    assert np.all((v == old_val) | (v == new_val))
+
+    # re-run the SAME upsert → exact expected final state
+    merge_upsert(segd, rd.read_parquet(upd_path), "event_id")
+    got = dec.decode_dataset(segd).to_pandas().sort_values("event_id").reset_index(drop=True)
+    exp = df.copy()
+    mask = exp.event_id % 3 == 0
+    exp.loc[mask, "val"] = exp.loc[mask, "event_id"] * -1.0
+    exp.loc[mask, "tag"] = "updated"
+    new = pd.DataFrame({"event_id": np.arange(n, n + 500, dtype=np.int64)})
+    new["val"] = new["event_id"] * -1.0
+    new["tag"] = "updated"
+    exp = pd.concat([exp, new]).sort_values("event_id").reset_index(drop=True)
+    assert got.equals(exp)
