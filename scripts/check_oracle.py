@@ -53,7 +53,8 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ncpu = int(os.environ.get("CHECK_ORACLE_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
