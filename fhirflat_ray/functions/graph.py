@@ -39,6 +39,9 @@ __all__ = [
     "group_pairs",
     "group_pairs_idx",
     "degree_fold",
+    "node_degrees",
+    "attach_degrees",
+    "peel_low_degree",
     "NodeBudgetExceeded",
     "BROADCAST_NODE_BUDGET",
 ]
@@ -310,43 +313,17 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
     if off * off >= 2**63:
         raise ValueError("triangle_count: node-id range too wide for int64 pair keys")
 
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
-
-    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("node", sort=False, as_index=False).agg(deg=("deg", "sum"))
-
-    deg = (
-        bucketed_map_groups(
-            edges.map_batches(deg_partial, batch_format="pyarrow"),
-            ["node"],
-            deg_final,
-            num_buckets=n_parts,
-        )
-        .repartition(max(4, n_parts))
-        .materialize()
+    deg = node_degrees(edges, n_parts)
+    with_both = attach_degrees(
+        edges, deg, [("u", "du"), ("v", "dv")], num_partitions=n_parts,
+        mode="distributed",
     )
-
-    with_du = edges.join(deg, "inner", n_parts, on=("u",), right_on=("node",)).map_batches(
-        lambda b: pa.table({"u": b["u"], "v": b["v"], "du": b["deg"]}),
-        batch_format="pyarrow",
-    )
-    with_both = with_du.join(deg, "inner", n_parts, on=("v",), right_on=("node",))
 
     def orient(b: pa.Table) -> pa.Table:
         u = b["u"].to_numpy(zero_copy_only=False)
         v = b["v"].to_numpy(zero_copy_only=False)
         du = b["du"].to_numpy(zero_copy_only=False)
-        dv = b["deg"].to_numpy(zero_copy_only=False)
+        dv = b["dv"].to_numpy(zero_copy_only=False)
         swap = (du > dv) | ((du == dv) & (u > v))
         a = np.where(swap, v, u)
         bb = np.where(swap, u, v)
@@ -460,6 +437,189 @@ def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
     deg = np.zeros(len(un), np.int64)
     np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
     return un, deg
+
+
+def node_degrees(edges, num_partitions: int | None = None):
+    """Endpoint-degree Dataset ``(node, deg)`` over a distinct undirected
+    edge Dataset (int64 columns ``u < v``) — the distributed-scale sibling
+    of :func:`degree_fold`: per-batch ``np.unique`` partials into ONE
+    coarse-bucket groupby; the node state never touches the driver.
+    Returned materialized so downstream joins/collects do not re-execute
+    the edge build."""
+    from fhirflat_ray.functions.util import bucketed_map_groups, default_num_buckets
+
+    n_parts = num_partitions or default_num_buckets()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                b["u"].to_numpy(zero_copy_only=False),
+                b["v"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        un, cnt = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+        )
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False).agg(deg=("deg", "sum"))
+
+    return (
+        bucketed_map_groups(
+            edges.map_batches(deg_partial, batch_format="pyarrow"),
+            ["node"],
+            deg_final,
+            num_buckets=n_parts,
+        )
+        .repartition(max(4, n_parts))
+        .materialize()
+    )
+
+
+def attach_degrees(
+    ds,
+    deg,
+    cols,
+    num_partitions: int | None = None,
+    node_budget: int = BROADCAST_NODE_BUDGET,
+    mode: str = "auto",
+):
+    """Attach per-node degrees to node columns of ``ds`` — hybrid scale.
+
+    ``deg`` is a ``(node, deg)`` Dataset (:func:`node_degrees`); ``cols``
+    maps int64 node columns to appended degree columns, e.g.
+    ``[("u", "du"), ("v", "dv")]``. Below ``node_budget`` distinct nodes
+    the degree table collects ONCE and attaches map-only (broadcast +
+    per-batch ``searchsorted`` — zero exchanges); above it, one
+    distributed hash join per column (the node state never touches the
+    driver). INNER semantics either way: every node-column value must
+    appear in ``deg`` — true whenever ``ds``'s nodes derive from the same
+    edges ``deg`` was folded from. ``mode``: "auto" | "broadcast" |
+    "distributed"."""
+    import ray
+
+    from fhirflat_ray.functions.util import (
+        collect_small_table,
+        default_num_buckets,
+        worker_cached_stage,
+    )
+
+    n_parts = num_partitions or default_num_buckets()
+    n_nodes = deg.count()
+    if mode == "broadcast" or (mode == "auto" and n_nodes <= node_budget):
+        t = collect_small_table(deg)
+        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes)
+        ref = ray.put(
+            (
+                nodes[order],
+                t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+            )
+        )
+
+        class AttachDeg:
+            def __init__(self, ref, cols):
+                self.nodes, self.deg = ray.get(ref)
+                self.cols = cols
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                for src, out in self.cols:
+                    vals = b[src].to_numpy(zero_copy_only=False)
+                    b = b.append_column(
+                        out,
+                        pa.array(
+                            self.deg[np.searchsorted(self.nodes, vals)], pa.int64()
+                        ),
+                    )
+                return b
+
+        return ds.map_batches(
+            worker_cached_stage(AttachDeg, ref=ref, cols=tuple(cols)),
+            batch_format="pyarrow",
+        )
+
+    out = ds
+    for src, outc in cols:
+        out = out.join(deg, "inner", n_parts, on=(src,), right_on=("node",))
+
+        def rename(b: pa.Table, _out=outc) -> pa.Table:
+            if "node" in b.column_names:
+                b = b.drop_columns(["node"])
+            return b.set_column(b.column_names.index("deg"), _out, b["deg"])
+
+        out = out.map_batches(rename, batch_format="pyarrow")
+    return out
+
+
+def peel_low_degree(
+    edges,
+    k: int,
+    num_partitions: int | None = None,
+    node_budget: int = BROADCAST_NODE_BUDGET,
+    mode: str = "auto",
+):
+    """ONE k-core peel round: drop every edge touching a node of degree
+    < ``k``. Returns ``(survivors, n_dropped_nodes, n_nodes)`` with
+    ``survivors`` materialized.
+
+    Hybrid scale like :func:`attach_degrees`: a sub-budget DROP set
+    broadcasts and peels map-only (``np.isin`` — zero exchanges); above
+    the budget the KEEP side stays a Dataset and survivors resolve via two
+    ``hybrid_semi_join`` passes (Bloom-prefiltered above ITS key budget),
+    so no node-scale state ever touches the driver."""
+    import pyarrow.compute as pc
+    import ray
+
+    from fhirflat_ray.functions.joins import hybrid_semi_join
+    from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
+
+    n_parts = num_partitions or default_num_buckets()
+    deg = node_degrees(edges, n_parts)
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return edges, 0, 0
+    drop_ds = deg.map_batches(
+        lambda b: b.filter(pc.less(b["deg"], pa.scalar(k, pa.int64()))),
+        batch_format="pyarrow",
+    ).materialize()
+    n_drop = drop_ds.count()
+    if n_drop == 0:
+        return edges, 0, n_nodes
+
+    if mode == "broadcast" or (mode == "auto" and n_drop <= node_budget):
+        drop = np.sort(
+            collect_small_table(drop_ds.select_columns(["node"]))["node"].to_numpy(
+                zero_copy_only=False
+            )
+        )
+        dref = ray.put(drop)
+
+        def peel(b: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            bad = np.isin(u, d) | np.isin(v, d)
+            return b.filter(pa.array(~bad))
+
+        return (
+            edges.map_batches(peel, batch_format="pyarrow").materialize(),
+            n_drop,
+            n_nodes,
+        )
+
+    keep = deg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["deg"], pa.scalar(k, pa.int64()))),
+        batch_format="pyarrow",
+    ).select_columns(["node"])
+    survivors = hybrid_semi_join(
+        hybrid_semi_join(edges, keep, on="u", right_on="node", num_partitions=n_parts),
+        keep,
+        on="v",
+        right_on="node",
+        num_partitions=n_parts,
+    )
+    return survivors.materialize(), n_drop, n_nodes
 
 
 def triangle_count(edges, num_partitions: int | None = None,

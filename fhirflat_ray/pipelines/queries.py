@@ -1218,43 +1218,40 @@ KS_VALUE_SPLIT_SQL = _ks_sql()
 def degree_assortativity(sf_dir: str):
     """Degree assortativity of the co-ordered-parts graph: the Pearson
     correlation of endpoint degrees over all edges (both orientations) —
-    positive means hubs connect to hubs. Degrees broadcast (the
-    ``degree_fold`` assumption); per-edge moment partials fold map-only;
-    the closed form mirrors ``qty_price_corr`` at 6dp."""
-    import ray
-
-    from fhirflat_ray.functions.graph import degree_fold
-    from fhirflat_ray.functions.util import collect_small_table, worker_cached_stage
+    positive means hubs connect to hubs. Degrees attach via
+    ``attach_degrees`` (broadcast below the node budget, distributed hash
+    joins above — no driver node state at scale); per-edge moment
+    partials fold map-only; the closed form mirrors ``qty_price_corr``
+    at 6dp."""
+    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+    from fhirflat_ray.functions.util import collect_small_table
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
     edges = _coorder_edges(sf_dir, n_parts).materialize()
-    dref = ray.put(degree_fold(edges))
+    with_deg = attach_degrees(
+        edges, node_degrees(edges, n_parts), [("u", "du"), ("v", "dv")],
+        num_partitions=n_parts,
+    )
 
-    class Moments:
-        def __init__(self, ref):
-            self.nodes, self.deg = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            u = b["u"].to_numpy(zero_copy_only=False)
-            v = b["v"].to_numpy(zero_copy_only=False)
-            du = self.deg[np.searchsorted(self.nodes, u)].astype(np.float64)
-            dv = self.deg[np.searchsorted(self.nodes, v)].astype(np.float64)
-            # both orientations: x = deg(src), y = deg(dst) symmetrized
-            x = np.concatenate([du, dv])
-            y = np.concatenate([dv, du])
-            return pa.table(
-                {
-                    "n": pa.array([len(x)], pa.int64()),
-                    "sx": pa.array([x.sum()], pa.float64()),
-                    "sy": pa.array([y.sum()], pa.float64()),
-                    "sxx": pa.array([(x * x).sum()], pa.float64()),
-                    "syy": pa.array([(y * y).sum()], pa.float64()),
-                    "sxy": pa.array([(x * y).sum()], pa.float64()),
-                }
-            )
+    def moments(b: pa.Table) -> pa.Table:
+        du = b["du"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = b["dv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # both orientations: x = deg(src), y = deg(dst) symmetrized
+        x = np.concatenate([du, dv])
+        y = np.concatenate([dv, du])
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([x.sum()], pa.float64()),
+                "sy": pa.array([y.sum()], pa.float64()),
+                "sxx": pa.array([(x * x).sum()], pa.float64()),
+                "syy": pa.array([(y * y).sum()], pa.float64()),
+                "sxy": pa.array([(x * y).sum()], pa.float64()),
+            }
+        )
 
     t = collect_small_table(
-        edges.map_batches(worker_cached_stage(Moments, ref=dref), batch_format="pyarrow")
+        with_deg.map_batches(moments, batch_format="pyarrow")
     ).to_pandas()
     n = float(t["n"].sum())
     sx, sy = float(t["sx"].sum()), float(t["sy"].sum())
@@ -7042,13 +7039,12 @@ HAVING count(*) FILTER (i % 5 = 3) > 0
 def kcore_filter(sf_dir: str):
     """Fixed-round k-core peeling (k=75, 3 rounds) on the co-ordered-parts
     graph — the graph-sparsification pass that strips low-connectivity
-    noise before community/embedding work. Each round: degrees fold
-    node-bounded (the ``triangle_count`` assumption), the sub-k node set
-    broadcasts, and edges drop in ONE map-only pass — no shuffle after the
-    edge build. Returns the distinct surviving nodes."""
-    import ray
-
-    from fhirflat_ray.functions.graph import degree_fold
+    noise before community/embedding work. Each round is ONE
+    ``peel_low_degree`` pass: below the node budget the sub-k DROP set
+    broadcasts and edges drop map-only; above it survivors resolve via
+    Bloom-prefiltered distributed semi joins, so no node-scale state ever
+    touches the driver. Returns the distinct surviving nodes."""
+    from fhirflat_ray.functions.graph import peel_low_degree
     from fhirflat_ray.functions.util import distinct_rows
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
@@ -7056,22 +7052,9 @@ def kcore_filter(sf_dir: str):
 
     k = 75
     for _ in range(3):
-        un, deg = degree_fold(edges)
-        if len(un) == 0:
+        edges, n_dropped, n_nodes = peel_low_degree(edges, k, num_partitions=n_parts)
+        if n_nodes == 0 or n_dropped == 0:
             break
-        drop = un[deg < k]
-        if len(drop) == 0:
-            break
-        dref = ray.put(drop)
-
-        def peel(b: pa.Table) -> pa.Table:
-            d = ray.get(dref)
-            u = b["u"].to_numpy(zero_copy_only=False)
-            v = b["v"].to_numpy(zero_copy_only=False)
-            bad = np.isin(u, d) | np.isin(v, d)
-            return b.filter(pa.array(~bad))
-
-        edges = edges.map_batches(peel, batch_format="pyarrow").materialize()
 
     def nodes_of(b: pa.Table) -> pa.Table:
         nodes = np.unique(
@@ -7160,35 +7143,31 @@ def clustering_coeff(sf_dir: str):
         num_buckets=n_parts,
     )
 
-    # degrees: node-bounded fold (the triangle counter's own assumption)
-    from fhirflat_ray.functions.graph import degree_fold
+    # degrees: broadcast below the node budget, distributed joins above
+    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
 
-    dref = ray.put(degree_fold(edges))
-
-    class Coeff:
-        def __init__(self, ref):
-            self.nodes, self.deg = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            node = b["node"].to_numpy(zero_copy_only=False)
-            tri_n = b["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
-            d = self.deg[np.searchsorted(self.nodes, node)]
-            keep = d >= 2
-            coeff = np.round(
-                2.0 * tri_n[keep] / (d[keep] * (d[keep] - 1)).astype(np.float64), 6
-            )
-            return pa.table(
-                {
-                    "node": pa.array(node[keep], pa.int64()),
-                    "tri": b["tri"].filter(pa.array(keep)),
-                    "deg": pa.array(d[keep], pa.int64()),
-                    "coeff": pa.array(coeff, pa.float64()),
-                }
-            )
-
-    scored = tri_counts.map_batches(
-        worker_cached_stage(Coeff, ref=dref), batch_format="pyarrow"
+    with_deg = attach_degrees(
+        tri_counts, node_degrees(edges, n_parts), [("node", "deg")],
+        num_partitions=n_parts,
     )
+
+    def coeff_kernel(b: pa.Table) -> pa.Table:
+        tri_n = b["tri"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b["deg"].to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        coeff = np.round(
+            2.0 * tri_n[keep] / (d[keep] * (d[keep] - 1)).astype(np.float64), 6
+        )
+        return pa.table(
+            {
+                "node": b["node"].filter(pa.array(keep)),
+                "tri": b["tri"].filter(pa.array(keep)),
+                "deg": pa.array(d[keep].astype(np.int64), pa.int64()),
+                "coeff": pa.array(coeff, pa.float64()),
+            }
+        )
+
+    scored = with_deg.map_batches(coeff_kernel, batch_format="pyarrow")
     return streaming_topk(scored, ["coeff", "node"], 25, descending=[True, False])
 
 
@@ -7716,16 +7695,11 @@ def edge_common_neighbors(sf_dir: str):
     scores (the float ratio is left to the consumer: k/(du+dv-2-k) can
     land exactly on a 1e-6 rounding half where engines' rounding modes
     diverge). Triangle triples explode to their three canonical edges,
-    fold per edge in one coarse-bucket exchange, degrees broadcast."""
-    import ray
-
+    fold per edge in one coarse-bucket exchange; degrees attach via
+    ``attach_degrees`` (broadcast below the node budget, distributed
+    hash joins above — no driver node state at scale)."""
     from fhirflat_ray.functions.graph import triangle_count
-    from fhirflat_ray.functions.util import (
-        bucketed_map_groups,
-        collect_small_table,
-        streaming_topk,
-        worker_cached_stage,
-    )
+    from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
     edges = _coorder_edges(sf_dir, n_parts).materialize()
@@ -7751,33 +7725,11 @@ def edge_common_neighbors(sf_dir: str):
         num_buckets=n_parts,
     )
 
-    from fhirflat_ray.functions.graph import degree_fold
+    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
 
-    dref = ray.put(degree_fold(edges))
-
-    class Attach:
-        def __init__(self, ref):
-            self.nodes, self.deg = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            u = b["u"].to_numpy(zero_copy_only=False)
-            v = b["v"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "u": b["u"],
-                    "v": b["v"],
-                    "cn": b["cn"],
-                    "deg_u": pa.array(
-                        self.deg[np.searchsorted(self.nodes, u)], pa.int64()
-                    ),
-                    "deg_v": pa.array(
-                        self.deg[np.searchsorted(self.nodes, v)], pa.int64()
-                    ),
-                }
-            )
-
-    scored = per_edge.map_batches(
-        worker_cached_stage(Attach, ref=dref), batch_format="pyarrow"
+    scored = attach_degrees(
+        per_edge, node_degrees(edges, n_parts),
+        [("u", "deg_u"), ("v", "deg_v")], num_partitions=n_parts,
     )
     return streaming_topk(
         scored, ["cn", "u", "v"], 25, descending=[True, False, False]

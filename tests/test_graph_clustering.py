@@ -426,3 +426,78 @@ def test_semantic_dedup_keeps_zero_norm_vectors(ray_session):
     assert 8 in survivors
     assert 0 in survivors and 1 in survivors
     assert len(survivors) == 3
+
+
+def _random_edges(seed: int, n_nodes: int, n_draws: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, n_nodes, n_draws)
+    v = rng.integers(0, n_nodes, n_draws)
+    m = u != v
+    lo = np.minimum(u[m], v[m]).astype(np.int64)
+    hi = np.maximum(u[m], v[m]).astype(np.int64)
+    keys = np.unique(lo * n_nodes + hi)
+    return pa.table(
+        {
+            "u": pa.array(keys // n_nodes, pa.int64()),
+            "v": pa.array(keys % n_nodes, pa.int64()),
+        }
+    )
+
+
+def test_attach_degrees_broadcast_distributed_parity(ray_session):
+    """attach_degrees must append identical degree columns in broadcast
+    and distributed modes, and both must match a numpy bincount."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+
+    t = _random_edges(11, 90, 600)
+    edges = rd.from_arrow(t).repartition(4).materialize()
+    deg_ds = node_degrees(edges, 4)
+
+    nodes = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+    ref = np.bincount(nodes, minlength=90)
+
+    outs = {}
+    for mode in ("broadcast", "distributed"):
+        df = (
+            attach_degrees(
+                edges, deg_ds, [("u", "du"), ("v", "dv")],
+                num_partitions=4, mode=mode,
+            )
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+        assert (df["du"].to_numpy() == ref[df["u"].to_numpy()]).all()
+        assert (df["dv"].to_numpy() == ref[df["v"].to_numpy()]).all()
+        outs[mode] = df[["u", "v", "du", "dv"]]
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["distributed"])
+
+
+def test_peel_low_degree_parity_and_reference(ray_session):
+    """One peel round must drop exactly the edges touching a degree<k node,
+    identically in broadcast and distributed modes (no driver node state
+    in the latter)."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import peel_low_degree
+
+    t = _random_edges(13, 70, 800)
+    lo, hi = t["u"].to_numpy(), t["v"].to_numpy()
+    deg = np.bincount(np.concatenate([lo, hi]), minlength=70)
+    k = int(np.median(deg[deg > 0])) + 1
+    keep_mask = (deg[lo] >= k) & (deg[hi] >= k)
+    expect = set(zip(lo[keep_mask].tolist(), hi[keep_mask].tolist()))
+    n_drop_expect = int((deg < k)[np.unique(np.concatenate([lo, hi]))].sum())
+
+    for mode in ("broadcast", "distributed"):
+        edges = rd.from_arrow(t).repartition(4).materialize()
+        surv, n_drop, n_nodes = peel_low_degree(
+            edges, k, num_partitions=4, mode=mode
+        )
+        df = surv.to_pandas()
+        got = set(zip(df["u"].tolist(), df["v"].tolist()))
+        assert got == expect, mode
+        assert n_nodes == int((deg > 0).sum())
+        assert n_drop == n_drop_expect
