@@ -313,9 +313,8 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
     if off * off >= 2**63:
         raise ValueError("triangle_count: node-id range too wide for int64 pair keys")
 
-    deg = node_degrees(edges, n_parts)
     with_both = attach_degrees(
-        edges, deg, [("u", "du"), ("v", "dv")], num_partitions=n_parts,
+        edges, edges, [("u", "du"), ("v", "dv")], num_partitions=n_parts,
         mode="distributed",
     )
 
@@ -465,80 +464,72 @@ def node_degrees(edges, num_partitions: int | None = None):
     def deg_final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False, as_index=False).agg(deg=("deg", "sum"))
 
-    return (
-        bucketed_map_groups(
-            edges.map_batches(deg_partial, batch_format="pyarrow"),
-            ["node"],
-            deg_final,
-            num_buckets=n_parts,
-        )
-        .repartition(max(4, n_parts))
-        .materialize()
-    )
+    return bucketed_map_groups(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"],
+        deg_final,
+        num_buckets=n_parts,
+    ).materialize()
 
 
 def attach_degrees(
     ds,
-    deg,
+    edges,
     cols,
     num_partitions: int | None = None,
     node_budget: int = BROADCAST_NODE_BUDGET,
     mode: str = "auto",
 ):
-    """Attach per-node degrees to node columns of ``ds`` — hybrid scale.
+    """Attach per-node endpoint degrees of ``edges`` to node columns of
+    ``ds`` — hybrid scale.
 
-    ``deg`` is a ``(node, deg)`` Dataset (:func:`node_degrees`); ``cols``
-    maps int64 node columns to appended degree columns, e.g.
+    ``cols`` maps int64 node columns to appended degree columns, e.g.
     ``[("u", "du"), ("v", "dv")]``. Below ``node_budget`` distinct nodes
-    the degree table collects ONCE and attaches map-only (broadcast +
-    per-batch ``searchsorted`` — zero exchanges); above it, one
-    distributed hash join per column (the node state never touches the
-    driver). INNER semantics either way: every node-column value must
-    appear in ``deg`` — true whenever ``ds``'s nodes derive from the same
-    edges ``deg`` was folded from. ``mode``: "auto" | "broadcast" |
+    the degrees fold on the driver ONCE (:func:`degree_fold`) and attach
+    map-only (broadcast + per-batch ``searchsorted`` — ZERO exchanges);
+    above it (``NodeBudgetExceeded``) degrees stay a Dataset
+    (:func:`node_degrees`, one coarse-bucket exchange) and attach via one
+    distributed hash join per column — the node state never touches the
+    driver. INNER semantics either way: every node-column value must
+    appear as an ``edges`` endpoint. ``mode``: "auto" | "broadcast" |
     "distributed"."""
     import ray
 
-    from fhirflat_ray.functions.util import (
-        collect_small_table,
-        default_num_buckets,
-        worker_cached_stage,
-    )
+    from fhirflat_ray.functions.util import default_num_buckets, worker_cached_stage
 
     n_parts = num_partitions or default_num_buckets()
-    n_nodes = deg.count()
-    if mode == "broadcast" or (mode == "auto" and n_nodes <= node_budget):
-        t = collect_small_table(deg)
-        nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(nodes)
-        ref = ray.put(
-            (
-                nodes[order],
-                t["deg"].to_numpy(zero_copy_only=False).astype(np.int64)[order],
+    if mode != "distributed":
+        try:
+            nodes, degs = degree_fold(edges, node_budget)
+        except NodeBudgetExceeded:
+            if mode == "broadcast":
+                raise
+        else:
+            ref = ray.put((nodes, degs))
+
+            class AttachDeg:
+                def __init__(self, ref, cols):
+                    self.nodes, self.deg = ray.get(ref)
+                    self.cols = cols
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    for src, out in self.cols:
+                        vals = b[src].to_numpy(zero_copy_only=False)
+                        b = b.append_column(
+                            out,
+                            pa.array(
+                                self.deg[np.searchsorted(self.nodes, vals)],
+                                pa.int64(),
+                            ),
+                        )
+                    return b
+
+            return ds.map_batches(
+                worker_cached_stage(AttachDeg, ref=ref, cols=tuple(cols)),
+                batch_format="pyarrow",
             )
-        )
 
-        class AttachDeg:
-            def __init__(self, ref, cols):
-                self.nodes, self.deg = ray.get(ref)
-                self.cols = cols
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                for src, out in self.cols:
-                    vals = b[src].to_numpy(zero_copy_only=False)
-                    b = b.append_column(
-                        out,
-                        pa.array(
-                            self.deg[np.searchsorted(self.nodes, vals)], pa.int64()
-                        ),
-                    )
-                return b
-
-        return ds.map_batches(
-            worker_cached_stage(AttachDeg, ref=ref, cols=tuple(cols)),
-            batch_format="pyarrow",
-        )
-
+    deg = node_degrees(edges, n_parts)
     out = ds
     for src, outc in cols:
         out = out.join(deg, "inner", n_parts, on=(src,), right_on=("node",))
@@ -563,18 +554,48 @@ def peel_low_degree(
     < ``k``. Returns ``(survivors, n_dropped_nodes, n_nodes)`` with
     ``survivors`` materialized.
 
-    Hybrid scale like :func:`attach_degrees`: a sub-budget DROP set
-    broadcasts and peels map-only (``np.isin`` — zero exchanges); above
-    the budget the KEEP side stays a Dataset and survivors resolve via two
-    ``hybrid_semi_join`` passes (Bloom-prefiltered above ITS key budget),
-    so no node-scale state ever touches the driver."""
+    Hybrid scale like :func:`attach_degrees`: below the node budget
+    degrees fold on the driver and the sub-``k`` DROP set broadcasts and
+    peels map-only (``np.isin`` — ZERO exchanges); above it
+    (``NodeBudgetExceeded``) the KEEP side stays a Dataset and survivors
+    resolve via two ``hybrid_semi_join`` passes (Bloom-prefiltered above
+    ITS key budget), so no node-scale state ever touches the driver."""
     import pyarrow.compute as pc
     import ray
 
     from fhirflat_ray.functions.joins import hybrid_semi_join
-    from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
+    from fhirflat_ray.functions.util import default_num_buckets
 
     n_parts = num_partitions or default_num_buckets()
+    if mode != "distributed":
+        try:
+            nodes, degs = degree_fold(edges, node_budget)
+        except NodeBudgetExceeded:
+            if mode == "broadcast":
+                raise
+        else:
+            n_nodes = len(nodes)
+            if n_nodes == 0:
+                return edges, 0, 0
+            drop = nodes[degs < k]
+            n_drop = len(drop)
+            if n_drop == 0:
+                return edges, 0, n_nodes
+            dref = ray.put(drop)
+
+            def peel(b: pa.Table) -> pa.Table:
+                d = ray.get(dref)
+                u = b["u"].to_numpy(zero_copy_only=False)
+                v = b["v"].to_numpy(zero_copy_only=False)
+                bad = np.isin(u, d) | np.isin(v, d)
+                return b.filter(pa.array(~bad))
+
+            return (
+                edges.map_batches(peel, batch_format="pyarrow").materialize(),
+                n_drop,
+                n_nodes,
+            )
+
     deg = node_degrees(edges, n_parts)
     n_nodes = deg.count()
     if n_nodes == 0:
@@ -586,27 +607,6 @@ def peel_low_degree(
     n_drop = drop_ds.count()
     if n_drop == 0:
         return edges, 0, n_nodes
-
-    if mode == "broadcast" or (mode == "auto" and n_drop <= node_budget):
-        drop = np.sort(
-            collect_small_table(drop_ds.select_columns(["node"]))["node"].to_numpy(
-                zero_copy_only=False
-            )
-        )
-        dref = ray.put(drop)
-
-        def peel(b: pa.Table) -> pa.Table:
-            d = ray.get(dref)
-            u = b["u"].to_numpy(zero_copy_only=False)
-            v = b["v"].to_numpy(zero_copy_only=False)
-            bad = np.isin(u, d) | np.isin(v, d)
-            return b.filter(pa.array(~bad))
-
-        return (
-            edges.map_batches(peel, batch_format="pyarrow").materialize(),
-            n_drop,
-            n_nodes,
-        )
 
     keep = deg.map_batches(
         lambda b: b.filter(pc.greater_equal(b["deg"], pa.scalar(k, pa.int64()))),

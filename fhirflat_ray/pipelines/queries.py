@@ -1223,14 +1223,13 @@ def degree_assortativity(sf_dir: str):
     joins above — no driver node state at scale); per-edge moment
     partials fold map-only; the closed form mirrors ``qty_price_corr``
     at 6dp."""
-    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+    from fhirflat_ray.functions.graph import attach_degrees
     from fhirflat_ray.functions.util import collect_small_table
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
     edges = _coorder_edges(sf_dir, n_parts).materialize()
     with_deg = attach_degrees(
-        edges, node_degrees(edges, n_parts), [("u", "du"), ("v", "dv")],
-        num_partitions=n_parts,
+        edges, edges, [("u", "du"), ("v", "dv")], num_partitions=n_parts,
     )
 
     def moments(b: pa.Table) -> pa.Table:
@@ -7144,11 +7143,10 @@ def clustering_coeff(sf_dir: str):
     )
 
     # degrees: broadcast below the node budget, distributed joins above
-    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+    from fhirflat_ray.functions.graph import attach_degrees
 
     with_deg = attach_degrees(
-        tri_counts, node_degrees(edges, n_parts), [("node", "deg")],
-        num_partitions=n_parts,
+        tri_counts, edges, [("node", "deg")], num_partitions=n_parts,
     )
 
     def coeff_kernel(b: pa.Table) -> pa.Table:
@@ -7725,11 +7723,10 @@ def edge_common_neighbors(sf_dir: str):
         num_buckets=n_parts,
     )
 
-    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+    from fhirflat_ray.functions.graph import attach_degrees
 
     scored = attach_degrees(
-        per_edge, node_degrees(edges, n_parts),
-        [("u", "deg_u"), ("v", "deg_v")], num_partitions=n_parts,
+        per_edge, edges, [("u", "deg_u"), ("v", "deg_v")], num_partitions=n_parts,
     )
     return streaming_topk(
         scored, ["cn", "u", "v"], 25, descending=[True, False, False]

@@ -449,21 +449,25 @@ def test_attach_degrees_broadcast_distributed_parity(ray_session):
     and distributed modes, and both must match a numpy bincount."""
     import ray.data as rd
 
-    from fhirflat_ray.functions.graph import attach_degrees, node_degrees
+    from fhirflat_ray.functions.graph import attach_degrees
 
     t = _random_edges(11, 90, 600)
     edges = rd.from_arrow(t).repartition(4).materialize()
-    deg_ds = node_degrees(edges, 4)
 
     nodes = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
     ref = np.bincount(nodes, minlength=90)
 
     outs = {}
-    for mode in ("broadcast", "distributed"):
+    # auto with a tiny budget must silently fall through to the join path
+    for label, mode, budget in (
+        ("broadcast", "broadcast", 1_000_000),
+        ("distributed", "distributed", 1_000_000),
+        ("auto_tiny", "auto", 8),
+    ):
         df = (
             attach_degrees(
-                edges, deg_ds, [("u", "du"), ("v", "dv")],
-                num_partitions=4, mode=mode,
+                edges, edges, [("u", "du"), ("v", "dv")],
+                num_partitions=4, node_budget=budget, mode=mode,
             )
             .to_pandas()
             .sort_values(["u", "v"])
@@ -471,8 +475,9 @@ def test_attach_degrees_broadcast_distributed_parity(ray_session):
         )
         assert (df["du"].to_numpy() == ref[df["u"].to_numpy()]).all()
         assert (df["dv"].to_numpy() == ref[df["v"].to_numpy()]).all()
-        outs[mode] = df[["u", "v", "du", "dv"]]
+        outs[label] = df[["u", "v", "du", "dv"]]
     pd.testing.assert_frame_equal(outs["broadcast"], outs["distributed"])
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["auto_tiny"])
 
 
 def test_peel_low_degree_parity_and_reference(ray_session):
@@ -491,10 +496,14 @@ def test_peel_low_degree_parity_and_reference(ray_session):
     expect = set(zip(lo[keep_mask].tolist(), hi[keep_mask].tolist()))
     n_drop_expect = int((deg < k)[np.unique(np.concatenate([lo, hi]))].sum())
 
-    for mode in ("broadcast", "distributed"):
+    for mode, budget in (
+        ("broadcast", 1_000_000),
+        ("distributed", 1_000_000),
+        ("auto", 8),  # tiny budget: auto must fall through to distributed
+    ):
         edges = rd.from_arrow(t).repartition(4).materialize()
         surv, n_drop, n_nodes = peel_low_degree(
-            edges, k, num_partitions=4, mode=mode
+            edges, k, num_partitions=4, node_budget=budget, mode=mode
         )
         df = surv.to_pandas()
         got = set(zip(df["u"].tolist(), df["v"].tolist()))
