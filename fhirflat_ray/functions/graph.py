@@ -275,7 +275,11 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
 
     Driver state is O(partition partials) for the id-bounds fold only."""
     from fhirflat_ray.functions.joins import hybrid_semi_join
-    from fhirflat_ray.functions.util import bucketed_map_groups, collect_small_table
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        collect_small_table,
+        default_num_buckets,
+    )
 
     # global id bounds: O(1) partial per batch, one tiny driver fold —
     # needed for the packed int64 pair keys and the non-negative-id guard
@@ -351,7 +355,9 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
             out.update({"n1": g["a"].to_numpy()[i], "n2": lo, "n3": hi})
         return pd.DataFrame(out)
 
-    wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=n_parts)
+    wds = bucketed_map_groups(
+        oriented, ["a"], wedges, num_buckets=max(n_parts, default_num_buckets())
+    )
     closed = hybrid_semi_join(
         wds,
         oriented.select_columns(["ek"]),
@@ -659,6 +665,11 @@ def triangle_count(edges, num_partitions: int | None = None,
     )
 
     n_parts = num_partitions or default_num_buckets()
+    # the wedge kernel is a sort-exchange + CPU-bound bucket map, not a
+    # hash-join aggregator pool — bucket it to the cluster's cores even
+    # when the byte-sized join partition count is tiny (n_parts=4 at
+    # sf0.1 serialized ~70M wedges onto 4 tasks; 4x measured)
+    wedge_buckets = max(n_parts, default_num_buckets())
     edges = edges.materialize()
     try:
         un, deg = degree_fold(edges, node_budget)
@@ -747,7 +758,9 @@ def triangle_count(edges, num_partitions: int | None = None,
             return pd.DataFrame({"n": np.array([n], np.int64)})
 
         parts = _collect(
-            bucketed_map_groups(oriented, ["a"], count_closed, num_buckets=n_parts)
+            bucketed_map_groups(
+                oriented, ["a"], count_closed, num_buckets=wedge_buckets
+            )
         )
         total = int(parts["n"].to_numpy(zero_copy_only=False).sum())
         return pa.table({"n_triangles": pa.array([total], pa.int64())})
@@ -762,7 +775,7 @@ def triangle_count(edges, num_partitions: int | None = None,
             out.update({"n1": g["a"].to_numpy()[i], "n2": lo, "n3": hi})
         return pd.DataFrame(out)
 
-    wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=n_parts)
+    wds = bucketed_map_groups(oriented, ["a"], wedges, num_buckets=wedge_buckets)
     closed = hybrid_semi_join(
         wds,
         oriented.select_columns(["ek"]),

@@ -6566,10 +6566,21 @@ def _coorder_edges(sf_dir: str, n_parts: int):
     """Distinct co-ordered part pairs (u < v) from lineitem — the shared
     edge build of the graph-analytics queries. One coarse-bucket shuffle
     on the order key (per-order fan-out is bounded at 7 line items, so
-    in-order pair enumeration is output-linear) + one distinct exchange."""
-    from fhirflat_ray.functions.graph import group_pairs
-    from fhirflat_ray.functions.util import bucketed_map_groups, distinct_rows
+    in-order pair enumeration is output-linear) + one distinct exchange.
 
+    Bucket count: ``max(n_parts, default_num_buckets())`` — the bucket
+    stages are sort-exchange + CPU-bound pandas kernels, NOT hash-join
+    aggregator actors, so they should saturate the cluster's cores even
+    when the byte-sized join partition count is small (n_parts=4 at sf0.1
+    left a 32-core host 87% idle through the pair kernel; 3.5x measured)."""
+    from fhirflat_ray.functions.graph import group_pairs
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        default_num_buckets,
+        distinct_rows,
+    )
+
+    nb = max(n_parts, default_num_buckets())
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -6581,8 +6592,8 @@ def _coorder_edges(sf_dir: str, n_parts: int):
         )
         return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
 
-    prs = bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=n_parts)
-    return distinct_rows(prs, ["u", "v"], num_buckets=n_parts)
+    prs = bucketed_map_groups(li, ["l_orderkey"], pairs, num_buckets=nb)
+    return distinct_rows(prs, ["u", "v"], num_buckets=nb)
 
 
 def quality_scores(sf_dir: str):
@@ -7117,6 +7128,7 @@ def clustering_coeff(sf_dir: str):
     from fhirflat_ray.functions.util import (
         bucketed_map_groups,
         collect_small_table,
+        default_num_buckets,
         streaming_topk,
         worker_cached_stage,
     )
@@ -7139,7 +7151,7 @@ def clustering_coeff(sf_dir: str):
 
     tri_counts = bucketed_map_groups(
         tri.map_batches(explode, batch_format="pyarrow"), ["node"], fold,
-        num_buckets=n_parts,
+        num_buckets=max(n_parts, default_num_buckets()),
     )
 
     # degrees: broadcast below the node budget, distributed joins above
@@ -7365,7 +7377,7 @@ def snm_pairs(sf_dir: str):
     within-window pair materializes in exactly one bucket and the verify
     is the batch-wide Levenshtein DP."""
     from fhirflat_ray.functions.sort import range_partition_sort
-    from fhirflat_ray.functions.util import bucketed_map_groups
+    from fhirflat_ray.functions.util import bucketed_map_groups, default_num_buckets
 
     n_parts = _join_partitions(sf_dir, ["documents"])
     w = _SNM_W
@@ -7460,7 +7472,10 @@ def snm_pairs(sf_dir: str):
             }
         )
 
-    return bucketed_map_groups(ghosted, ["bkt"], window_pairs, num_buckets=n_parts)
+    return bucketed_map_groups(
+        ghosted, ["bkt"], window_pairs,
+        num_buckets=max(n_parts, default_num_buckets()),
+    )
 
 
 SNM_PAIRS_SQL = f"""
@@ -7697,7 +7712,11 @@ def edge_common_neighbors(sf_dir: str):
     ``attach_degrees`` (broadcast below the node budget, distributed
     hash joins above — no driver node state at scale)."""
     from fhirflat_ray.functions.graph import triangle_count
-    from fhirflat_ray.functions.util import bucketed_map_groups, streaming_topk
+    from fhirflat_ray.functions.util import (
+        bucketed_map_groups,
+        default_num_buckets,
+        streaming_topk,
+    )
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])
     edges = _coorder_edges(sf_dir, n_parts).materialize()
@@ -7720,7 +7739,7 @@ def edge_common_neighbors(sf_dir: str):
 
     per_edge = bucketed_map_groups(
         tri.map_batches(explode, batch_format="pyarrow"), ["u", "v"], fold,
-        num_buckets=n_parts,
+        num_buckets=max(n_parts, default_num_buckets()),
     )
 
     from fhirflat_ray.functions.graph import attach_degrees
@@ -11625,6 +11644,7 @@ def q21_blame_suppliers(sf_dir: str):
     from fhirflat_ray.functions.util import (
         agg_select,
         bucketed_map_groups,
+        default_num_buckets,
         streaming_topk,
     )
 
@@ -11671,7 +11691,10 @@ def q21_blame_suppliers(sf_dir: str):
             columns={"size": "numwait"}
         )
 
-    partials = bucketed_map_groups(per_os, ["l_orderkey"], blame, num_buckets=n_parts)
+    partials = bucketed_map_groups(
+        per_os, ["l_orderkey"], blame,
+        num_buckets=max(n_parts, default_num_buckets()),
+    )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("l_suppkey", sort=False, as_index=False).agg(
