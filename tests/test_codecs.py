@@ -507,3 +507,87 @@ def test_register_codec_name_validation():
         register_codec("bad:name", lambda a: None, lambda h, b, n: None)
     with pytest.raises(ValueError):
         register_codec("", lambda a: None, lambda h, b, n: None)
+
+
+# ----------------------------------------- column-dispatch fuzz properties
+
+
+@st.composite
+def string_columns(draw):
+    """Optional-text columns engineered across the selection space: tiny
+    vocab (dict wins), spacey multi-token rows (worddict wins), unique
+    unicode (plain wins), byte-identical repeats, embedded controls."""
+    kind = draw(st.sampled_from(["vocab", "tokens", "unicode", "mixed"]))
+    n = draw(st.integers(0, 400))
+    if kind == "vocab":
+        vocab = draw(
+            st.lists(st.text(max_size=8), min_size=1, max_size=5, unique=True)
+        )
+        vals = draw(
+            st.lists(st.one_of(st.none(), st.sampled_from(vocab)), min_size=n, max_size=n)
+        )
+    elif kind == "tokens":
+        word = st.text(
+            alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+            max_size=6,
+        )
+        row = st.lists(word, max_size=8).map(" ".join)
+        vals = draw(st.lists(st.one_of(st.none(), row), min_size=n, max_size=n))
+    elif kind == "unicode":
+        txt = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=64
+        )
+        vals = draw(st.lists(st.one_of(st.none(), txt), min_size=n, max_size=n))
+    else:
+        piece = st.one_of(
+            st.none(),
+            st.just(""),
+            st.just(" "),
+            st.just("  a  b  "),
+            st.just("\n\t\r"),
+            st.text(max_size=32),
+        )
+        vals = draw(st.lists(piece, min_size=n, max_size=n))
+    return pa.array(vals, pa.string())
+
+
+@settings(max_examples=150, deadline=None)
+@given(string_columns())
+def test_string_column_roundtrip_property(arr):
+    """encode_column→decode_column is the identity for ANY optional-text
+    column — nulls stay nulls, empty stays empty, every byte survives —
+    regardless of which codec the statistics select."""
+    back = roundtrip(arr)
+    assert back.to_pylist() == arr.to_pylist()
+    assert back.null_count == arr.null_count
+
+
+@st.composite
+def float_columns(draw):
+    n = draw(st.integers(0, 300))
+    special = st.sampled_from([0.0, -0.0, float("inf"), float("-inf"), float("nan")])
+    val = st.one_of(
+        st.none(),
+        special,
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        # decimal-like values exercise the scaled-decimal codec path
+        st.integers(-10**6, 10**6).map(lambda c: c / 100.0),
+    )
+    return pa.array(draw(st.lists(val, min_size=n, max_size=n)), pa.float64())
+
+
+@settings(max_examples=100, deadline=None)
+@given(float_columns())
+def test_float_column_roundtrip_property(arr):
+    """Bit-exact float round-trip under the dispatch: NaN payloads, signed
+    zeros, infinities and null positions all survive every float codec.
+    Compared as raw int64 bit patterns (arrays_equal's NaN normalization
+    would conflate NaN with inf), masking nulls to zero on both sides."""
+    import pyarrow.compute as pc
+
+    back = roundtrip(arr)
+    assert back.type == arr.type and len(back) == len(arr)
+    assert pc.is_valid(back).equals(pc.is_valid(arr))
+    a = pc.fill_null(arr, 0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    b = pc.fill_null(back, 0.0).to_numpy(zero_copy_only=False).view(np.int64)
+    assert np.array_equal(a, b)
