@@ -7380,6 +7380,11 @@ def snm_pairs(sf_dir: str):
     from fhirflat_ray.functions.util import bucketed_map_groups, default_num_buckets
 
     n_parts = _join_partitions(sf_dir, ["documents"])
+    # the window DP is CPU-bound per bucket; derive the rank-block size from
+    # the CLUSTER-width bucket count (not the byte-sized join count) so
+    # there are enough distinct bkt keys to spread — any bsize >= w+1 is
+    # correct, each within-window pair still lands in exactly one bucket
+    nb = max(n_parts, default_num_buckets())
     w = _SNM_W
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
@@ -7400,7 +7405,7 @@ def snm_pairs(sf_dir: str):
         n_ranges=n_parts,
     ).materialize()
     total = ranked.count()
-    bsize = max(w + 1, -(-total // max(1, n_parts)))
+    bsize = max(w + 1, -(-total // max(1, nb)))
 
     def ghost(b: pa.Table) -> pa.Table:
         pos = b["pos"].to_numpy(zero_copy_only=False)
@@ -7472,10 +7477,7 @@ def snm_pairs(sf_dir: str):
             }
         )
 
-    return bucketed_map_groups(
-        ghosted, ["bkt"], window_pairs,
-        num_buckets=max(n_parts, default_num_buckets()),
-    )
+    return bucketed_map_groups(ghosted, ["bkt"], window_pairs, num_buckets=nb)
 
 
 SNM_PAIRS_SQL = f"""
