@@ -281,15 +281,13 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
         default_num_buckets,
     )
 
-    # global id bounds: O(1) partial per batch, one tiny driver fold —
-    # needed for the packed int64 pair keys and the non-negative-id guard
+    # degrees once (one edge scan + one coarse-bucket exchange, stays a
+    # Dataset); the global id bounds fold over the already-materialized
+    # (node, deg) partials instead of a second full pass over the edges
+    deg = node_degrees(edges, n_parts)
+
     def bounds(b: pa.Table) -> pa.Table:
-        ids = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
+        ids = b["node"].to_numpy(zero_copy_only=False)
         if len(ids) == 0:
             return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
         return pa.table(
@@ -299,7 +297,7 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
             }
         )
 
-    bt = collect_small_table(edges.map_batches(bounds, batch_format="pyarrow"))
+    bt = collect_small_table(deg.map_batches(bounds, batch_format="pyarrow"))
     if bt.num_rows == 0:
         if return_triangles:
             import ray.data as rd
@@ -319,7 +317,7 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
 
     with_both = attach_degrees(
         edges, edges, [("u", "du"), ("v", "dv")], num_partitions=n_parts,
-        mode="distributed",
+        mode="distributed", deg_ds=deg,
     )
 
     def orient(b: pa.Table) -> pa.Table:
@@ -403,6 +401,23 @@ def group_pairs(vals: np.ndarray, gid: np.ndarray) -> tuple[np.ndarray, np.ndarr
     return vals[i], vals[j]
 
 
+def _deg_partial(b: pa.Table) -> pa.Table:
+    """Per-batch endpoint-degree partial: ``(node, deg)`` over both edge
+    endpoints — the ONE degree definition shared by :func:`degree_fold`
+    (broadcast tier) and :func:`node_degrees` (distributed tier), so the
+    two tiers cannot drift apart."""
+    nodes = np.concatenate(
+        [
+            b["u"].to_numpy(zero_copy_only=False),
+            b["v"].to_numpy(zero_copy_only=False),
+        ]
+    )
+    un, cnt = np.unique(nodes, return_counts=True)
+    return pa.table(
+        {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
+    )
+
+
 def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
     """Node-bounded degree fold over a distinct undirected edge Dataset
     (int64 columns ``u < v``): per-batch ``np.unique`` partials, ONE
@@ -413,19 +428,7 @@ def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
     non-negative id space)."""
     from fhirflat_ray.functions.util import collect_small_table
 
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
-
-    parts = collect_small_table(edges.map_batches(deg_partial, batch_format="pyarrow"))
+    parts = collect_small_table(edges.map_batches(_deg_partial, batch_format="pyarrow"))
     un, inv = np.unique(
         parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
     )
@@ -455,23 +458,11 @@ def node_degrees(edges, num_partitions: int | None = None):
 
     n_parts = num_partitions or default_num_buckets()
 
-    def deg_partial(b: pa.Table) -> pa.Table:
-        nodes = np.concatenate(
-            [
-                b["u"].to_numpy(zero_copy_only=False),
-                b["v"].to_numpy(zero_copy_only=False),
-            ]
-        )
-        un, cnt = np.unique(nodes, return_counts=True)
-        return pa.table(
-            {"node": pa.array(un, pa.int64()), "deg": pa.array(cnt, pa.int64())}
-        )
-
     def deg_final(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False, as_index=False).agg(deg=("deg", "sum"))
 
     return bucketed_map_groups(
-        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        edges.map_batches(_deg_partial, batch_format="pyarrow"),
         ["node"],
         deg_final,
         num_buckets=n_parts,
@@ -485,6 +476,7 @@ def attach_degrees(
     num_partitions: int | None = None,
     node_budget: int = BROADCAST_NODE_BUDGET,
     mode: str = "auto",
+    deg_ds=None,
 ):
     """Attach per-node endpoint degrees of ``edges`` to node columns of
     ``ds`` — hybrid scale.
@@ -498,7 +490,9 @@ def attach_degrees(
     distributed hash join per column — the node state never touches the
     driver. INNER semantics either way: every node-column value must
     appear as an ``edges`` endpoint. ``mode``: "auto" | "broadcast" |
-    "distributed"."""
+    "distributed". ``deg_ds``: a precomputed :func:`node_degrees`
+    Dataset to reuse on the distributed path (skips one edge scan when
+    the caller already materialized the degrees)."""
     import ray
 
     from fhirflat_ray.functions.util import default_num_buckets, worker_cached_stage
@@ -535,15 +529,24 @@ def attach_degrees(
                 batch_format="pyarrow",
             )
 
-    deg = node_degrees(edges, n_parts)
+    deg = deg_ds if deg_ds is not None else node_degrees(edges, n_parts)
+    # join under RESERVED right-side names: a source column named "node"
+    # or "deg" (clustering_coeff attaches [("node", "deg")]) must survive
+    # the key coalesce and the degree rename
+    deg = deg.map_batches(
+        lambda b: pa.table({"__dg_node": b["node"], "__dg_deg": b["deg"]}),
+        batch_format="pyarrow",
+    )
     out = ds
     for src, outc in cols:
-        out = out.join(deg, "inner", n_parts, on=(src,), right_on=("node",))
+        out = out.join(deg, "inner", n_parts, on=(src,), right_on=("__dg_node",))
 
         def rename(b: pa.Table, _out=outc) -> pa.Table:
-            if "node" in b.column_names:
-                b = b.drop_columns(["node"])
-            return b.set_column(b.column_names.index("deg"), _out, b["deg"])
+            if "__dg_node" in b.column_names:
+                b = b.drop_columns(["__dg_node"])
+            return b.set_column(
+                b.column_names.index("__dg_deg"), _out, b["__dg_deg"]
+            )
 
         out = out.map_batches(rename, batch_format="pyarrow")
     return out

@@ -480,6 +480,46 @@ def test_attach_degrees_broadcast_distributed_parity(ray_session):
     pd.testing.assert_frame_equal(outs["broadcast"], outs["auto_tiny"])
 
 
+def test_attach_degrees_distributed_node_named_source(ray_session):
+    """The distributed join path must survive a source column literally
+    named "node" (clustering_coeff attaches [("node", "deg")]) — the
+    right side joins under reserved names so the key column is kept."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import attach_degrees
+
+    t = _random_edges(17, 50, 300)
+    edges = rd.from_arrow(t).repartition(4).materialize()
+    nodes = np.concatenate([t["u"].to_numpy(), t["v"].to_numpy()])
+    ref = np.bincount(nodes, minlength=50)
+    present = np.unique(nodes)
+
+    per_node = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(present, pa.int64()),
+                "tri": pa.array(np.arange(len(present)), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    df = (
+        attach_degrees(
+            per_node, edges, [("node", "deg")],
+            num_partitions=4, mode="distributed",
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert list(df.columns) == ["node", "tri", "deg"] or set(df.columns) == {
+        "node", "tri", "deg"
+    }
+    assert (df["node"].to_numpy() == present).all()
+    assert (df["deg"].to_numpy() == ref[present]).all()
+    # tri column rides through the join untouched
+    assert (df["tri"].to_numpy() == np.arange(len(present))).all()
+
+
 def test_peel_low_degree_parity_and_reference(ray_session):
     """One peel round must drop exactly the edges touching a degree<k node,
     identically in broadcast and distributed modes (no driver node state
