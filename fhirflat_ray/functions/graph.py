@@ -281,10 +281,12 @@ def _triangle_count_distributed(edges, n_parts: int, return_triangles: bool):
         default_num_buckets,
     )
 
-    # degrees once (one edge scan + one coarse-bucket exchange, stays a
-    # Dataset); the global id bounds fold over the already-materialized
-    # (node, deg) partials instead of a second full pass over the edges
-    deg = node_degrees(edges, n_parts)
+    # degrees once (one edge scan + one coarse-bucket exchange), PINNED in
+    # the object store: three consumers follow (the id-bounds fold plus the
+    # two degree joins) and a lazy Dataset would re-run the whole degree
+    # aggregation per consumer. O(nodes) rows — the distributed tier's
+    # working set by design; blocks spill rather than touch the driver.
+    deg = node_degrees(edges, n_parts).materialize()
 
     def bounds(b: pa.Table) -> pa.Table:
         ids = b["node"].to_numpy(zero_copy_only=False)
@@ -537,6 +539,10 @@ def attach_degrees(
         lambda b: pa.table({"__dg_node": b["node"], "__dg_deg": b["deg"]}),
         batch_format="pyarrow",
     )
+    if len(cols) > 1:
+        # each join re-executes a lazy right side; pin the (O(nodes)-row)
+        # degree table once so N column attaches cost one degree pass
+        deg = deg.materialize()
     out = ds
     for src, outc in cols:
         out = out.join(deg, "inner", n_parts, on=(src,), right_on=("__dg_node",))
@@ -605,7 +611,10 @@ def peel_low_degree(
                 n_nodes,
             )
 
-    deg = node_degrees(edges, n_parts)
+    # pin the degree table once: count(), the drop filter and the keep
+    # filter are three consumers, and a lazy Dataset would re-run the
+    # degree aggregation (a full edge scan + exchange) for each
+    deg = node_degrees(edges, n_parts).materialize()
     n_nodes = deg.count()
     if n_nodes == 0:
         return edges, 0, 0
