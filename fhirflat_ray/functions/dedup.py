@@ -532,6 +532,34 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
+def _pin_candidate_payload(cand, payload, id_column: str, num_partitions: int):
+    """ONE corpus scan for both attach joins: semi-filter the corpus-sized
+    payload Dataset down to the ids that actually appear in the candidate
+    pairs (map-only broadcast filter under the key budget, Bloom-prefiltered
+    scan above it), then PIN the duplicate-proportional survivors in the
+    object store. Without this, the left and right attach joins each
+    re-execute the full lazy payload read — two corpus scans where one
+    suffices."""
+    from fhirflat_ray.functions.joins import hybrid_semi_join
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        return pa.table({id_column: pa.array(ids, pa.int64())})
+
+    ids_ds = cand.map_batches(pair_ids, batch_format="pyarrow")
+    return hybrid_semi_join(
+        payload, ids_ds, on=id_column, right_on=id_column,
+        num_partitions=num_partitions,
+    ).materialize()
+
+
 def attach_pair_texts(
     cand,
     txt_ds,
@@ -595,6 +623,7 @@ def attach_pair_texts(
                 attach, batch_format="pyarrow", batch_size=20_000
             )
 
+    txt = _pin_candidate_payload(cand, txt, id_column, num_partitions)
     lt = cand.join(
         txt, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
         right_suffix="_l",
@@ -1138,7 +1167,10 @@ def _verify_edges_cosine(
         flat = np.frombuffer(col.buffers()[1], dtype=np.float64)
         return flat[col.offset * w : (col.offset + len(col)) * w].reshape(len(col), w)
 
-    packed = vecs_ds.map_batches(pack, batch_format="pyarrow")
+    packed = _pin_candidate_payload(
+        cand, vecs_ds.map_batches(pack, batch_format="pyarrow"),
+        id_column, num_partitions,
+    )
 
     def _vec_named(side: str):
         def f(batch: pa.Table) -> pa.Table:
