@@ -532,7 +532,13 @@ def _keep_component_minima(ds, edges, id_column: str, num_partitions: int | None
     return hash_anti_join(ds, drops, on=id_column, right_on="node", num_partitions=num_partitions)
 
 
-def _pin_candidate_payload(cand, payload, id_column: str, num_partitions: int):
+def _pin_candidate_payload(
+    cand,
+    payload,
+    id_column: str,
+    num_partitions: int,
+    broadcast_key_budget: int = 2_000_000,
+):
     """ONE corpus scan for both attach joins: semi-filter the corpus-sized
     payload Dataset down to the ids that actually appear in the candidate
     pairs (map-only broadcast filter under the key budget, Bloom-prefiltered
@@ -557,6 +563,7 @@ def _pin_candidate_payload(cand, payload, id_column: str, num_partitions: int):
     return hybrid_semi_join(
         payload, ids_ds, on=id_column, right_on=id_column,
         num_partitions=num_partitions,
+        broadcast_key_budget=broadcast_key_budget,
     ).materialize()
 
 

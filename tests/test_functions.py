@@ -608,6 +608,39 @@ def test_verify_distributed_join_paths(ray_session, monkeypatch):
     assert kept == [0] + list(range(3, 40))
 
 
+def test_pin_candidate_payload_tiers_agree(ray_session):
+    """_pin_candidate_payload must return exactly the candidate-id payload
+    rows on BOTH tiers — broadcast key filter (default budget) and the
+    Bloom-prefiltered distributed semi join (budget 0) — so the two attach
+    joins downstream consume one pinned scan either way."""
+    import ray.data as rd
+
+    corpus = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"payload {i}" for i in range(100)]),
+        }
+    )
+    cand = rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([3, 7, 7, 90], pa.int64()),
+                "right_id": pa.array([8, 42, 8, 3], pa.int64()),
+            }
+        )
+    ).materialize()
+    want = sorted({3, 7, 8, 42, 90})
+    for budget in (2_000_000, 0):
+        pinned = dd._pin_candidate_payload(
+            cand, rd.from_arrow(corpus).repartition(3), "doc_id", 2,
+            broadcast_key_budget=budget,
+        )
+        t = pinned.take_all()
+        got = sorted(r["doc_id"] for r in t)
+        assert got == want, (budget, got)
+        assert all(r["text"] == f"payload {r['doc_id']}" for r in t)
+
+
 def test_near_dedup_no_duplicates_passthrough(ray_session):
     """Zero candidates / zero drops must pass the corpus through untouched
     (regression: empty materialized datasets report schema=None)."""
