@@ -123,40 +123,29 @@ def prune_segments(seg_dir: str, predicate) -> list[str]:
     Each segment header (a few hundred bytes at a fixed offset) carries
     min/max per orderable column; a segment is skipped only when some
     conjunct PROVABLY cannot hold — columns without zones keep the segment.
-    The header scan is a tiny read per segment; above ~256 segments it runs
-    as a Ray task fan-out (at 100k+ segments the manifest's ``zones``
+    The header scan is a tiny read per segment; above
+    :data:`~fhirflat_ray.state.lineage.HEADER_FANOUT_THRESHOLD` segments it
+    runs as a Ray task fan-out (at 100k+ segments the manifest's ``zones``
     records are the catalog-level plan path)."""
-    preds = _norm_pred(predicate)
-    paths = segment_paths(seg_dir)
+    from fhirflat_ray.state import lineage as lin
 
-    def keep(path: str) -> bool:
-        hdr, _ = seg.read_segment_header(path)
+    preds = _norm_pred(predicate)
+
+    def keep(path: str, hdr: dict) -> str | None:
         zones = seg.zones_of_header(hdr)
         blooms = seg.blooms_of_header(hdr)
         for col, op, val in preds:
             z = zones.get(col)
             if z is not None and not _zone_may_match(z, op, val):
-                return False
+                return None
             # string point lookups: the per-segment bloom can prove absence
             if op == "==" and isinstance(val, str):
                 b = blooms.get(col)
                 if b is not None and not seg.bloom_may_contain(b, val):
-                    return False
-        return True
+                    return None
+        return path
 
-    if len(paths) <= 256:
-        return [p for p in paths if keep(p)]
-    import ray
-
-    @ray.remote(num_cpus=0.25)
-    def _keep_chunk(chunk: list[str]) -> list[str]:
-        return [p for p in chunk if keep(p)]
-
-    chunks = [paths[i : i + 256] for i in range(0, len(paths), 256)]
-    out: list[str] = []
-    for part in ray.get([_keep_chunk.remote(c) for c in chunks]):
-        out.extend(part)
-    return out
+    return lin.map_segment_headers(seg_dir, keep)
 
 
 def _residual_filter(preds: list[tuple[str, str, object]]):

@@ -42,15 +42,13 @@ def _live_digests(seg_dir: str) -> dict[str, str]:
     digest alone is not enough either (two segments CAN share payload
     bytes — e.g. delta-coded key columns whose start value lives in the
     header — while holding different rows)."""
-    from fhirflat_ray.pipelines.decode import segment_paths
-    from fhirflat_ray.state import segments as seg
+    from fhirflat_ray.state import lineage as lin
 
-    out: dict[str, str] = {}
-    for p in segment_paths(seg_dir):
-        hdr, _ = seg.read_segment_header(p)
+    def entry(p: str, hdr: dict):
         rec = hdr.get("lineage") or {}
-        out[f"{os.path.basename(p)}:{rec.get('payload_sha256', '')}"] = p
-    return out
+        return f"{os.path.basename(p)}:{rec.get('payload_sha256', '')}", p
+
+    return dict(lin.map_segment_headers(seg_dir, entry))
 
 
 def _count_paths(seg_dir: str, paths: list[str], column: str) -> dict[str, int]:

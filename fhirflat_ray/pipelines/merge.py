@@ -122,19 +122,23 @@ def _scan_segments(seg_dir: str):
     their keys as "not applied anywhere", and append them AGAIN (duplicate
     rows). File names are either the planner's ordinal form
     (part-000007.seg) or content hashes (appended / dataset-encoded
-    segments), so identities resolve from the headers, not the names."""
-    import glob as _glob
+    segments), so identities resolve from the headers, not the names.
+
+    Header reads fan out as Ray tasks above
+    :data:`~fhirflat_ray.state.lineage.HEADER_FANOUT_THRESHOLD` segments."""
+
+    def entry(p: str, hdr: dict):
+        rec = hdr.get("lineage")
+        if rec is None:
+            return None
+        return os.path.basename(p), rec
 
     records: list[dict[str, Any]] = []
     part_meta: dict[int, tuple[str, str]] = {}
-    for p in sorted(_glob.glob(os.path.join(seg_dir, "part-*.seg"))):
-        hdr, _ = seg.read_segment_header(p)
-        rec = hdr.get("lineage")
-        if rec is None:
-            continue
+    for base, rec in lin.map_segment_headers(seg_dir, entry):
         records.append(rec)
         part_meta[int(rec["part_id"])] = (
-            os.path.basename(p),
+            base,
             str(rec.get("input_fragment", "")),
         )
     return records, part_meta

@@ -119,6 +119,58 @@ def read_manifest(out_dir: str) -> dict[str, Any] | None:
         return json.load(f)
 
 
+#: header scans stay a serial driver loop at or below this many segments
+#: (each read is a small open+seek; the Ray task constant would dominate);
+#: above it they fan out as Ray tasks in chunks of this size
+HEADER_FANOUT_THRESHOLD = 256
+
+
+def map_segment_headers(seg_dir: str, fn, on_error: str = "raise") -> list:
+    """``fn(path, header)`` over every ``part-*.seg`` header under
+    ``seg_dir``, results in file-name order with ``None`` results dropped.
+
+    At or below :data:`HEADER_FANOUT_THRESHOLD` segments the headers read in
+    a serial driver loop; above it the reads fan out as Ray tasks in
+    threshold-sized chunks — a million-segment table's planner must not
+    serialize a million open/read calls on the driver. Only ``fn``'s return
+    values travel back, so keep them record-sized (the O(partitions)
+    driver-fold contract). ``on_error="skip"`` drops unreadable or partially
+    written files — resume's trust-only-complete-segments rule; the default
+    propagates the exception."""
+    from fhirflat_ray.state.segments import read_segment_header
+
+    paths = sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
+
+    def apply(chunk: list[str]) -> list:
+        out = []
+        for p in chunk:
+            try:
+                hdr, _ = read_segment_header(p)
+            except (ValueError, json.JSONDecodeError, OSError):
+                if on_error == "skip":
+                    continue
+                raise
+            r = fn(p, hdr)
+            if r is not None:
+                out.append(r)
+        return out
+
+    if len(paths) <= HEADER_FANOUT_THRESHOLD:
+        return apply(paths)
+
+    import ray
+
+    task = ray.remote(num_cpus=0.25)(apply)  # I/O-bound: oversubscribe cores
+    chunks = [
+        paths[i : i + HEADER_FANOUT_THRESHOLD]
+        for i in range(0, len(paths), HEADER_FANOUT_THRESHOLD)
+    ]
+    out: list = []
+    for part in ray.get([task.remote(c) for c in chunks]):
+        out.extend(part)
+    return out
+
+
 def completed_partitions(out_dir: str) -> dict[int, str]:
     """part_id → input_fragment for segments already durably on disk.
 
@@ -129,18 +181,14 @@ def completed_partitions(out_dir: str) -> dict[int, str]:
     just ordinal id: if the input file set changed and ids shifted, stale
     segments are re-encoded instead of wrongly skipped.
     """
-    from fhirflat_ray.state.segments import read_segment_header
 
-    done: dict[int, str] = {}
-    for path in glob.glob(os.path.join(out_dir, "part-*.seg")):
-        try:
-            hdr, _ = read_segment_header(path)
-        except (ValueError, json.JSONDecodeError, OSError):
-            continue
+    def entry(path: str, hdr: dict):
         lin = hdr.get("lineage")
-        if lin is not None:
-            done[int(lin["part_id"])] = str(lin.get("input_fragment", ""))
-    return done
+        if lin is None:
+            return None
+        return int(lin["part_id"]), str(lin.get("input_fragment", ""))
+
+    return dict(map_segment_headers(out_dir, entry, on_error="skip"))
 
 
 def completed_part_ids(out_dir: str) -> set[int]:
@@ -149,14 +197,7 @@ def completed_part_ids(out_dir: str) -> set[int]:
 
 def collect_lineage(out_dir: str) -> list[dict[str, Any]]:
     """Re-fold lineage records from the segment files themselves."""
-    from fhirflat_ray.state.segments import read_segment_header
-
-    records = []
-    for path in sorted(glob.glob(os.path.join(out_dir, "part-*.seg"))):
-        hdr, _ = read_segment_header(path)
-        if "lineage" in hdr:
-            records.append(hdr["lineage"])
-    return records
+    return map_segment_headers(out_dir, lambda _p, hdr: hdr.get("lineage"))
 
 
 # ----------------------------------------------------------- shared dicts
@@ -214,10 +255,14 @@ def vacuum_dict_store(out_dir: str) -> dict[str, Any]:
             for v in node:
                 walk(v, out)
 
+    def refs_of(_p: str, hdr: dict) -> frozenset | None:
+        out: set[str] = set()
+        walk(hdr.get("columns", []), out)
+        return frozenset(out) if out else None
+
     referenced: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(out_dir, "part-*.seg"))):
-        hdr, _ = seg.read_segment_header(p)
-        walk(hdr.get("columns", []), referenced)
+    for part in map_segment_headers(out_dir, refs_of):
+        referenced |= part
     # the manifest's shared-dict registry counts as a reference too: a
     # future append re-encodes against it
     manifest = read_manifest(out_dir)

@@ -65,6 +65,30 @@ def test_segment_corruption_detected(tmp_path):
         seg.read_segment(bytes(blob), verify_checksums=True)
 
 
+def test_header_scan_fanout_matches_serial(ray_session, tmp_path, monkeypatch):
+    """map_segment_headers' Ray-fanned tier (threshold forced to 1) must
+    return exactly the serial tier's results, in the same file-name order,
+    for every consumer shape: lineage fold, completed-partition map, and
+    zone-pruned paths."""
+    for i in range(5):
+        t = fixtures.make_transcripts(50, seed=i)
+        header, payload = seg.encode_table(t)
+        seg.write_segment(
+            str(tmp_path / f"part-{i:06d}.seg"), header, payload,
+            {"part_id": i, "input_fragment": f"frag-{i}", "n_rows": 50,
+             "raw_bytes": 1, "encoded_bytes": 1},
+        )
+    d = str(tmp_path)
+    serial_lineage = lin.collect_lineage(d)
+    serial_done = lin.completed_partitions(d)
+    serial_pruned = dec.prune_segments(d, [])
+    monkeypatch.setattr(lin, "HEADER_FANOUT_THRESHOLD", 1)
+    assert lin.collect_lineage(d) == serial_lineage
+    assert lin.completed_partitions(d) == serial_done
+    assert dec.prune_segments(d, []) == serial_pruned
+    assert [r["part_id"] for r in serial_lineage] == list(range(5))
+
+
 # ----------------------------------------------------------- full pipeline
 
 
