@@ -232,13 +232,18 @@ def encoded_min_max(seg_dir: str, column: str) -> tuple[Any, Any]:
     return int64 microseconds (the zone normalization); callers rebuild the
     timestamp type.
     """
-    from fhirflat_ray.pipelines.decode import _worker_dict_store, segment_paths
+    from fhirflat_ray.pipelines.decode import _worker_dict_store
+    from fhirflat_ray.state import lineage as lin
+
+    def zone_entry(p: str, hdr: dict):
+        return p, seg.zones_of_header(hdr).get(column)
 
     lo: Any = None
     hi: Any = None
     missing: list[str] = []
-    for p in segment_paths(seg_dir):
-        z = segment_zone(p, column)
+    # header reads fan out above the lineage threshold; the driver folds
+    # two numbers per segment
+    for p, z in lin.map_segment_headers(seg_dir, zone_entry):
         if z is None:
             missing.append(p)
             continue
