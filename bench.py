@@ -312,7 +312,19 @@ def run_scaling() -> dict:
     # the hypervisor, not the engine — see BASELINE.md "scaling evidence".
     pair = os.environ.get("RAY_GRAFT_SCALING_CPUS", "2,8")
     lo, hi = (int(x) for x in pair.split(","))
-    r_lo, r_hi = one(lo), one(hi)
+    # Steal-robust protocol, same reasoning as the per-query timings: this
+    # host's multi-second steal bursts are one-sided (they only inflate), and
+    # each CPU level runs in its own process window — a burst landing on one
+    # level's window alone skews the ratio. Run the levels ALTERNATING for
+    # `reps` rounds and pair the best lap per level; per-lap steal is
+    # reported so any reading can be judged in context.
+    reps = int(os.environ.get("RAY_GRAFT_SCALING_REPS", "2"))
+    laps: dict[int, list[dict]] = {lo: [], hi: []}
+    for _ in range(reps):
+        for n in (lo, hi):
+            laps[n].append(one(n))
+    r_lo = min(laps[lo], key=lambda r: r["encode_sec"])
+    r_hi = min(laps[hi], key=lambda r: r["encode_sec"])
     t_lo, t_hi = r_lo["encode_sec"], r_hi["encode_sec"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -329,6 +341,13 @@ def run_scaling() -> dict:
         "mb_per_sec_hi": r_hi["encode_mb_per_sec"],
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
+        "laps_encode_sec": {
+            str(n): [r["encode_sec"] for r in laps[n]] for n in (lo, hi)
+        },
+        "laps_steal_pct": {
+            str(n): [r.get("run_steal_pct", -1.0) for r in laps[n]]
+            for n in (lo, hi)
+        },
     }
 
 
