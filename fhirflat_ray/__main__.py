@@ -52,27 +52,30 @@ def cmd_encode(args: argparse.Namespace) -> int:
         target_rows=args.target_rows,
         **kwargs,
     )
-    print(
-        json.dumps(
-            {
-                "partitions": manifest["n_partitions"],
-                "rows": manifest["n_rows"],
-                "raw_bytes": manifest["raw_bytes"],
-                "encoded_bytes": manifest["encoded_bytes"],
-                "ratio": round(manifest["raw_bytes"] / max(1, manifest["encoded_bytes"]), 2),
-                "checksum": manifest["checksum_of_checksums"],
-            }
-        )
-    )
+    out = {
+        "partitions": manifest["n_partitions"],
+        "rows": manifest["n_rows"],
+        "raw_bytes": manifest["raw_bytes"],
+        "encoded_bytes": manifest["encoded_bytes"],
+        "ratio": round(manifest["raw_bytes"] / max(1, manifest["encoded_bytes"]), 2),
+        "checksum": manifest["checksum_of_checksums"],
+    }
+    if args.compress:
+        # reference ingest.py:599-601: archive the output folder, drop the dir
+        from fhirflat_ray.sources.archive import compress_dir
+
+        out["archive"] = compress_dir(args.output, args.compress)
+    print(json.dumps(out))
     return 0
 
 
 def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from fhirflat_ray.pipelines.decode import decode_to_parquet, parse_predicate
+    from fhirflat_ray.sources.archive import maybe_unpack
 
     decode_to_parquet(
-        args.input,
+        maybe_unpack(args.input),
         args.output,
         columns=args.columns.split(",") if args.columns else None,
         predicate=parse_predicate(args.where) if args.where else None,
@@ -88,7 +91,11 @@ def cmd_verify(args: argparse.Namespace) -> int:
     from fhirflat_ray.pipelines.decode import decode_dataset
     from fhirflat_ray.pipelines.verify import verify_roundtrip
 
-    verdict = verify_roundtrip(rd.read_parquet(args.source), decode_dataset(args.segments))
+    from fhirflat_ray.sources.archive import maybe_unpack
+
+    verdict = verify_roundtrip(
+        rd.read_parquet(args.source), decode_dataset(maybe_unpack(args.segments))
+    )
     print(json.dumps(verdict))
     return 0 if verdict["equal"] else 1
 
@@ -96,9 +103,10 @@ def cmd_verify(args: argparse.Namespace) -> int:
 def cmd_stats(args: argparse.Namespace) -> int:
     from collections import Counter
 
+    from fhirflat_ray.sources.archive import maybe_unpack
     from fhirflat_ray.state.lineage import read_manifest
 
-    m = read_manifest(args.segments)
+    m = read_manifest(maybe_unpack(args.segments))
     if m is None:
         print(json.dumps({"error": f"no manifest under {args.segments}"}))
         return 1
@@ -221,14 +229,17 @@ def cmd_validate(args: argparse.Namespace) -> int:
         validate_transcripts,
     )
 
-    if os.path.isdir(args.input) and any(
-        f.endswith(".seg") for f in os.listdir(args.input)
-    ):
+    from fhirflat_ray.sources.archive import maybe_unpack
+
+    # reference ingest.py:618-621: a compressed file input unpacks next to
+    # itself before validation
+    inp = maybe_unpack(args.input)
+    if os.path.isdir(inp) and any(f.endswith(".seg") for f in os.listdir(inp)):
         from fhirflat_ray.pipelines.decode import decode_dataset
 
-        ds = decode_dataset(args.input)
+        ds = decode_dataset(inp)
     else:
-        ds = rd.read_parquet(args.input)
+        ds = rd.read_parquet(inp)
 
     spec = TRANSCRIPT_SCHEMA_SPEC
     if args.spec:
@@ -275,6 +286,13 @@ def main(argv: list[str] | None = None) -> int:
         "--sort-keys",
         default=None,
         help="comma-separated segment sort keys ('' = unsorted; default: transcript order key)",
+    )
+    pe.add_argument(
+        "--compress",
+        default=None,
+        choices=("zip", "tar", "gztar", "bztar", "xztar"),
+        help="archive the output dir and remove it (small exports only; "
+        "the 100TB path stays directory-of-segments)",
     )
     pe.set_defaults(fn=cmd_encode)
 

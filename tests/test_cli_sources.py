@@ -142,3 +142,55 @@ def test_cli_snapshot_and_vacuum(ray_session, tmp_path, capsys):
     assert cli_main(["snapshot", seg, "--list"]) == 0
     lst2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert lst2 == []
+
+
+def test_cli_archive_roundtrip(ray_session, frag_dir, tmp_path, capsys):
+    """S8 parity (reference ingest.py:599-601, 618-621): ``encode
+    --compress`` archives the segment dir and removes it; the archive file
+    then feeds stats/verify/decode directly via transparent unpack."""
+    seg = str(tmp_path / "aseg")
+    out = str(tmp_path / "aout")
+
+    assert cli_main(["encode", frag_dir, seg, "--compress", "gztar"]) == 0
+    enc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    archive = enc["archive"]
+    assert archive.endswith(".tar.gz") and os.path.isfile(archive)
+    assert not os.path.exists(seg)  # source dir removed, as the reference does
+
+    # stats reads the manifest straight from the archive
+    assert cli_main(["stats", archive]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == 5_000
+
+    # verify + decode round-trip through the unpacked sibling dir
+    assert cli_main(["verify", frag_dir, archive]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["equal"]
+    assert cli_main(["decode", archive, out]) == 0
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert sum(pq.read_metadata(f).num_rows for f in files) == 5_000
+
+
+def test_archive_helpers(tmp_path):
+    from fhirflat_ray.sources.archive import (
+        compress_dir,
+        is_archive,
+        maybe_unpack,
+        strip_archive_suffix,
+    )
+
+    d = tmp_path / "bundle"
+    d.mkdir()
+    (d / "x.txt").write_text("hello")
+    arc = compress_dir(str(d), "zip")
+    assert arc.endswith(".zip") and not d.exists()
+    assert is_archive(arc) and not is_archive(str(tmp_path))
+    assert strip_archive_suffix("a/b.tar.gz") == "a/b"
+    assert strip_archive_suffix("a/b.tgz") == "a/b"
+    got = maybe_unpack(arc)
+    assert got == str(d) and (d / "x.txt").read_text() == "hello"
+    # idempotent: second call re-uses the populated extraction
+    assert maybe_unpack(arc) == str(d)
+    # non-archive paths pass through untouched
+    assert maybe_unpack(str(d)) == str(d)
+    with pytest.raises(ValueError):
+        compress_dir(str(tmp_path / "none"), "rar")
