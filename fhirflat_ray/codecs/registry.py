@@ -23,12 +23,16 @@ closure-defined functions both work):
   ``None`` to skip the codec without paying for a full encode, or a byte
   estimate to proceed. When absent, ``encode_fn`` is always attempted.
 
-Worker propagation: Ray Data serializes the current ``DataContext`` with
-every task, so the registry mirrors itself into a DataContext config entry
-(cloudpickled) on every mutation; worker processes lazily install it on
-their first ``encode_column``/``decode_column`` call. Registration on the
-driver therefore reaches every map_batches worker of subsequently executed
-datasets — no per-pipeline threading. Plug-in codecs registered at encode
+Worker propagation: Ray Data captures the current ``DataContext`` when a
+Dataset is CREATED (``ExecutionPlan`` copies it at read time) and ships
+that copy with every task, so the registry mirrors itself into a
+DataContext config entry (cloudpickled) on every mutation; worker
+processes lazily install it on their first
+``encode_column``/``decode_column`` call. Registration on the driver
+therefore reaches every map_batches worker of datasets created AFTER the
+``register_codec`` call — register before building the pipeline (a lazy
+Dataset constructed earlier keeps its pre-registration context and will
+not see the plug-in). Plug-in codecs registered at encode
 time must also be registered (or reachable via the same DataContext) at
 decode time; a segment whose header names an unknown plug-in fails decode
 with an actionable error rather than corrupting data.
@@ -56,6 +60,9 @@ class CodecSpec(NamedTuple):
 _CODECS: dict[str, CodecSpec] = {}
 #: last DataContext blob installed in THIS process (sync-skip token)
 _installed_blob: bytes | None = None
+#: True once THIS process called register/unregister directly (an owner);
+#: owners never have their local registrations cleared by context sync
+_owns_registry = False
 
 
 def register_codec(
@@ -65,8 +72,10 @@ def register_codec(
     estimate_fn: Callable | None = None,
 ) -> None:
     """Register a plug-in codec under ``name`` (see module docstring)."""
+    global _owns_registry
     if not name or ":" in name or "/" in name:
         raise ValueError(f"codec name must be non-empty without ':' or '/': {name!r}")
+    _owns_registry = True
     _CODECS[name] = CodecSpec(encode_fn, decode_fn, estimate_fn)
     _publish()
 
@@ -75,6 +84,8 @@ def unregister_codec(name: str) -> None:
     """Remove a plug-in codec. Segments already written with it will fail
     decode until it is registered again — unregister is a dev convenience,
     not a data-lifecycle operation."""
+    global _owns_registry
+    _owns_registry = True
     _CODECS.pop(name, None)
     _publish()
 
@@ -114,7 +125,17 @@ def _sync_from_context() -> None:
         blob = DataContext.get_current().get_config(_CONFIG_KEY, None)
     except Exception:
         return
-    if blob is None or blob is _installed_blob or blob == _installed_blob:
+    if blob is None:
+        # A reused worker may run a task of a dataset created BEFORE any
+        # registration (its context has no entry): clear whatever a prior
+        # dataset's sync installed, or its blocks would mix plug-in-coded
+        # columns other workers can't produce. Owners (processes that called
+        # register_codec themselves) keep their local registrations.
+        if _installed_blob is not None and not _owns_registry:
+            _CODECS.clear()
+            _installed_blob = None
+        return
+    if blob is _installed_blob or blob == _installed_blob:
         return
     from ray import cloudpickle
 

@@ -589,6 +589,7 @@ def attach_pair_texts(
 
     n_cand = cand.count()
     txt = txt_ds.select_columns([id_column, column])
+    pinned = False
     if n_cand <= BROADCAST_PAIR_BUDGET:
         from fhirflat_ray.functions.joins import broadcast_semi_join
         from fhirflat_ray.functions.util import collect_small_table
@@ -597,8 +598,14 @@ def attach_pair_texts(
         lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         need = np.unique(np.concatenate([lids, rids]))
-        txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
-        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
+        # ONE corpus scan either way: semi-filter to the candidate ids and
+        # PIN the survivors, then choose broadcast vs join by the pinned
+        # size — the over-budget fallback reuses the pinned payload (the
+        # driver never collects an over-budget table, and the joins don't
+        # pay a second corpus scan)
+        txt_f = broadcast_semi_join(txt, need, id_column).materialize()
+        if txt_f.size_bytes() <= BROADCAST_BYTE_BUDGET:
+            txt_t = collect_small_table(txt_f)
             tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(tid)
             tid = tid[order]
@@ -629,8 +636,10 @@ def attach_pair_texts(
             return cand.repartition(n_blocks).map_batches(
                 attach, batch_format="pyarrow", batch_size=20_000
             )
+        txt, pinned = txt_f, True
 
-    txt = _pin_candidate_payload(cand, txt, id_column, num_partitions)
+    if not pinned:
+        txt = _pin_candidate_payload(cand, txt, id_column, num_partitions)
     lt = cand.join(
         txt, "inner", num_partitions, on=("left_id",), right_on=(id_column,),
         right_suffix="_l",

@@ -422,30 +422,58 @@ def _deg_partial(b: pa.Table) -> pa.Table:
 
 def degree_fold(edges, node_budget: int = BROADCAST_NODE_BUDGET):
     """Node-bounded degree fold over a distinct undirected edge Dataset
-    (int64 columns ``u < v``): per-batch ``np.unique`` partials, ONE
-    driver fold — the broadcast-state assumption shared by the graph
-    analytics (triangle counting, k-core, coefficients). Returns
-    ``(nodes_sorted, degrees)``; raises past ``node_budget`` and on
-    NEGATIVE node ids (the packed pair keys downstream require a
-    non-negative id space)."""
-    from fhirflat_ray.functions.util import collect_small_table
+    (int64 columns ``u < v``): per-batch ``np.unique`` partials streamed to
+    the driver and folded INCREMENTALLY — the broadcast-state assumption
+    shared by the graph analytics (triangle counting, k-core,
+    coefficients). Driver memory stays O(node_budget + batch): partial
+    batches buffer up to ~budget rows, fold, and the fold ABORTS the
+    stream the moment the distinct-node count exceeds ``node_budget`` —
+    an over-budget graph (the regime the distributed tier exists for)
+    raises after holding at most ~2x budget rows, never the full node
+    set. Returns ``(nodes_sorted, degrees)``; raises NodeBudgetExceeded
+    past the budget and ValueError on NEGATIVE node ids (the packed pair
+    keys downstream require a non-negative id space)."""
 
-    parts = collect_small_table(edges.map_batches(_deg_partial, batch_format="pyarrow"))
-    un, inv = np.unique(
-        parts["node"].to_numpy(zero_copy_only=False), return_inverse=True
-    )
+    def _raise(n: int):
+        raise NodeBudgetExceeded(
+            f"degree fold of {n}+ nodes exceeds the broadcast budget "
+            f"({node_budget}); attach degrees via a distributed hash join "
+            "(triangle_count's above-budget path)"
+        )
+
+    un = np.empty(0, np.int64)
+    deg = np.empty(0, np.int64)
+    buf_n: list[np.ndarray] = [un]
+    buf_d: list[np.ndarray] = [deg]
+    buffered = 0
+
+    def fold():
+        nonlocal un, deg, buf_n, buf_d, buffered
+        alln = np.concatenate(buf_n)
+        un2, inv = np.unique(alln, return_inverse=True)
+        d2 = np.zeros(len(un2), np.int64)
+        np.add.at(d2, inv, np.concatenate(buf_d))
+        un, deg = un2, d2
+        buf_n, buf_d, buffered = [un], [deg], 0
+
+    parts = edges.map_batches(_deg_partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        buf_n.append(b["node"].to_numpy(zero_copy_only=False))
+        buf_d.append(b["deg"].to_numpy(zero_copy_only=False))
+        buffered += b.num_rows
+        if buffered >= max(node_budget, 1 << 18):
+            fold()
+            if len(un) > node_budget:
+                _raise(len(un))
+    fold()
     if len(un) and int(un.min()) < 0:
         raise ValueError(
             "graph node ids must be non-negative (packed int64 pair keys)"
         )
     if len(un) > node_budget:
-        raise NodeBudgetExceeded(
-            f"degree fold of {len(un)} nodes exceeds the broadcast budget "
-            f"({node_budget}); attach degrees via a distributed hash join "
-            "(triangle_count's above-budget path)"
-        )
-    deg = np.zeros(len(un), np.int64)
-    np.add.at(deg, inv, parts["deg"].to_numpy(zero_copy_only=False))
+        _raise(len(un))
     return un, deg
 
 
@@ -490,9 +518,10 @@ def attach_degrees(
     above it (``NodeBudgetExceeded``) degrees stay a Dataset
     (:func:`node_degrees`, one coarse-bucket exchange) and attach via one
     distributed hash join per column — the node state never touches the
-    driver. INNER semantics either way: every node-column value must
-    appear as an ``edges`` endpoint. ``mode``: "auto" | "broadcast" |
-    "distributed". ``deg_ds``: a precomputed :func:`node_degrees`
+    driver. INNER semantics either way: a row whose node-column value is
+    not an ``edges`` endpoint is dropped (both tiers agree). ``mode``:
+    "auto" | "broadcast" | "distributed". ``deg_ds``: a precomputed
+    :func:`node_degrees`
     Dataset to reuse on the distributed path (skips one edge scan when
     the caller already materialized the degrees)."""
     import ray
@@ -515,14 +544,35 @@ def attach_degrees(
                     self.cols = cols
 
                 def __call__(self, b: pa.Table) -> pa.Table:
-                    for src, out in self.cols:
+                    # INNER semantics, same as the distributed tier's hash
+                    # join: rows whose node value is not an edge endpoint
+                    # are DROPPED (clip + equality check — a bare
+                    # searchsorted would index out of range past max(nodes)
+                    # or silently attach a neighbor's degree in-range)
+                    n = len(self.nodes)
+                    keep = np.ones(len(b), bool)
+                    pos_by_col: dict[str, np.ndarray] = {}
+                    for src, _ in self.cols:
                         vals = b[src].to_numpy(zero_copy_only=False)
+                        if n == 0:
+                            keep[:] = False
+                            pos_by_col[src] = np.zeros(len(vals), np.int64)
+                            continue
+                        pos = np.minimum(
+                            np.searchsorted(self.nodes, vals), n - 1
+                        )
+                        keep &= self.nodes[pos] == vals
+                        pos_by_col[src] = pos
+                    if not keep.all():
+                        idx = np.flatnonzero(keep)
+                        b = b.take(pa.array(idx, pa.int64()))
+                        pos_by_col = {
+                            s: p[idx] for s, p in pos_by_col.items()
+                        }
+                    for src, out in self.cols:
                         b = b.append_column(
                             out,
-                            pa.array(
-                                self.deg[np.searchsorted(self.nodes, vals)],
-                                pa.int64(),
-                            ),
+                            pa.array(self.deg[pos_by_col[src]], pa.int64()),
                         )
                     return b
 

@@ -7117,20 +7117,17 @@ def clustering_coeff(sf_dir: str):
     triples come from the degree-ordered node-iterator
     (``triangle_count(return_triangles=True)``); per-node triangle counts
     fold through one coarse-bucket exchange on the (node-bounded) exploded
-    triple stream; degrees broadcast (same fold the counter itself uses);
+    triple stream; degrees attach via the hybrid ``attach_degrees``
+    (broadcast below the node budget, distributed hash joins above);
     the top-25 is ``streaming_topk``. Tie note: coefficient ties are
     broken by node id, and 2T/d(d-1) can land exactly on a 1e-6
     half-boundary only when d(d-1) is a power of two — impossible for
     d > 2 — so 6dp rounding is tie-free across engines."""
-    import ray
-
     from fhirflat_ray.functions.graph import triangle_count
     from fhirflat_ray.functions.util import (
         bucketed_map_groups,
-        collect_small_table,
         default_num_buckets,
         streaming_topk,
-        worker_cached_stage,
     )
 
     n_parts = _join_partitions(sf_dir, ["lineitem"])

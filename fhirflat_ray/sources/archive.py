@@ -51,14 +51,47 @@ def strip_archive_suffix(path: str) -> str:
     return path
 
 
+#: marker file recording which archive (size+mtime) an extraction came from
+_MARKER = ".unpacked-from"
+
+
 def maybe_unpack(path: str) -> str:
     """If ``path`` is an archive file, unpack it next to itself (reference
     ingest.py:618-621: ``with_suffix("")`` sibling dir) and return the
-    extracted directory; otherwise return ``path`` unchanged. Re-uses an
-    existing extraction if the sibling dir is already populated."""
+    extracted directory; otherwise return ``path`` unchanged.
+
+    Crash-safe and staleness-safe: extraction lands in a temp sibling that
+    is atomically renamed into place with a marker recording the source
+    archive's size+mtime, so a kill mid-unpack never leaves a reusable
+    partial directory, and a regenerated archive re-extracts instead of
+    silently serving the old contents."""
     if not is_archive(path):
         return path
     directory = strip_archive_suffix(path)
-    if not (os.path.isdir(directory) and os.listdir(directory)):
-        shutil.unpack_archive(path, extract_dir=directory)
+    st = os.stat(path)
+    token = f"{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(directory, _MARKER)
+    if os.path.isdir(directory):
+        try:
+            with open(marker) as f:
+                if f.read() == token:
+                    return directory  # complete extraction of THIS archive
+        except OSError:
+            # No marker: a foreign directory we must not destroy. Stale
+            # marker: our own prior extraction of an older archive — safe
+            # to replace.
+            if os.listdir(directory):
+                raise FileExistsError(
+                    f"extraction target {directory!r} exists and was not "
+                    f"created by unpacking {path!r} — remove it, or pass "
+                    "the directory itself instead of the archive"
+                ) from None
+        shutil.rmtree(directory)
+    tmp = f"{directory}.unpacking.{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    shutil.unpack_archive(path, extract_dir=tmp)
+    with open(os.path.join(tmp, _MARKER), "w") as f:
+        f.write(token)
+    os.rename(tmp, directory)
     return directory

@@ -188,9 +188,31 @@ def test_archive_helpers(tmp_path):
     assert strip_archive_suffix("a/b.tgz") == "a/b"
     got = maybe_unpack(arc)
     assert got == str(d) and (d / "x.txt").read_text() == "hello"
-    # idempotent: second call re-uses the populated extraction
+    # idempotent: second call re-uses the marker-stamped extraction
     assert maybe_unpack(arc) == str(d)
+    # a REGENERATED archive re-extracts instead of serving stale contents
+    import time
+
+    (d / "x.txt").write_text("old")
+    d2 = tmp_path / "bundle2"
+    d2.mkdir()
+    (d2 / "x.txt").write_text("new")
+    import shutil as _sh
+
+    _sh.make_archive(str(tmp_path / "bundle"), "zip", str(d2))
+    ts = time.time() + 2
+    os.utime(arc, (ts, ts))  # ensure the size/mtime token differs
+    assert maybe_unpack(arc) == str(d)
+    assert (d / "x.txt").read_text() == "new"
+    # a foreign (marker-less, non-empty) dir at the target is never destroyed
+    _sh.rmtree(d)
+    d.mkdir()
+    (d / "precious.txt").write_text("keep me")
+    with pytest.raises(FileExistsError):
+        maybe_unpack(arc)
+    assert (d / "precious.txt").read_text() == "keep me"
+    _sh.rmtree(d)
     # non-archive paths pass through untouched
-    assert maybe_unpack(str(d)) == str(d)
+    assert maybe_unpack(str(d2)) == str(d2)
     with pytest.raises(ValueError):
         compress_dir(str(tmp_path / "none"), "rar")

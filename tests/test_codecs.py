@@ -660,3 +660,45 @@ def test_segment_format_roundtrip_property(table):
                 pruned.column(first).combine_chunks(),
                 table.column(first).combine_chunks(),
             )
+
+
+def test_registry_subscriber_clears_on_contextless_task():
+    """A reused worker (a SUBSCRIBER — codecs installed only via context
+    sync) must drop its plug-ins when it runs a task whose DataContext
+    carries no registry entry, or its blocks would mix plug-in-coded
+    columns other workers can't produce. An OWNER process (one that called
+    register_codec itself) keeps its local registrations."""
+    from ray import cloudpickle
+    from ray.data import DataContext
+
+    from fhirflat_ray.codecs import registry as reg
+
+    ident = lambda h, b, n: None  # noqa: E731
+    saved = (dict(reg._CODECS), reg._installed_blob, reg._owns_registry)
+    try:
+        # simulate a fresh worker: subscriber state, codec arrives via blob
+        reg._CODECS.clear()
+        reg._installed_blob = None
+        reg._owns_registry = False
+        blob = cloudpickle.dumps({"toy": reg.CodecSpec(ident, ident, None)})
+        DataContext.get_current().set_config(reg._CONFIG_KEY, blob)
+        reg._sync_from_context()
+        assert "toy" in reg._CODECS
+
+        # a task of a dataset created before ANY registration: no entry
+        DataContext.get_current().set_config(reg._CONFIG_KEY, None)
+        reg._sync_from_context()
+        assert "toy" not in reg._CODECS  # subscriber cleared
+
+        # owner path: local registration survives a missing context entry
+        reg.register_codec("mine", ident, ident)
+        DataContext.get_current().set_config(reg._CONFIG_KEY, None)
+        reg._sync_from_context()
+        assert "mine" in reg._CODECS
+        reg.unregister_codec("mine")
+    finally:
+        DataContext.get_current().set_config(reg._CONFIG_KEY, None)
+        reg._CODECS.clear()
+        reg._CODECS.update(saved[0])
+        reg._installed_blob = saved[1]
+        reg._owns_registry = saved[2]

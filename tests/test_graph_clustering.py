@@ -550,3 +550,42 @@ def test_peel_low_degree_parity_and_reference(ray_session):
         assert got == expect, mode
         assert n_nodes == int((deg > 0).sum())
         assert n_drop == n_drop_expect
+
+
+def test_attach_degrees_drops_non_endpoint_nodes_in_both_tiers(ray_session):
+    """A row whose node value is not an edges endpoint must be DROPPED by
+    both tiers (inner semantics). Regression: the broadcast tier's bare
+    searchsorted crashed on values past max(nodes) and silently attached a
+    neighbor's degree for absent in-range values."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions.graph import attach_degrees
+
+    edges = (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([0, 0, 2], pa.int64()),
+                    "v": pa.array([2, 4, 4], pa.int64()),
+                }
+            )
+        )
+        .repartition(2)
+        .materialize()
+    )
+    # 3 is absent-in-range (old bug: got node 4's degree), 9 is past
+    # max(nodes) (old bug: IndexError), 0/2/4 are real endpoints
+    ds = rd.from_arrow(
+        pa.table({"n": pa.array([0, 2, 3, 4, 9], pa.int64())})
+    ).materialize()
+
+    expected = {0: 2, 2: 2, 4: 2}
+    for mode in ("broadcast", "distributed"):
+        df = (
+            attach_degrees(ds, edges, [("n", "dn")], num_partitions=2, mode=mode)
+            .to_pandas()
+            .sort_values("n")
+            .reset_index(drop=True)
+        )
+        assert df["n"].tolist() == sorted(expected)
+        assert df["dn"].tolist() == [expected[n] for n in sorted(expected)]
