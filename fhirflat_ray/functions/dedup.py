@@ -598,14 +598,12 @@ def attach_pair_texts(
         lids = pairs_t["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         rids = pairs_t["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         need = np.unique(np.concatenate([lids, rids]))
-        # ONE corpus scan either way: semi-filter to the candidate ids and
-        # PIN the survivors, then choose broadcast vs join by the pinned
-        # size — the over-budget fallback reuses the pinned payload (the
-        # driver never collects an over-budget table, and the joins don't
-        # pay a second corpus scan)
-        txt_f = broadcast_semi_join(txt, need, id_column).materialize()
-        if txt_f.size_bytes() <= BROADCAST_BYTE_BUDGET:
-            txt_t = collect_small_table(txt_f)
+        # ONE corpus scan either way: the semi-filtered candidate payload
+        # streams to the driver once; the over-budget fallback re-ships it
+        # as object-store blocks (rd.from_arrow) instead of paying a
+        # second full corpus scan
+        txt_t = collect_small_table(broadcast_semi_join(txt, need, id_column))
+        if txt_t.nbytes <= BROADCAST_BYTE_BUDGET:
             tid = txt_t[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
             order = np.argsort(tid)
             tid = tid[order]
@@ -636,7 +634,17 @@ def attach_pair_texts(
             return cand.repartition(n_blocks).map_batches(
                 attach, batch_format="pyarrow", batch_size=20_000
             )
-        txt, pinned = txt_f, True
+        import ray.data as rd
+
+        # over the byte budget: seed the pinned join side from the table
+        # we already collected (split into ~64 MB chunks so the hash join
+        # sees multiple blocks) — never a second corpus scan
+        n_chunks = max(1, txt_t.nbytes // (64 * 1024 * 1024))
+        step = max(1, -(-txt_t.num_rows // n_chunks))
+        txt = rd.from_arrow(
+            [txt_t.slice(i, step) for i in range(0, txt_t.num_rows, step)]
+        )
+        pinned = True
 
     if not pinned:
         txt = _pin_candidate_payload(cand, txt, id_column, num_partitions)

@@ -1711,3 +1711,44 @@ def test_cosine_dedup_lsh_end_to_end_recall(ray_session):
     # random non-planted cross pairs at dim 16 sit near cosine 0 — exact
     # verification must not merge them (no over-deletion)
     assert n_surv >= n_pairs
+
+
+def test_attach_pair_texts_byte_budget_fallback_agrees(ray_session, monkeypatch):
+    """When the candidate payload exceeds BROADCAST_BYTE_BUDGET (forced to 0
+    here) attach_pair_texts must re-ship the ALREADY-collected payload as
+    object-store blocks and join — same rows as the broadcast path, no
+    second corpus scan."""
+    import ray.data as rd
+
+    from fhirflat_ray.functions import dedup as dd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array([f"document body number {i}" for i in range(20)]),
+        }
+    )
+    cand = pa.table(
+        {
+            "left_id": pa.array([0, 2, 5], pa.int64()),
+            "right_id": pa.array([1, 7, 19], pa.int64()),
+        }
+    )
+    txt_ds = rd.from_arrow(docs).repartition(3)
+    cand_ds = rd.from_arrow(cand).materialize()
+
+    def run():
+        return (
+            dd.attach_pair_texts(cand_ds, txt_ds, "doc_id", "text", 2)
+            .to_pandas()
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)[
+                ["left_id", "right_id", "left_text", "right_text"]
+            ]
+        )
+
+    want = run()
+    assert want["left_text"].tolist() == [f"document body number {i}" for i in (0, 2, 5)]
+    monkeypatch.setattr(dd, "BROADCAST_BYTE_BUDGET", 0)
+    got = run()
+    pd.testing.assert_frame_equal(got, want)
