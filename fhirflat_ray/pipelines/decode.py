@@ -84,7 +84,12 @@ class DecodeSegment:
 
 
 def segment_paths(seg_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
+    """Committed segments of ``seg_dir`` — the manifest's partition list
+    when one exists (stray files from crashed/concurrent writers are
+    invisible), a ``part-*.seg`` glob for manifest-less dirs."""
+    from fhirflat_ray.state.lineage import committed_segment_paths
+
+    return committed_segment_paths(seg_dir)
 
 
 #: predicate ops supported by zone pruning + residual filtering

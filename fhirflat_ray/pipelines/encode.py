@@ -22,6 +22,7 @@ Ray-Data-first design:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -416,7 +417,10 @@ def encode_dataset(
     import ray
 
     os.makedirs(out_dir, exist_ok=True)
-    # not resumable: a previous run's segments must not leak into this manifest
+    # uncommit FIRST so no reader ever holds a manifest pointing at files
+    # the clear below is deleting; not resumable: a previous run's segments
+    # must not leak into this manifest
+    lin.uncommit_manifest(out_dir)
     for stale in _glob.glob(os.path.join(out_dir, "part-*.seg")):
         os.unlink(stale)
     shared = shared or {}
@@ -424,10 +428,7 @@ def encode_dataset(
 
     _summary_schema = pa.schema(
         [
-            ("part_id", pa.int64()),
-            ("n_rows", pa.int64()),
-            ("raw_bytes", pa.int64()),
-            ("encoded_bytes", pa.int64()),
+            ("record", pa.string()),
         ]
     )
 
@@ -458,16 +459,14 @@ def encode_dataset(
             payload_sha256=digest,
         )
         path = os.path.join(out_dir, f"part-{uniq}.seg")
-        seg.write_segment(path, header, payload, record)
-        return pa.Table.from_pylist(
-            [
-                {
-                    "part_id": record["part_id"],
-                    "n_rows": record["n_rows"],
-                    "raw_bytes": record["raw_bytes"],
-                    "encoded_bytes": record["encoded_bytes"],
-                }
-            ]
+        final_hdr = seg.write_segment(path, header, payload, record)
+        # the FULL lineage record (incl. the file stamp write_segment adds)
+        # travels back in the summary stream so the manifest is built from
+        # exactly this run's blocks — never a dir re-scan, which could pick
+        # up a stray segment written by an orphaned worker of a killed
+        # previous run
+        return pa.table(
+            {"record": pa.array([json.dumps(final_hdr["lineage"])], pa.string())}
         )
 
     from fhirflat_ray.functions.util import collect_small_table
@@ -475,12 +474,16 @@ def encode_dataset(
     # consume the summary stream columnar (one tiny row per block; row-wise
     # take_all converts through Python dicts at ~1k rows/s, which matters
     # at 100k+ partitions)
-    collect_small_table(
+    summary = collect_small_table(
         ds.map_batches(
             encode_block, batch_size=target_rows, batch_format="pyarrow", num_cpus=1
         )
     )
-    records = lin.collect_lineage(out_dir)
+    records = (
+        [json.loads(s) for s in summary["record"].to_pylist()]
+        if summary.num_rows
+        else []
+    )
     return lin.write_manifest(
         out_dir,
         records,
@@ -583,6 +586,15 @@ def encode_files(
             )
     items = plan_partitions(input_paths, target_rows, metas=metas)
 
+    # the directory is uncommitted for the duration of the rewrite: the old
+    # manifest (already consumed above for target_rows) would hide this
+    # run's new segments from every header scan and point readers at a
+    # half-rewritten set. write_manifest below is the new commit point.
+    # An EMPTY plan (typo'd/missing input) keeps the committed manifest —
+    # same never-destroy-durable-work rule as the stray cleanup below.
+    if items:
+        lin.uncommit_manifest(out_dir)
+
     done_map = lin.completed_partitions(out_dir) if resume else {}
     # skip only when BOTH the id and the input fragment (path + row-group
     # span + file size/mtime) match — an input set that changed since the
@@ -654,7 +666,12 @@ def encode_files(
 
         collect_small_table(result)
 
-    records = lin.collect_lineage(out_dir)
+    # restrict the fold to the plan's ids so a stray segment written by an
+    # orphaned worker of a killed previous run cannot enter the manifest
+    # (an empty plan refolds every durable segment instead — see above)
+    records = lin.collect_lineage(
+        out_dir, part_ids={it["part_id"] for it in items} if items else None
+    )
     manifest = lin.write_manifest(
         out_dir,
         records,

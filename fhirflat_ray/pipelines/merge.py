@@ -177,11 +177,16 @@ def merge_upsert(
     # routing records and part metadata come from the SAME on-disk header
     # scan, so a re-run after a mid-merge crash sees crash-appended insert
     # segments and routes their keys as updates instead of re-inserting
+    # (a crashed merge leaves NO manifest — see uncommit below — so the
+    # scan's glob fallback is exactly that truthful view)
     records, part_meta = _scan_segments(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
     shared = _shared_for_encode(seg_dir, manifest)
+    # uncommitted while segments rewrite in place / inserts append; the
+    # refolded write_manifest below is the new commit point
+    lin.uncommit_manifest(seg_dir)
 
     los, his, pids, zoneless = _zone_router(records, key)
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})
@@ -293,6 +298,8 @@ def append_dataset(
 
     sort_keys = tuple(manifest.get("sort_keys") or ()) or None
     shared = _shared_for_encode(seg_dir, manifest)
+    # uncommitted while the append is in flight; refold below re-commits
+    lin.uncommit_manifest(seg_dir)
     n = _append_segments(
         ds, seg_dir, sort_keys, shared, target_rows=target_rows or DEFAULT_TARGET_ROWS
     )
@@ -325,6 +332,9 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
     shared = _shared_for_encode(seg_dir, manifest)
+    # uncommitted while segments rewrite/drop in place (the stale manifest
+    # would point at removed files); refold below is the new commit point
+    lin.uncommit_manifest(seg_dir)
 
     los, his, pids, zoneless = _zone_router(records, key)
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})

@@ -61,7 +61,9 @@ def create_snapshot(seg_dir: str, note: str | None = None) -> dict[str, Any]:
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.join(tmp, lin.DICT_DIR), exist_ok=True)
 
-    segs = sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
+    # snapshot exactly the COMMITTED set (the manifest's files) — a stray
+    # segment from a crashed writer must not be frozen into a snapshot
+    segs = lin.committed_segment_paths(seg_dir)
     for p in segs:
         _link_or_copy(p, os.path.join(tmp, os.path.basename(p)))
     for p in glob.glob(os.path.join(seg_dir, lin.DICT_DIR, "*.arrow")):

@@ -125,9 +125,32 @@ def read_manifest(out_dir: str) -> dict[str, Any] | None:
 HEADER_FANOUT_THRESHOLD = 256
 
 
+def committed_segment_paths(seg_dir: str) -> list[str]:
+    """The COMMITTED segment files of ``seg_dir``, sorted.
+
+    When a manifest exists it is the source of truth: exactly its
+    partitions' paths are returned, so stray ``part-*.seg`` files — a
+    SIGKILLed writer's orphaned Ray workers finishing their in-flight
+    segment after a re-run recreated the directory, a concurrent job's
+    leftovers — are invisible to every reader. A manifest-less directory
+    (an encode still in progress, resume's completed-partition scan, an
+    ad-hoc folder of segments) falls back to the glob."""
+    m = read_manifest(seg_dir)
+    if m is not None:
+        return sorted(
+            os.path.join(seg_dir, r["file"])
+            if "file" in r
+            else segment_path(seg_dir, r["part_id"])
+            for r in m["partitions"]
+        )
+    return sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
+
+
 def map_segment_headers(seg_dir: str, fn, on_error: str = "raise") -> list:
-    """``fn(path, header)`` over every ``part-*.seg`` header under
-    ``seg_dir``, results in file-name order with ``None`` results dropped.
+    """``fn(path, header)`` over every COMMITTED segment header under
+    ``seg_dir`` (:func:`committed_segment_paths` — the manifest's partition
+    list when one exists, a ``part-*.seg`` glob otherwise), results in
+    file-name order with ``None`` results dropped.
 
     At or below :data:`HEADER_FANOUT_THRESHOLD` segments the headers read in
     a serial driver loop; above it the reads fan out as Ray tasks in
@@ -139,7 +162,7 @@ def map_segment_headers(seg_dir: str, fn, on_error: str = "raise") -> list:
     propagates the exception."""
     from fhirflat_ray.state.segments import read_segment_header
 
-    paths = sorted(glob.glob(os.path.join(seg_dir, "part-*.seg")))
+    paths = committed_segment_paths(seg_dir)
 
     def apply(chunk: list[str]) -> list:
         out = []
@@ -195,9 +218,30 @@ def completed_part_ids(out_dir: str) -> set[int]:
     return set(completed_partitions(out_dir))
 
 
-def collect_lineage(out_dir: str) -> list[dict[str, Any]]:
-    """Re-fold lineage records from the segment files themselves."""
-    return map_segment_headers(out_dir, lambda _p, hdr: hdr.get("lineage"))
+def uncommit_manifest(out_dir: str) -> None:
+    """Delete ``manifest.json`` at the START of a mutation (encode into an
+    existing dir, compact re-run, merge/delete/append): while a rewrite is
+    in flight the directory is UNCOMMITTED — readers and header scans fall
+    back to the glob, which is the only truthful view (the old manifest
+    would hide crash-appended segments and point at rewritten/removed
+    files). The mutation's final ``write_manifest`` is the new commit
+    point."""
+    try:
+        os.remove(os.path.join(out_dir, MANIFEST_NAME))
+    except FileNotFoundError:
+        pass
+
+
+def collect_lineage(out_dir: str, part_ids=None) -> list[dict[str, Any]]:
+    """Re-fold lineage records from the segment files themselves.
+
+    ``part_ids`` (a set) restricts the fold to THIS RUN's planned
+    partitions, so a stray segment written into the directory by an
+    orphaned worker of a killed previous run cannot enter the manifest."""
+    recs = map_segment_headers(out_dir, lambda _p, hdr: hdr.get("lineage"))
+    if part_ids is not None:
+        recs = [r for r in recs if r and r.get("part_id") in part_ids]
+    return recs
 
 
 # ----------------------------------------------------------- shared dicts

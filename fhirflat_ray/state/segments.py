@@ -193,9 +193,14 @@ def decode_payload(
 def write_segment(
     path: str, header: dict[str, Any], payload: bytes, lineage: dict[str, Any] | None = None
 ) -> dict[str, Any]:
-    """Atomically write a segment; returns the final header (incl. lineage)."""
+    """Atomically write a segment; returns the final header (incl. lineage).
+
+    The lineage record is stamped with the segment's basename so manifests
+    can name their files exactly (``committed_segment_paths``) — dataset-
+    mode segments are content-addressed (``part-<digest>.seg``), not
+    derivable from ``part_id``."""
     if lineage is not None:
-        header = {**header, "lineage": lineage}
+        header = {**header, "lineage": {**lineage, "file": os.path.basename(path)}}
     hdr_bytes = json.dumps(header, separators=(",", ":")).encode()
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")

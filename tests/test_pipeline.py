@@ -1284,3 +1284,40 @@ def test_merge_upsert_killed_midrun_no_loss_no_dups(ray_session, tmp_path):
     new["tag"] = "updated"
     exp = pd.concat([exp, new]).sort_values("event_id").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_stray_segment_invisible_to_committed_readers(ray_session, tmp_path):
+    """A valid part-*.seg file dropped into a COMMITTED directory by an
+    orphaned worker of a killed run must be invisible everywhere: the
+    manifest's partition list is the source of truth for decode, stats,
+    zone-pruned scans and snapshots. Manifest-less dirs keep glob
+    semantics (resume's trust-only-durable-segments rule)."""
+    import shutil
+
+    from fhirflat_ray.state import lineage as lin
+
+    d = tmp_path / "frags"
+    d.mkdir()
+    t = fixtures.make_transcripts(2_000, seed=3)
+    pq.write_table(t, str(d / "a.parquet"), row_group_size=1_000)
+    out = str(tmp_path / "enc")
+    enc.encode_files(str(d), out, target_rows=1_000)
+    committed = dec.segment_paths(out)
+    assert len(committed) == 2
+
+    # plant a stray: a byte-identical copy of a real segment under a name
+    # the manifest does not list (what a zombie writer leaves behind)
+    stray = os.path.join(out, "part-deadbeef.seg")
+    shutil.copyfile(committed[0], stray)
+
+    assert dec.segment_paths(out) == committed  # stray not listed
+    assert dec.decode_dataset(out).count() == 2_000  # not decoded
+    # header scans (merge routing, lineage refold, zone pruning) skip it too
+    assert len(lin.collect_lineage(out)) == 2
+    # glob fallback still sees everything once the dir is uncommitted
+    lin.uncommit_manifest(out)
+    assert len(dec.segment_paths(out)) == 3
+    os.remove(stray)
+    # re-commit by refolding the durable segments
+    lin.write_manifest(out, lin.collect_lineage(out))
+    assert dec.decode_dataset(out).count() == 2_000
