@@ -1321,3 +1321,93 @@ def test_stray_segment_invisible_to_committed_readers(ray_session, tmp_path):
     # re-commit by refolding the durable segments
     lin.write_manifest(out, lin.collect_lineage(out))
     assert dec.decode_dataset(out).count() == 2_000
+
+
+def test_mutator_sequence_matches_pandas_model(ray_session, tmp_path):
+    """Randomized upsert/delete/append/compact sequence against a pandas
+    reference model: after EVERY mutation the decoded table must equal the
+    model exactly and the manifest row count must agree — the
+    crash-consistency commit model may never lose or duplicate a row
+    across chained mutations."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.merge import append_dataset, merge_delete, merge_upsert
+
+    rng = np.random.default_rng(20260820)
+
+    def frame(keys, salt):
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(sorted(keys), np.int64),
+                "val": np.asarray(sorted(keys), np.float64) * 0.5 + salt,
+                "tag": ["m%d" % ((k + salt) % 7) for k in sorted(keys)],
+            }
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    model = frame(range(3_000), 0)
+    pq.write_table(
+        pa.Table.from_pandas(model, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=500,
+    )
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("event_id",), target_rows=500)
+
+    def check(step):
+        got = (
+            dec.decode_dataset(segd)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)[["event_id", "val", "tag"]]
+        )
+        want = model.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, obj=step)
+        from fhirflat_ray.state.lineage import read_manifest
+
+        assert read_manifest(segd)["n_rows"] == len(model), step
+
+    next_key = 3_000
+    for step in range(6):
+        live = model["event_id"].to_numpy()
+        op = ("upsert", "delete", "append")[step % 3]
+        if op == "upsert" and len(live):
+            hit = rng.choice(live, size=min(400, len(live)), replace=False)
+            fresh = np.arange(next_key, next_key + 120, dtype=np.int64)
+            next_key += 120
+            upd = frame(np.concatenate([hit, fresh]), salt=step + 1)
+            merge_upsert(segd, rd.from_arrow(pa.Table.from_pandas(upd, preserve_index=False)), "event_id")
+            model = pd.concat(
+                [model[~model["event_id"].isin(upd["event_id"])], upd]
+            )
+        elif op == "delete" and len(live):
+            drop = rng.choice(live, size=min(300, len(live)), replace=False)
+            merge_delete(
+                segd,
+                rd.from_arrow(pa.table({"event_id": pa.array(sorted(drop), pa.int64())})),
+                "event_id",
+            )
+            model = model[~model["event_id"].isin(drop)]
+        else:
+            fresh = np.arange(next_key, next_key + 250, dtype=np.int64)
+            next_key += 250
+            add = frame(fresh, salt=step + 1)
+            append_dataset(segd, rd.from_arrow(pa.Table.from_pandas(add, preserve_index=False)))
+            model = pd.concat([model, add])
+        check(f"step {step} after {op}")
+
+    # compact the mutated set into a fresh dir and re-check equality there
+    outd = str(tmp_path / "compacted")
+    enc.compact_segments(segd, outd, target_rows=1_000, sort_keys=("event_id",))
+    got = (
+        dec.decode_dataset(outd)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "val", "tag"]]
+    )
+    pd.testing.assert_frame_equal(
+        got, model.sort_values("event_id").reset_index(drop=True), obj="post-compact"
+    )
