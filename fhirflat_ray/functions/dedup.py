@@ -1388,8 +1388,6 @@ def build_minhash_index(
         "n_hb": n_hb,
         "id_column": id_column,
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
 
     sigs = ds.select_columns([id_column, column]).map_batches(
         worker_cached_stage(
@@ -1408,6 +1406,11 @@ def build_minhash_index(
     sigs.map_batches(bands_hb, batch_format="pyarrow").write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["hb"]
     )
+    # meta.json is the COMMIT MARKER — written only after every posting
+    # file is durable, so a killed build leaves an index probes refuse
+    # (missing meta) instead of one that silently misses duplicates
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
     return meta
 
 

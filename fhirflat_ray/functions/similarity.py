@@ -194,7 +194,6 @@ def build_ivf_index(
     )
     import pyarrow.parquet as pq
 
-    pq.write_table(pa_cent, os.path.join(index_dir, "centroids.parquet"))
     cent_ref = ray.put(cent)
     from fhirflat_ray.functions.util import worker_cached_stage
 
@@ -205,6 +204,11 @@ def build_ivf_index(
     assigned.write_parquet(
         os.path.join(index_dir, "corpus"), partition_cols=["ivf_cell"]
     )
+    # centroids.parquet is the COMMIT MARKER — written only after the
+    # cell-partitioned corpus is durable, so a killed build leaves an index
+    # probes refuse (load_ivf_centroids raises) instead of one that
+    # silently searches a partial corpus
+    pq.write_table(pa_cent, os.path.join(index_dir, "centroids.parquet"))
     return cent
 
 
