@@ -205,6 +205,22 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fetch_mappings(args: argparse.Namespace) -> int:
+    """Download a mapping pack (SURVEY S4) — the `convert_data_to_flat(
+    sheet_id=…)` fetch (/root/reference/fhirflat/ingest.py:496-507) as a
+    standalone step writing {resource}.csv + types.json into --dest."""
+    from fhirflat_ray.sources.remote import download_mapping_pack
+
+    paths = download_mapping_pack(
+        args.dest,
+        args.sheet_id,
+        index_source=args.index,
+        timeout=args.timeout,
+    )
+    print(json.dumps({"dest": args.dest, "resources": sorted(paths)}))
+    return 0
+
+
 def cmd_vacuum(args: argparse.Namespace) -> int:
     """Garbage-collect unreferenced shared-dictionary files."""
     from fhirflat_ray.state import lineage as lin
@@ -340,6 +356,18 @@ def main(argv: list[str] | None = None) -> int:
     psn.add_argument("--drop", type=int, default=None, help="snapshot version to release")
     psn.add_argument("--note", default=None)
     psn.set_defaults(fn=cmd_snapshot)
+
+    pfm = sub.add_parser(
+        "fetch-mappings",
+        help="download a mapping pack (Google-Sheet id, URL, or local index CSV)",
+    )
+    pfm.add_argument("dest", help="directory for {resource}.csv + types.json")
+    pfm.add_argument("--sheet-id", default=None, help="Google Sheets document id")
+    pfm.add_argument(
+        "--index", default=None, help="index CSV URL or local path (alternative to --sheet-id)"
+    )
+    pfm.add_argument("--timeout", type=float, default=30.0)
+    pfm.set_defaults(fn=cmd_fetch_mappings)
 
     pvc = sub.add_parser("vacuum", help="GC shared-dict files no live segment references")
     pvc.add_argument("segments", help="encoded segment dir")

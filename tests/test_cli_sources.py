@@ -216,3 +216,155 @@ def test_archive_helpers(tmp_path):
     assert maybe_unpack(str(d2)) == str(d2)
     with pytest.raises(ValueError):
         compress_dir(str(tmp_path / "none"), "rar")
+
+
+# ---------------------------------------------------------------------------
+# S4 remote mapping fetch (sources/remote.py)
+# ---------------------------------------------------------------------------
+
+_INDEX_CSV = "Resources,Resource Type,Sheet ID\npatient,one-to-one,111\nencounter,one-to-many,222\n"
+_PATIENT_CSV = (
+    "raw_variable,raw_response,target_column,expr\n"
+    "sex,female,gender,f\nsex,male,gender,m\n"
+)
+_ENCOUNTER_CSV = (
+    "raw_variable,raw_response,target_column,expr\n"
+    "adm_date,,period.start.date,<FIELD>\n"
+)
+
+
+def _write_local_pack(tmp_path):
+    d = tmp_path / "pack"
+    d.mkdir()
+    (d / "index.csv").write_text(_INDEX_CSV)
+    (d / "111").write_text(_PATIENT_CSV)
+    (d / "222").write_text(_ENCOUNTER_CSV)
+    return d
+
+
+def test_sheet_export_url_matches_reference_shape():
+    """URL construction mirrors /root/reference/fhirflat/ingest.py:496-507."""
+    from fhirflat_ray.sources import remote
+
+    assert (
+        remote.sheet_export_url("ABC123")
+        == "https://docs.google.com/spreadsheets/d/ABC123/export?format=csv"
+    )
+    assert remote.sheet_export_url("ABC123", gid=42).endswith("format=csv&gid=42")
+
+
+def test_fetch_mappings_local_pack(tmp_path):
+    from fhirflat_ray.sources import remote
+
+    pack = _write_local_pack(tmp_path)
+    mappings, types = remote.fetch_mappings(index_source=str(pack / "index.csv"))
+    assert types == {"patient": "one-to-one", "encounter": "one-to-many"}
+    assert sorted(mappings) == ["encounter", "patient"]
+    assert mappings["patient"]["target_column"].tolist() == ["gender", "gender"]
+    # file:// URL goes through the same sibling-file resolution
+    m2, t2 = remote.fetch_mappings(index_source=f"file://{pack / 'index.csv'}")
+    assert t2 == types and m2["encounter"].equals(mappings["encounter"])
+
+
+def test_fetch_mappings_http_loopback(tmp_path):
+    """A loopback HTTP server standing in for the Sheets export endpoint:
+    the index at ?format=csv, each tab at &gid=N — the exact URL shapes
+    the reference requests."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from fhirflat_ray.sources import remote
+
+    tabs = {None: _INDEX_CSV, "111": _PATIENT_CSV, "222": _ENCOUNTER_CSV}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            gid = q.get("gid", [None])[0]
+            body = tabs[gid].encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/export?format=csv"
+        mappings, types = remote.fetch_mappings(index_source=url)
+        assert types == {"patient": "one-to-one", "encounter": "one-to-many"}
+        assert mappings["patient"]["raw_response"].tolist() == ["female", "male"]
+        assert mappings["encounter"]["target_column"].tolist() == ["period.start.date"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetch_mappings_errors(tmp_path):
+    from fhirflat_ray.sources import remote
+
+    with pytest.raises(TypeError, match="exactly one"):
+        remote.fetch_mappings()
+    with pytest.raises(TypeError, match="exactly one"):
+        remote.fetch_mappings("SHEET", index_source="x.csv")
+    with pytest.raises(remote.MappingFetchError, match="could not read"):
+        remote.fetch_mappings(index_source=str(tmp_path / "missing.csv"))
+    # unreachable host → MappingFetchError with the no-network hint
+    with pytest.raises(remote.MappingFetchError, match="could not fetch"):
+        remote.fetch_bytes("http://invalid.invalid/export?format=csv", timeout=2.0)
+    # malformed index: missing required columns
+    bad = tmp_path / "bad.csv"
+    bad.write_text("Resources,Wrong\nx,y\n")
+    with pytest.raises(remote.MappingFetchError, match="Resource Type"):
+        remote.fetch_mapping_index(str(bad))
+
+
+def test_download_mapping_pack_and_cli(tmp_path, capsys):
+    from fhirflat_ray.sources import remote
+
+    pack = _write_local_pack(tmp_path)
+    dest = tmp_path / "fetched"
+    paths = remote.download_mapping_pack(str(dest), index_source=str(pack / "index.csv"))
+    assert sorted(paths) == ["encounter", "patient"]
+    types = json.loads((dest / "types.json").read_text())
+    assert types["patient"] == "one-to-one"
+    # written CSVs are byte-stable re-parses of the tabs
+    import pandas as pd
+
+    again = pd.read_csv(paths["patient"])
+    assert again["expr"].tolist() == ["f", "m"]
+    # re-running overwrites atomically, no error, same content
+    paths2 = remote.download_mapping_pack(str(dest), index_source=str(pack / "index.csv"))
+    assert paths2 == paths
+
+    dest2 = tmp_path / "fetched_cli"
+    assert cli_main(["fetch-mappings", str(dest2), "--index", str(pack / "index.csv")]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["resources"] == ["encounter", "patient"]
+    assert (dest2 / "types.json").exists()
+
+
+def test_fetched_pack_drives_mapping_engine(ray_session, tmp_path):
+    """End-to-end S4→M17: a fetched mapping tab feeds apply_mapping_long
+    unchanged — fetched and hand-authored packs are indistinguishable."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.functions import mapping_dsl as dsl
+    from fhirflat_ray.sources import remote
+
+    pack = _write_local_pack(tmp_path)
+    mappings, _types = remote.fetch_mappings(index_source=str(pack / "index.csv"))
+    mapping = mappings["patient"].astype(object).where(pd.notna(mappings["patient"]), None)
+    raw = pa.table(
+        {"rid": pa.array([1, 2], pa.int64()), "sex": ["female", "male"]}
+    )
+    assigns = dsl.apply_mapping_long(rd.from_arrow(raw), mapping, "rid", ["sex"])
+    wide = dsl.pivot_assignments(assigns, "rid").to_pandas().sort_values("rid")
+    assert wide["gender"].tolist() == ["f", "m"]
