@@ -1411,3 +1411,99 @@ def test_mutator_sequence_matches_pandas_model(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got, model.sort_values("event_id").reset_index(drop=True), obj="post-compact"
     )
+
+
+def _kill_one_worker(pattern: str, deadline_s: float, proc) -> bool:
+    """SIGKILL the first live Ray worker whose process TITLE starts with
+    ``pattern`` (a node-failure analogue: the task dies mid-flight, the
+    driver survives). Prefix-matching the title is load-bearing: a substring
+    match can hit unrelated processes that merely carry the pattern inside
+    their argv (e.g. a shell whose -c string quotes this very test).
+    Returns True once a worker was killed; False if ``proc`` finished first."""
+    import signal
+    import subprocess as sp
+    import time
+
+    end = time.time() + deadline_s
+    while time.time() < end:
+        if proc.poll() is not None:
+            return False
+        out = sp.run(["ps", "-eo", "pid,args"], capture_output=True, text=True).stdout
+        for line in out.splitlines():
+            parts = line.split(None, 1)
+            if len(parts) == 2 and parts[1].startswith(pattern):
+                try:
+                    os.kill(int(parts[0]), signal.SIGKILL)
+                except (ProcessLookupError, ValueError):
+                    continue
+                return True
+        time.sleep(0.02)
+    return False
+
+
+def test_encode_worker_killed_midrun_retries_idempotently(ray_session, tmp_path):
+    """A WORKER process dying mid-encode (the multi-node failure mode: a
+    task's node goes away while the driver survives) must be retried by
+    Ray and converge to the exact same output — the atomic tmp+rename
+    segment write plus deterministic per-partition content make the retry
+    idempotent, so the job ends with exactly one segment per partition and
+    decode equality. Complements the driver-SIGKILL tests (those exercise
+    --resume; this exercises in-job retry with no resume involved)."""
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = _events_frame(40_000)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "t.parquet"),
+        row_group_size=250,
+    )
+    segd = str(tmp_path / "enc")
+    code = (
+        "import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR')\n"
+        "print('READY', flush=True)\n"
+        "from fhirflat_ray.pipelines.encode import encode_files\n"
+        f"m = encode_files({str(src)!r}, {segd!r}, sort_keys=('event_id',), target_rows=250)\n"
+        "print('PARTS', len(m['partitions']), flush=True)\n"
+        "ray.shutdown()\n"
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd="/root/repo",
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "READY"
+        # the session-scoped test Ray cluster is idle here, so any live
+        # _encode_task worker belongs to the subprocess's own session
+        killed = _kill_one_worker("ray::MapBatches(_encode_task)", 120.0, proc)
+        out, _ = proc.communicate(timeout=180)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+    assert proc.returncode == 0, "encode job must survive a worker death"
+    assert "PARTS 160" in out
+    # exactly one durable segment per partition — the retried task's
+    # rewrite replaced, never duplicated (atomic rename idempotence)
+    segs = glob.glob(os.path.join(segd, "part-*.seg"))
+    assert len(segs) == 160
+    got = (
+        dec.decode_dataset(segd)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(df)
+    # the kill must actually land: the watcher starts at READY (before the
+    # Dataset executes), so a live _encode_task worker is always observable
+    assert killed, "worker kill did not land — the test exercised nothing"
