@@ -57,6 +57,24 @@ def _key_bits(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return vals.astype(np.int64)
 
 
+def _is_string_key(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _string_key_hash(vocab: pa.Array) -> np.ndarray:
+    """Deterministic int64 siphash of distinct string/binary key values
+    (``pandas.util.hash_array``: C-vectorized, process-stable — the same
+    primitive the dedup family uses for content hashing)."""
+    return pd.util.hash_array(
+        np.asarray(vocab.to_pylist(), dtype=object)
+    ).view(np.int64)
+
+
 def range_partition_sort(
     ds,
     key_col: str,
@@ -72,7 +90,12 @@ def range_partition_sort(
     integer math).
 
     ``sample_rate_log2``: sample ~1/2^k of distinct key values (hash of the
-    key's bit pattern, so the sample is block- and duplicate-invariant)."""
+    key's bit pattern — siphash for string/binary keys — so the sample is
+    block- and duplicate-invariant).
+
+    Key types: numeric, timestamp, and string/binary (non-null; string
+    order is codepoint order, which matches UTF-8 byte order and DuckDB's
+    binary collation)."""
     from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
 
     if n_ranges is None:
@@ -86,15 +109,25 @@ def range_partition_sort(
     # store, which is the standard multi-pass trade.
     ds = ds.materialize()
 
+    sch = ds.schema()  # Ray Data schema wrapper: parallel .names / .types
+    key_type = dict(zip(sch.names, sch.types))[key_col]
+    string_key = isinstance(key_type, pa.DataType) and _is_string_key(key_type)
+
     def sample(b: pa.Table) -> pa.Table:
-        bits = _key_bits(b[key_col])
-        h = bits * _MIX  # wraps mod 2^64: deterministic mix
-        keep = ((h >> np.int64(17)) & mask) == 0
-        kept = b[key_col].filter(pa.array(keep))
         # per-batch distinct: sampling is all-or-nothing per key VALUE, so
         # a heavily duplicated key would otherwise ship one sample row per
         # duplicate and could flood the driver collect — deduped, a hot
         # value contributes at most one row per block
+        if string_key:
+            vocab = pc.unique(pc.drop_null(b[key_col].combine_chunks()))
+            h = _string_key_hash(vocab) * _MIX
+            return pa.table(
+                {key_col: vocab.filter(pa.array(((h >> np.int64(17)) & mask) == 0))}
+            )
+        bits = _key_bits(b[key_col])
+        h = bits * _MIX  # wraps mod 2^64: deterministic mix
+        keep = ((h >> np.int64(17)) & mask) == 0
+        kept = b[key_col].filter(pa.array(keep))
         return pa.table({key_col: pc.unique(kept)})
 
     sampled = collect_small_table(
@@ -113,8 +146,25 @@ def range_partition_sort(
         splits = np.unique(keys[idx])
 
     def assign(b: pa.Table) -> pa.Table:
-        kv = b[key_col].to_numpy(zero_copy_only=False)
-        rng = np.searchsorted(splits, kv, side="right").astype(np.int64)
+        if string_key:
+            # binary-search the per-batch VOCAB, not the rows: transcripts
+            # repeat conv_id ~turns-per-conversation times, so the Python
+            # string comparisons inside object-dtype searchsorted run once
+            # per distinct value; rows get their range via one int take
+            col = b[key_col].combine_chunks()
+            if col.null_count:
+                raise ValueError(
+                    f"range_partition_sort: string key {key_col!r} contains "
+                    "nulls — a null has no place in the key order; filter or "
+                    "fill first"
+                )
+            enc = col.dictionary_encode()
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            rngv = np.searchsorted(splits, vocab, side="right").astype(np.int64)
+            rng = rngv[enc.indices.to_numpy(zero_copy_only=False)]
+        else:
+            kv = b[key_col].to_numpy(zero_copy_only=False)
+            rng = np.searchsorted(splits, kv, side="right").astype(np.int64)
         return b.append_column("__range", pa.array(rng, pa.int64()))
 
     # exact per-range counts (narrow pass) -> exclusive prefix offsets

@@ -10121,6 +10121,33 @@ FROM r
 """
 
 
+def sorted_export_by_source(sf_dir: str):
+    """Range-partitioned global sort under a STRING key ((source, doc_id)
+    over documents) — the oracle gate for ``range_partition_sort``'s
+    string-key path: siphash value sampling, vocab-level binary search
+    (one Python comparison per DISTINCT value per batch, rows attach via
+    one int take), codepoint order matching DuckDB's binary collation."""
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = range_partition_sort(
+        ds, key_col="source", tiebreak_cols=["doc_id"], n_shards=8
+    )
+    return out.select_columns(["doc_id", "source", "pos", "shard"])
+
+
+SORTED_EXPORT_BY_SOURCE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (ORDER BY source, doc_id) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+       CAST((pos * 8) // (SELECT count(*) FROM documents) AS BIGINT) AS shard
+FROM r
+"""
+
+
 def turn_sum_encoded(sf_dir: str):
     """SUM pushed INTO the encoded format: total turn_idx + row count
     computed from per-codec closed forms over the encoded int stream —
@@ -12396,6 +12423,7 @@ QUERIES = {
     "user_ltv_deciles": user_ltv_deciles,
     "first_touch_attribution": first_touch_attribution,
     "gap_quantiles": gap_quantiles,
+    "sorted_export_by_source": sorted_export_by_source,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_near": dedup_near,
@@ -12596,6 +12624,7 @@ ORACLE_SQL = {
     "merge_intervals": MERGE_INTERVALS_SQL,
     "asof_join_forward": ASOF_JOIN_FORWARD_SQL,
     "sorted_export": SORTED_EXPORT_SQL,
+    "sorted_export_by_source": SORTED_EXPORT_BY_SOURCE_SQL,
     "salted_join_segments": SALTED_JOIN_SEGMENTS_SQL,
     "turn_sum_encoded": TURN_SUM_ENCODED_SQL,
     "turn_var_encoded": TURN_VAR_ENCODED_SQL,

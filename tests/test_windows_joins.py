@@ -539,3 +539,42 @@ def test_range_partition_sort_property(ray_session):
         assert (out["id"].to_numpy() == ids[order]).all()
 
     check()
+
+
+def test_range_partition_sort_string_key(ray_session):
+    """String keys (the engine's PRIMARY key shape — conv_id): exact global
+    ranks under duplication and block skew; the vocab-level binary search
+    must agree with a full pandas reference sort; null keys raise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    rng = np.random.default_rng(3)
+    n = 30_000
+    convs = [f"c{int(i):07d}" for i in rng.integers(0, 2_000, n)]
+    t = pa.table({"conv_id": convs, "turn_idx": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(t).repartition(16)
+
+    out = (
+        range_partition_sort(ds, key_col="conv_id", tiebreak_cols=["turn_idx"], n_shards=4)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    exp = (
+        t.to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert (out["pos"].to_numpy() == np.arange(n)).all()
+    assert out["conv_id"].tolist() == exp["conv_id"].tolist()
+    assert out["turn_idx"].tolist() == exp["turn_idx"].tolist()
+    assert (out["shard"].to_numpy() == (np.arange(n) * 4) // n).all()
+
+    t2 = pa.table({"k": ["a", None, "b"], "i": [1, 2, 3]})
+    with pytest.raises(Exception, match="nulls"):
+        range_partition_sort(
+            rd.from_arrow(t2), key_col="k", tiebreak_cols=["i"]
+        ).materialize()
