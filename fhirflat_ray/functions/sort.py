@@ -82,6 +82,7 @@ def range_partition_sort(
     n_ranges: int | None = None,
     sample_rate_log2: int = 6,
     n_shards: int | None = None,
+    pin_input: bool = True,
 ):
     """Globally sort ``ds`` by ``(key_col, *tiebreak_cols)`` ascending via
     sampled range partitioning. Returns the input rows plus ``pos`` (exact
@@ -95,19 +96,29 @@ def range_partition_sort(
 
     Key types: numeric, timestamp, and string/binary (non-null; string
     order is codepoint order, which matches UTF-8 byte order and DuckDB's
-    binary collation)."""
+    binary collation).
+
+    ``pin_input``: three passes read the input (sample, exact counts, the
+    shuffle). ``True`` materializes the input once so a lazy upstream
+    pipeline — e.g. a dedup shuffle — does not re-execute per pass
+    (measured: curriculum_export paid its dedup 3x); the corpus then sits
+    in the (spillable) object store for the sort's duration, so the store
+    holds ~2x the data at the shuffle barrier. ``False`` re-executes the
+    input plan per pass — the right shape when the input is a
+    storage-backed read: the sample and count passes re-read ONLY the key
+    column (``select_columns`` pushes into the parquet scan) and the store
+    never holds more than the shuffle itself, which is how a 100 TB sort
+    must run (measured here: a 128M-row/29 GB sort overflowed the object
+    store AND local disk when pinned, and streamed when not). Requires a
+    deterministic, re-executable input plan."""
     from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
 
     if n_ranges is None:
         n_ranges = default_num_buckets()
     mask = np.int64((1 << sample_rate_log2) - 1)
 
-    # three passes read the input (sample, exact counts, the shuffle);
-    # without pinning, a lazy upstream pipeline — e.g. a dedup shuffle —
-    # would re-execute per pass (measured: curriculum_export paid its
-    # dedup 3x). Materialize once; blocks live in the (spillable) object
-    # store, which is the standard multi-pass trade.
-    ds = ds.materialize()
+    if pin_input:
+        ds = ds.materialize()
 
     sch = ds.schema()  # Ray Data schema wrapper: parallel .names / .types
     key_type = dict(zip(sch.names, sch.types))[key_col]
@@ -193,17 +204,28 @@ def range_partition_sort(
 
     sort_cols = [key_col] + list(tiebreak_cols)
 
-    def per_range(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        rid = int(g["__range"].iloc[0])
+    def per_range(g: pa.Table) -> pa.Table:
+        # pure Arrow: a pandas round-trip here turns every string payload
+        # into Python objects (3-5x memory on text-heavy tables — measured
+        # tipping a 128M-row/29 GB sort into fallback allocations that
+        # filled the disk). Arrow's multi-key sort needs no stability
+        # because callers pass a unique tiebreak (see docstring).
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in sort_cols]
+        )
+        g = g.take(idx)
+        rid = g["__range"][0].as_py()
         off = int(offsets[np.searchsorted(range_ids, rid)])
-        g["pos"] = off + np.arange(len(g), dtype=np.int64)
+        pos = off + np.arange(g.num_rows, dtype=np.int64)
+        g = g.append_column("pos", pa.array(pos, pa.int64()))
         if n_shards is not None:
-            g["shard"] = (g["pos"].to_numpy() * n_shards) // total
-        return g.drop(columns="__range")
+            g = g.append_column(
+                "shard", pa.array((pos * n_shards) // total, pa.int64())
+            )
+        return g.drop_columns(["__range"])
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__range")
-        .map_groups(per_range, batch_format="pandas")
+        .map_groups(per_range, batch_format="pyarrow")
     )

@@ -10104,7 +10104,7 @@ def sorted_export(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
     out = range_partition_sort(
-        ds, key_col="value", tiebreak_cols=["event_id"], n_shards=16
+        ds, key_col="value", tiebreak_cols=["event_id"], n_shards=16, pin_input=False
     )
     return out.select_columns(["event_id", "pos", "shard"])
 
@@ -10131,7 +10131,7 @@ def sorted_export_by_source(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
     out = range_partition_sort(
-        ds, key_col="source", tiebreak_cols=["doc_id"], n_shards=8
+        ds, key_col="source", tiebreak_cols=["doc_id"], n_shards=8, pin_input=False
     )
     return out.select_columns(["doc_id", "source", "pos", "shard"])
 
