@@ -28,6 +28,10 @@ import pandas as pd
 
 _TOKEN_RE = r"\S+"
 
+#: conversations longer than this take the per-chunk binary-search path in
+#: ``pack_bucket_fn`` (module-level so the equality test can force tiers)
+_LONG_CONV = 4096
+
 
 def _whitespace_tokens(texts: pd.Series) -> np.ndarray:
     """Whitespace token counts, C-vectorized; parity with DuckDB
@@ -96,14 +100,41 @@ def pack_bucket_fn(
         # sorted by key => each conversation is one contiguous segment
         sizes = g.groupby(key, sort=False).size().to_numpy(np.int64)
         starts = np.concatenate(([0], np.cumsum(sizes)[:-1])) if len(sizes) else sizes
-        max_pos = int(sizes.max()) if len(sizes) else 0
 
         chunk_out = np.zeros(len(g), np.int64)
-        cum = np.zeros(len(sizes), np.int64)
-        chunk = np.zeros(len(sizes), np.int64)
+
+        # pathological conversations (> _LONG_CONV turns) route through a
+        # per-CHUNK binary search over the token prefix sum — O(chunks ·
+        # log turns) instead of the position loop's O(turns) steps. Exact
+        # greedy equivalence with the position loop (incl. over-budget
+        # openers, zero-token rows, mid-chunk giants) is pinned by test.
+        # Measured: a planted 5M-turn conversation dropped the bucket pass
+        # from ~50 s to seconds.
+        long_sel = sizes > _LONG_CONV
+        for ci in np.flatnonzero(long_sel):
+            s, n = int(starts[ci]), int(sizes[ci])
+            prefix = np.cumsum(tok[s : s + n], dtype=np.int64)
+            bounds = [0]
+            while bounds[-1] < n:
+                i = bounds[-1]
+                base = int(prefix[i - 1]) if i else 0
+                j = int(np.searchsorted(prefix, base + budget, side="right"))
+                bounds.append(max(j, i + 1))  # a lone over-budget row is its own chunk
+            lens = np.diff(np.asarray(bounds, dtype=np.int64))
+            chunk_out[s : s + n] = np.repeat(
+                np.arange(len(lens), dtype=np.int64), lens
+            )
+
+        # everyone else: one loop over within-conversation POSITIONS, each
+        # step vectorized across every short conversation still active
+        sizes_s = sizes[~long_sel]
+        starts_s = starts[~long_sel]
+        max_pos = int(sizes_s.max()) if len(sizes_s) else 0
+        cum = np.zeros(len(sizes_s), np.int64)
+        chunk = np.zeros(len(sizes_s), np.int64)
         for t in range(max_pos):
-            alive = sizes > t  # conversations that still have a turn at pos t
-            rows = starts[alive] + t
+            alive = sizes_s > t  # conversations that still have a turn at pos t
+            rows = starts_s[alive] + t
             tk = tok[rows]
             if t == 0:
                 cum = tk.copy()

@@ -333,3 +333,51 @@ def test_pack_skewed_long_conversation_linear_memory(ray_session):
     # budget 7, 3 tokens per turn -> chunks of 2 turns each
     assert long["chunk_id"].tolist() == [i // 2 for i in range(3000)]
     assert (out[out.conv_id != "long"]["chunk_id"] == 0).all()
+
+
+def test_pack_long_conv_tier_matches_position_loop(monkeypatch):
+    """The per-chunk binary-search path (conversations > _LONG_CONV) must be
+    chunk-for-chunk identical to the vectorized position loop — including
+    over-budget single rows (lone chunk), zero-token rows after an
+    over-budget opener (new chunk), and exact-budget boundaries (join)."""
+    rng = np.random.default_rng(11)
+    frames = []
+    # adversarial hand-built stream: opener over budget, zero-token rows,
+    # exact-budget fits
+    texts = [
+        "a " * 20,          # 20 tokens > budget 8 -> lone chunk 0
+        "",                 # 0 tokens after over-budget opener -> chunk 1
+        "b b b",            # 3 -> joins chunk 1 (cum 3)
+        "c c c c c",        # 5 -> cum 8 == budget -> joins chunk 1
+        "",                 # 0 -> cum still 8 -> joins
+        "d",                # 1 -> cum 9 > 8 -> chunk 2
+    ]
+    frames.append(
+        pd.DataFrame({"k": "edge", "o": range(len(texts)), "text": texts})
+    )
+    # randomized conversations at varied lengths
+    for ci in range(6):
+        n = int(rng.integers(1, 400))
+        ntok = rng.integers(0, 6, n)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "k": f"c{ci}",
+                    "o": range(n),
+                    "text": [" ".join(["w"] * t) for t in ntok],
+                }
+            )
+        )
+    g = pd.concat(frames, ignore_index=True).sample(frac=1, random_state=0)
+
+    fn = tr.pack_bucket_fn("k", "o", "text", budget=8)
+    monkeypatch.setattr(tr, "_LONG_CONV", 10**9)  # everything short
+    short = fn(g.copy()).sort_values(["k", "o"]).reset_index(drop=True)
+    monkeypatch.setattr(tr, "_LONG_CONV", 0)  # everything long
+    long_ = fn(g.copy()).sort_values(["k", "o"]).reset_index(drop=True)
+
+    assert short["chunk_id"].tolist() == long_["chunk_id"].tolist()
+    assert short["n_tokens"].tolist() == long_["n_tokens"].tolist()
+    # spot-check the hand-built edge stream against the spec
+    e = short[short["k"] == "edge"].sort_values("o")
+    assert e["chunk_id"].tolist() == [0, 1, 1, 1, 1, 2]
