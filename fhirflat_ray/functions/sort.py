@@ -75,50 +75,16 @@ def _string_key_hash(vocab: pa.Array) -> np.ndarray:
     ).view(np.int64)
 
 
-def range_partition_sort(
-    ds,
-    key_col: str,
-    tiebreak_cols: list[str],
-    n_ranges: int | None = None,
-    sample_rate_log2: int = 6,
-    n_shards: int | None = None,
-    pin_input: bool = True,
-):
-    """Globally sort ``ds`` by ``(key_col, *tiebreak_cols)`` ascending via
-    sampled range partitioning. Returns the input rows plus ``pos`` (exact
-    0-based global rank) and, when ``n_shards`` is given, ``shard`` —
-    contiguous balanced shards ``pos * n_shards // total`` (SQL-mirrorable
-    integer math).
+def _sort_plan(ds, key_col: str, n_ranges: int, sample_rate_log2: int) -> dict:
+    """Shared planning passes for the range sorts: sampled split points plus
+    exact per-range counts → exclusive prefix offsets. Both passes read ONLY
+    the key column (``select_columns`` pushes into storage-backed scans).
+    Returns ``assign`` (batch → batch + ``__range``), ``splits``,
+    ``range_ids``/``counts``/``offsets`` (parallel, sorted by range id) and
+    ``total``. Deterministic for identical input (hash-rate sampling)."""
+    from fhirflat_ray.functions.util import collect_small_table
 
-    ``sample_rate_log2``: sample ~1/2^k of distinct key values (hash of the
-    key's bit pattern — siphash for string/binary keys — so the sample is
-    block- and duplicate-invariant).
-
-    Key types: numeric, timestamp, and string/binary (non-null; string
-    order is codepoint order, which matches UTF-8 byte order and DuckDB's
-    binary collation).
-
-    ``pin_input``: three passes read the input (sample, exact counts, the
-    shuffle). ``True`` materializes the input once so a lazy upstream
-    pipeline — e.g. a dedup shuffle — does not re-execute per pass
-    (measured: curriculum_export paid its dedup 3x); the corpus then sits
-    in the (spillable) object store for the sort's duration, so the store
-    holds ~2x the data at the shuffle barrier. ``False`` re-executes the
-    input plan per pass — the right shape when the input is a
-    storage-backed read: the sample and count passes re-read ONLY the key
-    column (``select_columns`` pushes into the parquet scan) and the store
-    never holds more than the shuffle itself, which is how a 100 TB sort
-    must run (measured here: a 128M-row/29 GB sort overflowed the object
-    store AND local disk when pinned, and streamed when not). Requires a
-    deterministic, re-executable input plan."""
-    from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
-
-    if n_ranges is None:
-        n_ranges = default_num_buckets()
     mask = np.int64((1 << sample_rate_log2) - 1)
-
-    if pin_input:
-        ds = ds.materialize()
 
     sch = ds.schema()  # Ray Data schema wrapper: parallel .names / .types
     key_type = dict(zip(sch.names, sch.types))[key_col]
@@ -200,7 +166,64 @@ def range_partition_sort(
     range_ids = cnt.index.to_numpy().astype(np.int64)
     counts = cnt.to_numpy().astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    total = int(counts.sum())
+    return {
+        "assign": assign,
+        "splits": splits,
+        "range_ids": range_ids,
+        "counts": counts,
+        "offsets": offsets,
+        "total": int(counts.sum()),
+        "string_key": string_key,
+    }
+
+
+def range_partition_sort(
+    ds,
+    key_col: str,
+    tiebreak_cols: list[str],
+    n_ranges: int | None = None,
+    sample_rate_log2: int = 6,
+    n_shards: int | None = None,
+    pin_input: bool = True,
+):
+    """Globally sort ``ds`` by ``(key_col, *tiebreak_cols)`` ascending via
+    sampled range partitioning. Returns the input rows plus ``pos`` (exact
+    0-based global rank) and, when ``n_shards`` is given, ``shard`` —
+    contiguous balanced shards ``pos * n_shards // total`` (SQL-mirrorable
+    integer math).
+
+    ``sample_rate_log2``: sample ~1/2^k of distinct key values (hash of the
+    key's bit pattern — siphash for string/binary keys — so the sample is
+    block- and duplicate-invariant).
+
+    Key types: numeric, timestamp, and string/binary (non-null; string
+    order is codepoint order, which matches UTF-8 byte order and DuckDB's
+    binary collation).
+
+    ``pin_input``: three passes read the input (sample, exact counts, the
+    shuffle). ``True`` materializes the input once so a lazy upstream
+    pipeline — e.g. a dedup shuffle — does not re-execute per pass
+    (measured: curriculum_export paid its dedup 3x); the corpus then sits
+    in the (spillable) object store for the sort's duration, so the store
+    holds ~2x the data at the shuffle barrier. ``False`` re-executes the
+    input plan per pass — the right shape when the input is a
+    storage-backed read: the sample and count passes re-read ONLY the key
+    column (``select_columns`` pushes into the parquet scan) and the store
+    never holds more than the shuffle itself, which is how a 100 TB sort
+    must run (measured here: a 128M-row/29 GB sort overflowed the object
+    store AND local disk when pinned, and streamed when not). Requires a
+    deterministic, re-executable input plan."""
+    from fhirflat_ray.functions.util import default_num_buckets
+
+    if n_ranges is None:
+        n_ranges = default_num_buckets()
+
+    if pin_input:
+        ds = ds.materialize()
+
+    plan = _sort_plan(ds, key_col, n_ranges, sample_rate_log2)
+    assign = plan["assign"]
+    range_ids, offsets, total = plan["range_ids"], plan["offsets"], plan["total"]
 
     sort_cols = [key_col] + list(tiebreak_cols)
 
@@ -229,3 +252,123 @@ def range_partition_sort(
         .groupby("__range")
         .map_groups(per_range, batch_format="pyarrow")
     )
+
+
+def range_partition_sort_to_parquet(
+    ds,
+    out_dir: str,
+    key_col: str,
+    tiebreak_cols: list[str],
+    n_ranges: int | None = None,
+    sample_rate_log2: int = 6,
+    n_shards: int | None = None,
+    n_waves: int = 1,
+    resume: bool = False,
+) -> dict:
+    """External (wave-sharded) global sort with a parquet sink — the shape
+    for sorting data LARGER than the cluster's aggregate object store.
+
+    ``range_partition_sort`` runs ONE all-to-all, so the store must hold
+    the whole corpus at the shuffle barrier (measured boundary: a
+    29 GB sort against a 37.6 GB single-node store grows plasma fallback
+    past 200 GB and aborts — see BASELINE.md). Here the range-id space is
+    cut into ``n_waves`` contiguous slices and each wave shuffles ONLY its
+    slice (~data/n_waves in flight), then writes every range as one
+    parquet file before the next wave starts — the classic multi-pass
+    external sort, with the extra passes reading from storage (assign is
+    recomputed per wave; the planning passes read only the key column).
+
+    Output contract: ``part-{range:06d}.parquet`` files whose LEXICOGRAPHIC
+    name order is the global key order; rows carry exact global ``pos``
+    (and ``shard`` when ``n_shards`` is given). Files land atomically
+    (tmp + rename, the segment-write discipline), so a crashed run leaves
+    only complete files; ``resume=True`` skips ranges whose file already
+    exists — valid because the plan is deterministic for identical input.
+    Requires a deterministic, re-executable input plan (storage-backed
+    reads; same contract as ``pin_input=False``).
+
+    Returns a manifest dict: total rows, written/skipped file lists, and
+    the per-range row counts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fhirflat_ray.functions.util import collect_small_table, default_num_buckets
+
+    if n_waves < 1:
+        raise ValueError("n_waves must be >= 1")
+    if n_ranges is None:
+        n_ranges = max(default_num_buckets(), n_waves)
+
+    plan = _sort_plan(ds, key_col, n_ranges, sample_rate_log2)
+    assign = plan["assign"]
+    range_ids, offsets, total = plan["range_ids"], plan["offsets"], plan["total"]
+    sort_cols = [key_col] + list(tiebreak_cols)
+    n_rng = len(plan["splits"]) + 1
+    os.makedirs(out_dir, exist_ok=True)
+
+    def part_path(rid: int) -> str:
+        return os.path.join(out_dir, f"part-{rid:06d}.parquet")
+
+    written: list[str] = []
+    skipped: list[str] = []
+    per_wave = (n_rng + n_waves - 1) // n_waves
+    for w in range(n_waves):
+        lo, hi = w * per_wave, min((w + 1) * per_wave, n_rng)
+        if lo >= hi:
+            break
+
+        def wave_assign(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            t = assign(b)
+            rng = t["__range"]
+            m = pc.and_(pc.greater_equal(rng, lo), pc.less(rng, hi))
+            return t.filter(m)
+
+        def write_range(g: pa.Table) -> pa.Table:
+            rid = int(g["__range"][0].as_py())
+            path = part_path(rid)
+            if resume and os.path.exists(path):
+                return pa.table(
+                    {"rid": pa.array([rid], pa.int64()),
+                     "rows": pa.array([g.num_rows], pa.int64()),
+                     "skipped": pa.array([True])}
+                )
+            idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in sort_cols])
+            g = g.take(idx)
+            off = int(offsets[np.searchsorted(range_ids, rid)])
+            pos = off + np.arange(g.num_rows, dtype=np.int64)
+            g = g.append_column("pos", pa.array(pos, pa.int64()))
+            if n_shards is not None:
+                g = g.append_column(
+                    "shard", pa.array((pos * n_shards) // total, pa.int64())
+                )
+            g = g.drop_columns(["__range"])
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(g, tmp)
+            os.replace(tmp, path)  # atomic: retries/crashes never leave partials
+            return pa.table(
+                {"rid": pa.array([rid], pa.int64()),
+                 "rows": pa.array([g.num_rows], pa.int64()),
+                 "skipped": pa.array([False])}
+            )
+
+        # collect_small_table is the wave BARRIER: one tiny record per range
+        # returns; the next wave's shuffle starts only after this one's
+        # files are durable
+        rec = collect_small_table(
+            ds.map_batches(wave_assign, batch_format="pyarrow")
+            .groupby("__range")
+            .map_groups(write_range, batch_format="pyarrow")
+        )
+        if rec.num_rows:
+            for row in rec.to_pylist():
+                (skipped if row["skipped"] else written).append(part_path(row["rid"]))
+
+    return {
+        "total_rows": total,
+        "n_ranges": n_rng,
+        "n_waves": n_waves,
+        "files_written": sorted(written),
+        "files_skipped": sorted(skipped),
+        "range_counts": dict(zip(range_ids.tolist(), plan["counts"].tolist())),
+    }

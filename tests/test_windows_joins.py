@@ -578,3 +578,65 @@ def test_range_partition_sort_string_key(ray_session):
         range_partition_sort(
             rd.from_arrow(t2), key_col="k", tiebreak_cols=["i"]
         ).materialize()
+
+
+def test_range_partition_sort_to_parquet_waves(ray_session, tmp_path):
+    """The wave-sharded parquet sink must produce EXACTLY the one-shot
+    sort's rows (pos, shard included), with lexicographic file order being
+    the global key order, regardless of n_waves; resume=True skips
+    already-written ranges."""
+    import glob as _glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import (
+        range_partition_sort,
+        range_partition_sort_to_parquet,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    convs = [f"c{int(i):06d}" for i in rng.integers(0, 1_500, n)]
+    t = pa.table({"conv_id": convs, "turn_idx": np.arange(n, dtype=np.int64)})
+    ds = rd.from_arrow(t).repartition(8)
+
+    ref = (
+        range_partition_sort(ds, "conv_id", ["turn_idx"], n_shards=4, pin_input=False)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+
+    for waves in (1, 3):
+        out = str(tmp_path / f"w{waves}")
+        man = range_partition_sort_to_parquet(
+            ds, out, "conv_id", ["turn_idx"], n_shards=4, n_waves=waves
+        )
+        assert man["total_rows"] == n and not man["files_skipped"]
+        files = sorted(_glob.glob(out + "/part-*.parquet"))
+        assert files == man["files_written"]
+        got = pa.concat_tables([_pq.read_table(f) for f in files]).to_pandas()
+        # file-name order IS key order: pos must already be monotone
+        assert (np.diff(got["pos"].to_numpy()) == 1).all() and got["pos"].iloc[0] == 0
+        for col in ("conv_id", "turn_idx", "pos", "shard"):
+            assert got[col].tolist() == ref[col].tolist(), (waves, col)
+
+    # resume: drop two files, re-run — only the missing ranges rewrite
+    out = str(tmp_path / "w3")
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    removed = files[1:3]
+    for f in removed:
+        os.remove(f)
+    man2 = range_partition_sort_to_parquet(
+        ds, out, "conv_id", ["turn_idx"], n_shards=4, n_waves=3, resume=True
+    )
+    assert sorted(man2["files_written"]) == sorted(removed)
+    got = pa.concat_tables(
+        [_pq.read_table(f) for f in sorted(_glob.glob(out + "/part-*.parquet"))]
+    ).to_pandas()
+    assert got["conv_id"].tolist() == ref["conv_id"].tolist()
+    assert got["pos"].tolist() == ref["pos"].tolist()
