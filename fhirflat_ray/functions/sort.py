@@ -282,8 +282,9 @@ def range_partition_sort_to_parquet(
     name order is the global key order; rows carry exact global ``pos``
     (and ``shard`` when ``n_shards`` is given). Files land atomically
     (tmp + rename, the segment-write discipline), so a crashed run leaves
-    only complete files; ``resume=True`` skips ranges whose file already
-    exists — valid because the plan is deterministic for identical input.
+    only complete files; ``resume=True`` drops completed ranges from the
+    wave BEFORE the exchange (they pay only the map-side assign) — valid
+    because the plan is deterministic for identical input.
     Requires a deterministic, re-executable input plan (storage-backed
     reads; same contract as ``pin_input=False``).
 
@@ -318,10 +319,31 @@ def range_partition_sort_to_parquet(
         if lo >= hi:
             break
 
-        def wave_assign(b: pa.Table, lo=lo, hi=hi) -> pa.Table:
+        # resume skips completed ranges BEFORE the shuffle (driver-side
+        # existence check): their rows are filtered out of the wave, so a
+        # resumed run pays only the map-side assign for them, not the
+        # exchange. The worker-side check below stays as a race guard.
+        done = (
+            np.asarray(
+                [r for r in range(lo, hi) if os.path.exists(part_path(r))],
+                dtype=np.int64,
+            )
+            if resume
+            else np.empty(0, dtype=np.int64)
+        )
+        skipped.extend(part_path(int(r)) for r in done)
+        if len(done) == hi - lo:
+            continue  # whole wave already durable
+
+        def wave_assign(b: pa.Table, lo=lo, hi=hi, done=done) -> pa.Table:
             t = assign(b)
             rng = t["__range"]
             m = pc.and_(pc.greater_equal(rng, lo), pc.less(rng, hi))
+            if len(done):
+                vals = rng.to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(done, vals)
+                is_done = (pos < len(done)) & (done[np.clip(pos, 0, len(done) - 1)] == vals)
+                m = pc.and_(m, pa.array(~is_done))
             return t.filter(m)
 
         def write_range(g: pa.Table) -> pa.Table:
