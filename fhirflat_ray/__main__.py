@@ -362,8 +362,9 @@ def main(argv: list[str] | None = None) -> int:
         help="download a mapping pack (Google-Sheet id, URL, or local index CSV)",
     )
     pfm.add_argument("dest", help="directory for {resource}.csv + types.json")
-    pfm.add_argument("--sheet-id", default=None, help="Google Sheets document id")
-    pfm.add_argument(
+    pfm_src = pfm.add_mutually_exclusive_group(required=True)
+    pfm_src.add_argument("--sheet-id", default=None, help="Google Sheets document id")
+    pfm_src.add_argument(
         "--index", default=None, help="index CSV URL or local path (alternative to --sheet-id)"
     )
     pfm.add_argument("--timeout", type=float, default=30.0)

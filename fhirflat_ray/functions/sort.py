@@ -115,7 +115,16 @@ def _sort_plan(ds, key_col: str, n_ranges: int, sample_rate_log2: int) -> dict:
             f"split sample of {sampled.num_rows} keys exceeds the driver "
             "budget — raise sample_rate_log2 (each +1 halves the sample)"
         )
-    keys = np.sort(sampled[key_col].to_numpy(zero_copy_only=False))
+    # layout-independence is load-bearing: sample dedup is per-BATCH only,
+    # so a key sampled in k blocks appears k times here — np.unique makes
+    # the split points a function of the sampled value SET alone, identical
+    # under any block layout / parallelism. The parquet sink's resume
+    # contract (skip ranges whose file exists) depends on this: a resumed
+    # run on a differently-sized cluster must compute the same boundaries.
+    # Trade: splits balance by distinct keys, not row counts; a hot key
+    # lands in one range either way (assignment is by value) and the count
+    # pass reports exact per-range sizes.
+    keys = np.unique(sampled[key_col].to_numpy(zero_copy_only=False))
     if len(keys) == 0:
         splits = keys[:0]
     else:
@@ -228,30 +237,40 @@ def range_partition_sort(
     sort_cols = [key_col] + list(tiebreak_cols)
 
     def per_range(g: pa.Table) -> pa.Table:
-        # pure Arrow: a pandas round-trip here turns every string payload
-        # into Python objects (3-5x memory on text-heavy tables — measured
-        # tipping a 128M-row/29 GB sort into fallback allocations that
-        # filled the disk). Arrow's multi-key sort needs no stability
-        # because callers pass a unique tiebreak (see docstring).
-        idx = pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in sort_cols]
-        )
-        g = g.take(idx)
-        rid = g["__range"][0].as_py()
-        off = int(offsets[np.searchsorted(range_ids, rid)])
-        pos = off + np.arange(g.num_rows, dtype=np.int64)
-        g = g.append_column("pos", pa.array(pos, pa.int64()))
-        if n_shards is not None:
-            g = g.append_column(
-                "shard", pa.array((pos * n_shards) // total, pa.int64())
-            )
-        return g.drop_columns(["__range"])
+        return _finish_range(g, sort_cols, range_ids, offsets, total, n_shards)
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby("__range")
         .map_groups(per_range, batch_format="pyarrow")
     )
+
+
+def _finish_range(
+    g: pa.Table,
+    sort_cols: list[str],
+    range_ids: np.ndarray,
+    offsets: np.ndarray,
+    total: int,
+    n_shards: int | None,
+) -> pa.Table:
+    """Finish one range group: local sort + exact global rank (+ shard).
+
+    Pure Arrow: a pandas round-trip here turns every string payload into
+    Python objects (3-5x memory on text-heavy tables — measured tipping a
+    128M-row/29 GB sort into fallback allocations that filled the disk).
+    Arrow's multi-key sort needs no stability because callers pass a unique
+    tiebreak (see ``range_partition_sort``). Shared by the in-memory sort
+    and the parquet sink so the rank/shard math lives in ONE place."""
+    idx = pc.sort_indices(g, sort_keys=[(c, "ascending") for c in sort_cols])
+    g = g.take(idx)
+    rid = g["__range"][0].as_py()
+    off = int(offsets[np.searchsorted(range_ids, rid)])
+    pos = off + np.arange(g.num_rows, dtype=np.int64)
+    g = g.append_column("pos", pa.array(pos, pa.int64()))
+    if n_shards is not None:
+        g = g.append_column("shard", pa.array((pos * n_shards) // total, pa.int64()))
+    return g.drop_columns(["__range"])
 
 
 def range_partition_sort_to_parquet(
@@ -284,9 +303,14 @@ def range_partition_sort_to_parquet(
     (tmp + rename, the segment-write discipline), so a crashed run leaves
     only complete files; ``resume=True`` drops completed ranges from the
     wave BEFORE the exchange (they pay only the map-side assign) — valid
-    because the plan is deterministic for identical input.
+    because split points are a function of the sampled key-value SET
+    (see ``_sort_plan``), so a resume under ANY parallelism / block
+    layout computes the same range boundaries.
     Requires a deterministic, re-executable input plan (storage-backed
-    reads; same contract as ``pin_input=False``).
+    reads; same contract as ``pin_input=False``), and ``out_dir`` must
+    be SHARED storage on a multi-node cluster (range tasks write from
+    workers, the driver checks existence — the same contract as the
+    encoded segment store).
 
     Returns a manifest dict: total rows, written/skipped file lists, and
     the per-range row counts."""

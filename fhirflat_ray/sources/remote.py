@@ -86,11 +86,26 @@ def _local_path(source: str) -> str:
     return source[len("file://") :] if source.startswith("file://") else source
 
 
+def _check_component(value: str, what: str) -> str:
+    """Reject index-CSV values that would escape the pack directory when
+    used as a path component (the index is REMOTE input — a crafted
+    ``Resources`` or ``Sheet ID`` value must not become '../…')."""
+    s = str(value)
+    if not s or s != os.path.basename(s) or s in (".", ".."):
+        raise MappingFetchError(
+            f"mapping index {what} {s!r} is not a safe filename component"
+        )
+    return s
+
+
 def _tab_source(index_source: str, gid) -> str:
     """Per-resource tab address: ``gid`` query parameter for URL sources,
     sibling filename for local packs."""
     if _is_local(index_source):
-        return os.path.join(os.path.dirname(_local_path(index_source)), str(gid))
+        return os.path.join(
+            os.path.dirname(_local_path(index_source)),
+            _check_component(gid, "Sheet ID"),
+        )
     sep = "&" if "?" in index_source else "?"
     return f"{index_source}{sep}gid={gid}"
 
@@ -102,13 +117,23 @@ def fetch_mapping_index(
     type ("one-to-one"/"one-to-many") and to its tab id. Mirrors the
     reference's strict index/type zip and ``Sheet ID`` lookup
     (/root/reference/fhirflat/ingest.py:500-506)."""
-    df = fetch_csv(index_source, timeout=timeout, header=0, index_col="Resources")
+    try:
+        df = fetch_csv(index_source, timeout=timeout, header=0, index_col="Resources")
+    except ValueError as exc:  # read_csv: index_col 'Resources' not present
+        raise MappingFetchError(
+            f"mapping index {index_source!r} has no 'Resources' column: {exc}"
+        ) from exc
     for col in ("Resource Type", "Sheet ID"):
         if col not in df.columns:
             raise MappingFetchError(
                 f"mapping index {index_source!r} is missing the {col!r} column "
                 f"(found {list(df.columns)})"
             )
+    if not df.index.is_unique:
+        dupes = df.index[df.index.duplicated()].unique().tolist()
+        raise MappingFetchError(
+            f"mapping index {index_source!r} lists resources more than once: {dupes}"
+        )
     types = dict(zip(df.index, df["Resource Type"], strict=True))
     gids = {r: df.loc[r, "Sheet ID"] for r in types}
     return types, gids
@@ -155,13 +180,14 @@ def download_mapping_pack(
     os.makedirs(dest_dir, exist_ok=True)
     paths: dict[str, str] = {}
     for resource, df in mappings.items():
-        path = os.path.join(dest_dir, f"{resource}.csv")
-        tmp = f"{path}.tmp"
-        df.to_csv(tmp, index=False)
+        name = _check_component(resource, "resource name")
+        path = os.path.join(dest_dir, f"{name}.csv")
+        tmp = f"{path}.tmp-{os.getpid()}"  # pid-suffixed: concurrent fetches
+        df.to_csv(tmp, index=False)  # into one dest never interleave writes
         os.replace(tmp, path)
         paths[resource] = path
     tpath = os.path.join(dest_dir, "types.json")
-    tmp = f"{tpath}.tmp"
+    tmp = f"{tpath}.tmp-{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(types, fh, indent=1, sort_keys=True)
     os.replace(tmp, tpath)

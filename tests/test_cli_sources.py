@@ -323,6 +323,32 @@ def test_fetch_mappings_errors(tmp_path):
     bad.write_text("Resources,Wrong\nx,y\n")
     with pytest.raises(remote.MappingFetchError, match="Resource Type"):
         remote.fetch_mapping_index(str(bad))
+    # missing the Resources key column itself -> same error contract,
+    # not a raw pandas ValueError
+    bad2 = tmp_path / "bad2.csv"
+    bad2.write_text("Resource,Resource Type,Sheet ID\nx,one-to-one,1\n")
+    with pytest.raises(remote.MappingFetchError, match="Resources"):
+        remote.fetch_mapping_index(str(bad2))
+    # duplicate resource rows are rejected, not silently collapsed
+    dup = tmp_path / "dup.csv"
+    dup.write_text(
+        "Resources,Resource Type,Sheet ID\npatient,one-to-one,1\npatient,one-to-many,2\n"
+    )
+    with pytest.raises(remote.MappingFetchError, match="more than once"):
+        remote.fetch_mapping_index(str(dup))
+    # path traversal via index values must not escape the pack directory
+    evil = tmp_path / "evil" ; evil.mkdir()
+    (evil / "index.csv").write_text(
+        "Resources,Resource Type,Sheet ID\npatient,one-to-one,../outside\n"
+    )
+    with pytest.raises(remote.MappingFetchError, match="not a safe filename"):
+        remote.fetch_mappings(index_source=str(evil / "index.csv"))
+    (evil / "index.csv").write_text(
+        "Resources,Resource Type,Sheet ID\n../../escape,one-to-one,111\n"
+    )
+    (evil / "111").write_text("raw_variable,raw_response,target_column,expr\na,b,c,d\n")
+    with pytest.raises(remote.MappingFetchError, match="not a safe filename"):
+        remote.download_mapping_pack(str(tmp_path / "evil_out"), index_source=str(evil / "index.csv"))
 
 
 def test_download_mapping_pack_and_cli(tmp_path, capsys):

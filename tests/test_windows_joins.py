@@ -640,3 +640,28 @@ def test_range_partition_sort_to_parquet_waves(ray_session, tmp_path):
     ).to_pandas()
     assert got["conv_id"].tolist() == ref["conv_id"].tolist()
     assert got["pos"].tolist() == ref["pos"].tolist()
+
+
+def test_sort_split_points_are_layout_independent(ray_session):
+    """The wave sink's resume contract requires split points to be a
+    function of the sampled key-value SET alone: the same data under
+    different block layouts (a crashed run vs a resume on a different
+    cluster size) must produce identical range boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import _sort_plan
+
+    rng = np.random.default_rng(21)
+    # heavy duplication ensures keys span many blocks (the case where
+    # per-batch-only sample dedup used to make splits layout-dependent)
+    vals = rng.integers(0, 500, 40_000).astype(np.float64)
+    t = pa.table({"v": vals, "id": np.arange(40_000, dtype=np.int64)})
+    plans = [
+        _sort_plan(rd.from_arrow(t).repartition(parts), "v", 16, 6)
+        for parts in (2, 7, 31)
+    ]
+    for p in plans[1:]:
+        assert np.array_equal(p["splits"], plans[0]["splits"])
+        assert np.array_equal(p["counts"], plans[0]["counts"])
