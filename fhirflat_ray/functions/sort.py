@@ -75,20 +75,47 @@ def _string_key_hash(vocab: pa.Array) -> np.ndarray:
     ).view(np.int64)
 
 
-def _sort_plan(ds, key_col: str, n_ranges: int, sample_rate_log2: int) -> dict:
+def _sort_plan(
+    ds,
+    key_col: str,
+    n_ranges: int,
+    sample_rate_log2: int,
+    splits: np.ndarray | None = None,
+) -> dict:
     """Shared planning passes for the range sorts: sampled split points plus
     exact per-range counts → exclusive prefix offsets. Both passes read ONLY
     the key column (``select_columns`` pushes into storage-backed scans).
     Returns ``assign`` (batch → batch + ``__range``), ``splits``,
     ``range_ids``/``counts``/``offsets`` (parallel, sorted by range id) and
-    ``total``. Deterministic for identical input (hash-rate sampling)."""
+    ``total``. Deterministic for identical input (hash-rate sampling).
+
+    ``splits``: precomputed split points (a resumed run reuses the boundaries
+    recorded in its plan manifest instead of resampling) — skips the sample
+    pass; the count pass still runs (counts are a pure function of input +
+    splits)."""
     from fhirflat_ray.functions.util import collect_small_table
 
     mask = np.int64((1 << sample_rate_log2) - 1)
 
     sch = ds.schema()  # Ray Data schema wrapper: parallel .names / .types
     key_type = dict(zip(sch.names, sch.types))[key_col]
-    string_key = isinstance(key_type, pa.DataType) and _is_string_key(key_type)
+    if not isinstance(key_type, pa.DataType) or not (
+        _is_string_key(key_type)
+        or pa.types.is_integer(key_type)
+        or pa.types.is_floating(key_type)
+        or pa.types.is_timestamp(key_type)
+        or pa.types.is_date(key_type)
+    ):
+        # fail up front with the type named — a non-Arrow schema (e.g. a
+        # pandas-block dataset) or an unsupported Arrow type would otherwise
+        # fall through to the numeric path and die deep in _key_bits with an
+        # opaque astype error
+        raise ValueError(
+            f"range_partition_sort: unsupported key type {key_type!r} for "
+            f"column {key_col!r} — numeric, timestamp/date, or string/binary "
+            "Arrow types are supported"
+        )
+    string_key = _is_string_key(key_type)
 
     def sample(b: pa.Table) -> pa.Table:
         # per-batch distinct: sampling is all-or-nothing per key VALUE, so
@@ -107,29 +134,33 @@ def _sort_plan(ds, key_col: str, n_ranges: int, sample_rate_log2: int) -> dict:
         kept = b[key_col].filter(pa.array(keep))
         return pa.table({key_col: pc.unique(kept)})
 
-    sampled = collect_small_table(
-        ds.select_columns([key_col]).map_batches(sample, batch_format="pyarrow")
-    )
-    if sampled.num_rows > 50_000_000:
-        raise ValueError(
-            f"split sample of {sampled.num_rows} keys exceeds the driver "
-            "budget — raise sample_rate_log2 (each +1 halves the sample)"
+    if splits is None:
+        sampled = collect_small_table(
+            ds.select_columns([key_col]).map_batches(sample, batch_format="pyarrow")
         )
-    # layout-independence is load-bearing: sample dedup is per-BATCH only,
-    # so a key sampled in k blocks appears k times here — np.unique makes
-    # the split points a function of the sampled value SET alone, identical
-    # under any block layout / parallelism. The parquet sink's resume
-    # contract (skip ranges whose file exists) depends on this: a resumed
-    # run on a differently-sized cluster must compute the same boundaries.
-    # Trade: splits balance by distinct keys, not row counts; a hot key
-    # lands in one range either way (assignment is by value) and the count
-    # pass reports exact per-range sizes.
-    keys = np.unique(sampled[key_col].to_numpy(zero_copy_only=False))
-    if len(keys) == 0:
-        splits = keys[:0]
-    else:
-        idx = (np.arange(1, n_ranges) * len(keys)) // n_ranges
-        splits = np.unique(keys[idx])
+        if sampled.num_rows > 50_000_000:
+            raise ValueError(
+                f"split sample of {sampled.num_rows} keys exceeds the driver "
+                "budget — raise sample_rate_log2 (each +1 halves the sample)"
+            )
+        # layout-independence is load-bearing: sample dedup is per-BATCH only,
+        # so a key sampled in k blocks appears k times here — np.unique makes
+        # the split points a function of the sampled value SET alone, identical
+        # under any block layout / parallelism. The parquet sink's resume
+        # contract (skip ranges whose file exists) depends on this: a resumed
+        # run on a differently-sized cluster must compute the same boundaries.
+        # (The sink additionally RECORDS the splits in its plan manifest and
+        # reuses them on resume, so even a changed sample_rate or input would
+        # be caught rather than silently re-planned.)
+        # Trade: splits balance by distinct keys, not row counts; a hot key
+        # lands in one range either way (assignment is by value) and the count
+        # pass reports exact per-range sizes.
+        keys = np.unique(sampled[key_col].to_numpy(zero_copy_only=False))
+        if len(keys) == 0:
+            splits = keys[:0]
+        else:
+            idx = (np.arange(1, n_ranges) * len(keys)) // n_ranges
+            splits = np.unique(keys[idx])
 
     def assign(b: pa.Table) -> pa.Table:
         if string_key:
@@ -200,6 +231,13 @@ def range_partition_sort(
     0-based global rank) and, when ``n_shards`` is given, ``shard`` —
     contiguous balanced shards ``pos * n_shards // total`` (SQL-mirrorable
     integer math).
+
+    ``tiebreak_cols`` must make ``(key_col, *tiebreak_cols)`` UNIQUE for a
+    deterministic output: rows that compare equal on the full sort key are
+    ordered arbitrarily — the shuffle assembles each range group in
+    nondeterministic order and the per-range Arrow sort is not stability-
+    guaranteed, so no sort stability could restore determinism for exact
+    ties. (Ranks of non-tied rows are exact either way.)
 
     ``sample_rate_log2``: sample ~1/2^k of distinct key values (hash of the
     key's bit pattern — siphash for string/binary keys — so the sample is
@@ -301,11 +339,15 @@ def range_partition_sort_to_parquet(
     name order is the global key order; rows carry exact global ``pos``
     (and ``shard`` when ``n_shards`` is given). Files land atomically
     (tmp + rename, the segment-write discipline), so a crashed run leaves
-    only complete files; ``resume=True`` drops completed ranges from the
-    wave BEFORE the exchange (they pay only the map-side assign) — valid
-    because split points are a function of the sampled key-value SET
-    (see ``_sort_plan``), so a resume under ANY parallelism / block
-    layout computes the same range boundaries.
+    only complete files. The first run records its plan in
+    ``_sort_plan.json`` + ``_sort_splits.parquet`` inside ``out_dir``;
+    ``resume=True`` loads that manifest, verifies the sort parameters
+    (key/tiebreak/n_shards/sample_rate/n_ranges — error on mismatch) and
+    REUSES the recorded split points instead of resampling, so a resumed
+    run on a differently-sized cluster (where the ``n_ranges`` default is
+    CPU-count-dependent) cannot silently compute different boundaries.
+    Completed ranges are then dropped from the wave BEFORE the exchange
+    (they pay only the map-side assign).
     Requires a deterministic, re-executable input plan (storage-backed
     reads; same contract as ``pin_input=False``), and ``out_dir`` must
     be SHARED storage on a multi-node cluster (range tasks write from
@@ -314,6 +356,7 @@ def range_partition_sort_to_parquet(
 
     Returns a manifest dict: total rows, written/skipped file lists, and
     the per-range row counts."""
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -322,15 +365,62 @@ def range_partition_sort_to_parquet(
 
     if n_waves < 1:
         raise ValueError("n_waves must be >= 1")
-    if n_ranges is None:
+
+    os.makedirs(out_dir, exist_ok=True)
+    plan_path = os.path.join(out_dir, "_sort_plan.json")
+    splits_path = os.path.join(out_dir, "_sort_splits.parquet")
+
+    params = {
+        "key_col": key_col,
+        "tiebreak_cols": list(tiebreak_cols),
+        "n_shards": n_shards,
+        "sample_rate_log2": sample_rate_log2,
+    }
+    recorded_splits = None
+    if resume and os.path.exists(plan_path):
+        with open(plan_path) as fh:
+            recorded = json.load(fh)
+        rec_params = {k: recorded.get(k) for k in params}
+        mismatched = [k for k, v in params.items() if rec_params[k] != v]
+        if n_ranges is not None and recorded.get("n_ranges") != n_ranges:
+            mismatched.append("n_ranges")  # None = "use the recorded plan"
+        if mismatched:
+            raise ValueError(
+                f"range_partition_sort_to_parquet resume: {plan_path} was "
+                f"written with different parameters ({mismatched}): recorded "
+                f"{recorded}, got {dict(params, n_ranges=n_ranges)} — resuming "
+                "under a changed plan would produce overlapping/missing key "
+                "ranges; use a fresh out_dir or matching parameters"
+            )
+        n_ranges = int(recorded["n_ranges"])
+        sample_rate_log2 = int(recorded["sample_rate_log2"])
+        recorded_splits = (
+            pq.read_table(splits_path)["splits"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+    elif n_ranges is None:
         n_ranges = max(default_num_buckets(), n_waves)
 
-    plan = _sort_plan(ds, key_col, n_ranges, sample_rate_log2)
+    plan = _sort_plan(ds, key_col, n_ranges, sample_rate_log2, splits=recorded_splits)
     assign = plan["assign"]
     range_ids, offsets, total = plan["range_ids"], plan["offsets"], plan["total"]
     sort_cols = [key_col] + list(tiebreak_cols)
     n_rng = len(plan["splits"]) + 1
-    os.makedirs(out_dir, exist_ok=True)
+
+    if recorded_splits is None:
+        # record the plan BEFORE any range file lands (atomic, splits first):
+        # a crash between here and the first part file still resumes against
+        # the recorded boundaries, never against a re-sampled plan
+        tmp = f"{splits_path}.tmp-{os.getpid()}"
+        pq.write_table(pa.table({"splits": pa.array(plan["splits"])}), tmp)
+        os.replace(tmp, splits_path)
+        tmp = f"{plan_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                dict(params, n_ranges=n_ranges, n_splits=len(plan["splits"])), fh
+            )
+        os.replace(tmp, plan_path)
 
     def part_path(rid: int) -> str:
         return os.path.join(out_dir, f"part-{rid:06d}.parquet")

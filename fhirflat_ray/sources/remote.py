@@ -117,12 +117,16 @@ def fetch_mapping_index(
     type ("one-to-one"/"one-to-many") and to its tab id. Mirrors the
     reference's strict index/type zip and ``Sheet ID`` lookup
     (/root/reference/fhirflat/ingest.py:500-506)."""
-    try:
-        df = fetch_csv(index_source, timeout=timeout, header=0, index_col="Resources")
-    except ValueError as exc:  # read_csv: index_col 'Resources' not present
+    # parse first, then check columns explicitly — inferring a missing
+    # 'Resources' column from read_csv's ValueError misdiagnosed ragged /
+    # malformed CSVs (which raise ValueError for unrelated reasons)
+    df = fetch_csv(index_source, timeout=timeout, header=0)
+    if "Resources" not in df.columns:
         raise MappingFetchError(
-            f"mapping index {index_source!r} has no 'Resources' column: {exc}"
-        ) from exc
+            f"mapping index {index_source!r} is missing the 'Resources' column "
+            f"(found {list(df.columns)})"
+        )
+    df = df.set_index("Resources")
     for col in ("Resource Type", "Sheet ID"):
         if col not in df.columns:
             raise MappingFetchError(

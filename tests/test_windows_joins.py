@@ -642,6 +642,83 @@ def test_range_partition_sort_to_parquet_waves(ray_session, tmp_path):
     assert got["pos"].tolist() == ref["pos"].tolist()
 
 
+def test_sort_sink_plan_manifest_resume(ray_session, tmp_path):
+    """The sink records its plan (splits + params) in out_dir; resume must
+    REUSE the recorded boundaries when n_ranges is defaulted (the default is
+    CPU-count-dependent, so recomputing on a different cluster would silently
+    misalign ranges) and must ERROR on a genuine parameter mismatch."""
+    import glob as _glob
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import pytest
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort_to_parquet
+
+    rng = np.random.default_rng(33)
+    n = 8_000
+    t = pa.table(
+        {
+            "k": rng.integers(0, 900, n).astype(np.int64),
+            "i": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(6)
+
+    # first run with an n_ranges NO default would pick (default is >= 16 here)
+    out = str(tmp_path / "s")
+    man = range_partition_sort_to_parquet(ds, out, "k", ["i"], n_ranges=5)
+    plan = json.load(open(os.path.join(out, "_sort_plan.json")))
+    assert plan["n_ranges"] == 5 and plan["key_col"] == "k"
+    assert os.path.exists(os.path.join(out, "_sort_splits.parquet"))
+
+    # drop one part file; resume with n_ranges DEFAULTED → must reuse the
+    # recorded 5-range plan, rewrite only the missing range, and the result
+    # must equal the original byte-for-byte
+    files = sorted(_glob.glob(out + "/part-*.parquet"))
+    orig = pa.concat_tables([_pq.read_table(f) for f in files]).to_pandas()
+    os.remove(files[1])
+    man2 = range_partition_sort_to_parquet(ds, out, "k", ["i"], resume=True)
+    assert man2["files_written"] == [files[1]]
+    assert len(man2["files_skipped"]) == len(files) - 1
+    got = pa.concat_tables(
+        [_pq.read_table(f) for f in sorted(_glob.glob(out + "/part-*.parquet"))]
+    ).to_pandas()
+    assert got["k"].tolist() == orig["k"].tolist()
+    assert got["pos"].tolist() == orig["pos"].tolist()
+
+    # parameter mismatch on resume is an error, not a silent re-plan
+    with pytest.raises(ValueError, match="different parameters"):
+        range_partition_sort_to_parquet(ds, out, "k", [], resume=True)
+    with pytest.raises(ValueError, match="different parameters"):
+        range_partition_sort_to_parquet(ds, out, "k", ["i"], n_ranges=9, resume=True)
+    with pytest.raises(ValueError, match="different parameters"):
+        range_partition_sort_to_parquet(
+            ds, out, "k", ["i"], sample_rate_log2=3, resume=True
+        )
+    assert man["total_rows"] == n
+
+
+def test_range_sort_unsupported_key_type_raises(ray_session):
+    """An unsupported key type (list, bool, …) must fail up front with the
+    type named — not deep in _key_bits with an opaque astype error."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fhirflat_ray.functions.sort import range_partition_sort
+
+    t = pa.table({"k": [[1], [2]], "i": [1, 2]})
+    with pytest.raises(ValueError, match="unsupported key type"):
+        range_partition_sort(
+            rd.from_arrow(t), key_col="k", tiebreak_cols=["i"]
+        ).materialize()
+
+
 def test_sort_split_points_are_layout_independent(ray_session):
     """The wave sink's resume contract requires split points to be a
     function of the sampled key-value SET alone: the same data under
