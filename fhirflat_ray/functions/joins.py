@@ -77,7 +77,9 @@ def _dataset_fields(ds) -> list[pa.Field]:
     fields = []
     for n, t in zip(sch.names, sch.types):
         if not isinstance(t, pa.DataType):
-            t = pa.from_numpy_dtype(t)
+            # pandas-block datasets report numpy dtypes; object dtype is
+            # how pandas stores strings (from_numpy_dtype rejects it)
+            t = pa.string() if np.dtype(t) == np.dtype(object) else pa.from_numpy_dtype(t)
         fields.append(pa.field(n, t))
     return fields
 

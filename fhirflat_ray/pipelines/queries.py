@@ -1347,6 +1347,100 @@ def dedup_exact(sf_dir: str):
 DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def dedup_exact_wave(sf_dir: str):
+    """Wave-sharded exact dedup (functions/exchange.py): identical survivors
+    to ``dedup_exact``, but the exchange runs in 3 bucket-slice waves with
+    every bucket landing as durable parquet — the external path for corpora
+    past the object store (each wave holds ~1/3 of the hashes in flight).
+    Same oracle as dedup_exact: the wave structure must be invisible."""
+    from fhirflat_ray.functions.exchange import (
+        exact_dedup_to_parquet,
+        read_exchange_output,
+    )
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_dw", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    exact_dedup_to_parquet(
+        ds, work, column="text", id_column="doc_id", num_buckets=32, n_waves=3
+    )
+    return read_exchange_output(work).select_columns(["doc_id"])
+
+
+def hash_join_wave(sf_dir: str):
+    """Wave-sharded distributed hash join (functions/exchange.py):
+    orders ⋈ customer with the bucket-id space cut into 3 waves, each
+    exchanging only its slice and landing per-bucket parquet atomically —
+    the escape hatch for one-shot Dataset.join aborting past ~0.5× object
+    store (BASELINE.md 128M finding)."""
+    from fhirflat_ray.functions.exchange import (
+        hash_join_to_parquet,
+        read_exchange_output,
+    )
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_hjw", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    hash_join_to_parquet(
+        orders, cust, work, on="o_custkey", right_on="c_custkey",
+        how="inner", num_buckets=32, n_waves=3,
+    )
+    return read_exchange_output(work).select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey"]
+    )
+
+
+HASH_JOIN_WAVE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def group_agg_wave(sf_dir: str):
+    """Wave-sharded bucketed groupby (functions/exchange.py): per-user
+    event count + value sum via ``bucketed_map_groups_to_parquet`` in 2
+    waves — the grouped-aggregation member of the external-exchange family
+    (Python per bucket, durable per-bucket output, resumable)."""
+    import pandas as _pd
+
+    from fhirflat_ray.functions.exchange import (
+        bucketed_map_groups_to_parquet,
+        read_exchange_output,
+    )
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_gaw", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def agg(g: _pd.DataFrame) -> _pd.DataFrame:
+        out = g.groupby("user_id", sort=False)["value"].agg(["count", "sum"])
+        return out.reset_index().rename(columns={"count": "n", "sum": "value_sum"})
+
+    bucketed_map_groups_to_parquet(
+        ds, ["user_id"], agg, work, num_buckets=32, n_waves=2
+    )
+    out = read_exchange_output(work)
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n"), "n", b["n"].cast(pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+GROUP_AGG_WAVE_SQL = """
+SELECT user_id, count(*) AS n, sum(value) AS value_sum
+FROM events GROUP BY user_id
+"""
+
+
 def dedup_passage(sf_dir: str):
     """Passage-level exact dedup (C4/RefinedWeb-style): every later copy of
     a repeated 20-token passage is dropped corpus-wide, documents are
@@ -12222,6 +12316,9 @@ QUERIES = {
     "tool_vocab_encoded": tool_vocab_encoded,
     "ts_range_encoded": ts_range_encoded,
     "dedup_exact": dedup_exact,
+    "dedup_exact_wave": dedup_exact_wave,
+    "hash_join_wave": hash_join_wave,
+    "group_agg_wave": group_agg_wave,
     "dedup_passage": dedup_passage,
     "dedup_near_exhaustive": dedup_near_exhaustive,
     "dedup_embedding": dedup_embedding,
@@ -12466,6 +12563,9 @@ ORACLE_SQL = {
     "lang_id": LANG_ID_SQL,
     "poisson_sample": POISSON_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_wave": DEDUP_EXACT_SQL,
+    "hash_join_wave": HASH_JOIN_WAVE_SQL,
+    "group_agg_wave": GROUP_AGG_WAVE_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_near_exhaustive": DEDUP_NEAR_EXHAUSTIVE_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
