@@ -12310,11 +12310,11 @@ QUERIES = {
     "pruned_scan_zorder": pruned_scan_zorder,
     "role_counts_encoded": role_counts_encoded,
     "turn_sum_encoded": turn_sum_encoded,
-    "turn_var_encoded": turn_var_encoded,
-    "role_turn_sum_encoded": role_turn_sum_encoded,
-    "role_tool_counts_encoded": role_tool_counts_encoded,
-    "tool_vocab_encoded": tool_vocab_encoded,
-    "ts_range_encoded": ts_range_encoded,
+    "schema_evolve": schema_evolve,
+    "time_travel": time_travel,
+    "incremental_counts": incremental_counts,
+    "merge_events": merge_events,
+    "delete_events": delete_events,
     "dedup_exact": dedup_exact,
     "dedup_exact_wave": dedup_exact_wave,
     "hash_join_wave": hash_join_wave,
@@ -12333,8 +12333,8 @@ QUERIES = {
     "q1_lineitem": q1_lineitem,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
-    "q6_revenue_delta": q6_revenue_delta,
-    "q8_market_share": q8_market_share,
+    "sorted_export_by_source": sorted_export_by_source,
+    "knn_pq_adc": knn_pq_adc,
     "q21_blame_suppliers": q21_blame_suppliers,
     "asof_join": asof_join,
     "asof_join_bucketed": asof_join_bucketed,
@@ -12355,6 +12355,13 @@ QUERIES = {
     "stats_profile": stats_profile,
     "rle_runs": rle_runs,
     "condense_codes": condense_codes,
+    "turn_var_encoded": turn_var_encoded,
+    "role_turn_sum_encoded": role_turn_sum_encoded,
+    "role_tool_counts_encoded": role_tool_counts_encoded,
+    "tool_vocab_encoded": tool_vocab_encoded,
+    "ts_range_encoded": ts_range_encoded,
+    "q6_revenue_delta": q6_revenue_delta,
+    "q8_market_share": q8_market_share,
     "melt_events": melt_events,
     "date_format": date_format,
     "mapping_apply": mapping_apply,
@@ -12407,13 +12414,8 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     "nearest_eval_vec": nearest_eval_vec,
     "props_extract": props_extract,
-    "schema_evolve": schema_evolve,
-    "time_travel": time_travel,
-    "incremental_counts": incremental_counts,
     "conv_lookup": conv_lookup,
     "compacted_roundtrip": compacted_roundtrip,
-    "merge_events": merge_events,
-    "delete_events": delete_events,
     "context_pack": context_pack,
     "context_truncate": context_truncate,
     "turn_pairs": turn_pairs,
@@ -12471,7 +12473,6 @@ QUERIES = {
     "mad_by_type": mad_by_type,
     "snm_pairs": snm_pairs,
     "pq_encode": pq_encode,
-    "knn_pq_adc": knn_pq_adc,
     "edge_common_neighbors": edge_common_neighbors,
     "source_entropy": source_entropy,
     "term_cooc_pmi": term_cooc_pmi,
@@ -12520,7 +12521,6 @@ QUERIES = {
     "user_ltv_deciles": user_ltv_deciles,
     "first_touch_attribution": first_touch_attribution,
     "gap_quantiles": gap_quantiles,
-    "sorted_export_by_source": sorted_export_by_source,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_near": dedup_near,

@@ -27,31 +27,129 @@ import pyarrow as pa
 MASK64 = (1 << 64) - 1
 
 
-def _batch_fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
-    h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
-    # int64 WRAPAROUND sum of the uint64 hashes (zero-copy reinterpret):
-    # bit-identical to the uint64 sum mod 2^64, but avoids this host's
-    # pathologically slow unsigned-64 numpy path on the hottest verify
-    # primitive. The partial MUST be an explicit fixed dtype column: a plain
-    # Python-int list makes pandas infer int64 vs uint64 per block and Ray's
-    # cross-block schema unification of that mix goes through float64 —
-    # shearing low bits (a session-dependent "verify failed" false alarm
-    # observed at 16M rows). int64 everywhere keeps the schema uniform.
-    return pd.DataFrame(
+_MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as signed int64
+_NULL_SENTINEL = np.int64(-4417276706812531889)  # distinct from any mixed value class
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Cheap avalanche over int64 (wraparound multiply + xor-shift); all
+    SIGNED ops — unsigned-64 numpy is pathologically slow on this host."""
+    h = h * _MIX
+    return h ^ (h >> np.int64(29))
+
+
+def _column_row_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Per-row int64 hash of one Arrow column, Arrow-native: numerics hash
+    their bit patterns; strings/binary hash DISTINCT values only (pandas
+    siphash over the dictionary, one Python-object conversion per distinct —
+    the transcripts' low-cardinality role/tool columns pay near nothing) and
+    fan out via the code vector. Nulls get a sentinel (kept distinct from
+    "" and from 0 — the M23 null-vs-empty contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        # adaptive: a cheap cardinality probe picks dictionary hashing
+        # (siphash DISTINCT values only — role/tool-like columns pay near
+        # nothing) vs direct per-row hashing (unique-text columns, where
+        # the dictionary build is pure overhead — measured 1.46 s vs
+        # 0.78 s per 1M rows). Both paths siphash the same value bytes,
+        # so blocks of one dataset may take different paths and still
+        # fingerprint identically.
+        import pyarrow.compute as _pc
+
+        probe = col.slice(0, 4096)
+        repetitive = len(probe) > 0 and (
+            _pc.count_distinct(probe).as_py() <= 0.5 * len(probe)
+        )
+        valid = ~np.asarray(col.is_null())
+        if repetitive:
+            enc = col.dictionary_encode()
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            vh = (
+                pd.util.hash_array(vocab).view(np.int64)
+                if len(vocab)
+                else np.empty(0, dtype=np.int64)
+            )
+            codes = enc.indices.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = vh[codes] if len(vocab) else np.zeros(len(col), dtype=np.int64)
+        else:
+            vals = col.to_pandas().to_numpy()
+            h = pd.util.hash_array(vals).view(np.int64)
+            h = np.where(valid, h, 0)  # normalize before mixing
+    elif pa.types.is_boolean(t):
+        valid = ~np.asarray(col.is_null())
+        h = col.fill_null(False).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    elif pa.types.is_floating(t):
+        valid = ~np.asarray(col.is_null())
+        h = (
+            col.fill_null(0.0)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+    elif (
+        pa.types.is_integer(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_time(t)
+        or pa.types.is_duration(t)
+    ):
+        valid = ~np.asarray(col.is_null())
+        h = col.fill_null(0).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    elif pa.types.is_null(t):
+        return np.full(len(col), _NULL_SENTINEL, dtype=np.int64)
+    else:
+        # nested types (struct/list/map): pandas fallback for this column
+        # only — flat transcript/event tables never take this path
+        h = pd.util.hash_pandas_object(
+            col.to_pandas(), index=False
+        ).to_numpy().view(np.int64)
+        return h
+    h = _mix64(h)
+    if not valid.all():
+        h = np.where(valid, h, _NULL_SENTINEL)
+    return h
+
+
+def _batch_fingerprint(batch: pa.Table) -> pa.Table:
+    # per-row hash = iterative nonlinear combine across columns (a linear /
+    # additive combine would cancel under cross-row value swaps within a
+    # column); multiset fingerprint = int64 WRAPAROUND sum of row hashes —
+    # bit-identical to the uint64 sum mod 2^64 without this host's
+    # pathologically slow unsigned-64 numpy path. The partial MUST be an
+    # explicit fixed int64 column: a plain Python-int list makes schema
+    # inference vary per block and Ray's cross-block unification of that mix
+    # goes through float64 — shearing low bits (a session-dependent "verify
+    # failed" false alarm observed at 16M rows).
+    n = batch.num_rows
+    row_h = np.full(n, _MIX, dtype=np.int64)
+    for i, name in enumerate(batch.column_names):
+        ch = _column_row_hashes(batch[name])
+        # per-column salt in Python ints (scalar numpy multiply warns on
+        # the intended wraparound), then back to signed int64
+        salt = (int(_MIX) * (i + 1)) & MASK64
+        if salt >= 1 << 63:
+            salt -= 1 << 64
+        row_h = _mix64(row_h ^ (ch + np.int64(salt)))
+    return pa.table(
         {
-            "hash_sum": np.array(
-                [h.view(np.int64).sum(dtype=np.int64)], dtype=np.int64
-            ),
-            "n": np.array([len(batch)], dtype=np.int64),
+            "hash_sum": pa.array([int(row_h.sum(dtype=np.int64))], pa.int64()),
+            "n": pa.array([n], pa.int64()),
         }
     )
 
 
 def dataset_fingerprint(ds, columns: list[str] | None = None) -> dict[str, int]:
-    """Order-insensitive multiset fingerprint of a Dataset (O(1) result)."""
+    """Order-insensitive multiset fingerprint of a Dataset (O(1) result).
+
+    Arrow-native (``batch_format="pyarrow"``): no whole-batch pandas
+    conversion — string payloads hash via their dictionary (distinct values
+    only), numerics via bit patterns, so the hottest verification primitive
+    never materializes Python objects per row."""
     if columns:
         ds = ds.select_columns(columns)
-    parts = ds.map_batches(_batch_fingerprint, batch_format="pandas").take_all()
+    parts = ds.map_batches(_batch_fingerprint, batch_format="pyarrow").take_all()
     total_h = 0
     total_n = 0
     for p in parts:

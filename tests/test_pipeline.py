@@ -1056,6 +1056,8 @@ def test_fingerprint_invariant_under_partitioning(ray_session):
 
     from fhirflat_ray.pipelines.verify import dataset_fingerprint
 
+    from fhirflat_ray.pipelines.verify import MASK64, _batch_fingerprint
+
     rng = np.random.default_rng(123)
     df = pd.DataFrame(
         {
@@ -1064,17 +1066,47 @@ def test_fingerprint_invariant_under_partitioning(ray_session):
             "v": rng.integers(0, 1 << 40, 60_000),
         }
     )
-    want = int(
-        pd.util.hash_pandas_object(df, index=False)
-        .to_numpy()
-        .astype(np.uint64)
-        .sum(dtype=np.uint64)
-    )
     t = pa.Table.from_pandas(df, preserve_index=False)
+    want = int(_batch_fingerprint(t)["hash_sum"][0].as_py()) & MASK64
     for nparts in (3, 17, 64):
         got = dataset_fingerprint(rd.from_arrow(t).repartition(nparts))
         assert got["n"] == len(df)
         assert got["hash_sum"] == want, f"nparts={nparts}"
+
+
+def test_fingerprint_distinguishes_value_classes():
+    """The Arrow-native row hash must keep apart the classes a weaker
+    combine would collide: null vs "" vs 0 (the M23 contract), and
+    cross-row value swaps within a column (an additive cross-column
+    combine cancels those)."""
+    import pyarrow as pa
+
+    from fhirflat_ray.pipelines.verify import _batch_fingerprint
+
+    def fp(tbl: pa.Table) -> int:
+        return int(_batch_fingerprint(tbl)["hash_sum"][0].as_py())
+
+    base = pa.table({"a": ["x", None], "b": [1, 2]})
+    assert fp(base) != fp(pa.table({"a": ["x", ""], "b": [1, 2]}))
+    assert fp(pa.table({"a": [None], "b": [0]})) != fp(pa.table({"a": [""], "b": [0]}))
+    # swap values across rows within column b: multiset of rows differs
+    assert fp(pa.table({"a": ["x", "y"], "b": [1, 2]})) != fp(
+        pa.table({"a": ["x", "y"], "b": [2, 1]})
+    )
+    # true row permutation: multiset equal -> fingerprint equal
+    assert fp(pa.table({"a": ["y", "x"], "b": [2, 1]})) == fp(
+        pa.table({"a": ["x", "y"], "b": [1, 2]})
+    )
+    # int null vs 0
+    assert fp(pa.table({"b": pa.array([None], pa.int64())})) != fp(
+        pa.table({"b": pa.array([0], pa.int64())})
+    )
+    # float NaN vs null vs 0.0
+    vals = [
+        fp(pa.table({"f": pa.array([v], pa.float64())}))
+        for v in (None, float("nan"), 0.0)
+    ]
+    assert len(set(vals)) == 3
 
 
 def test_plugin_codec_through_segment_pipeline(ray_session, frag_dir, tmp_path):
