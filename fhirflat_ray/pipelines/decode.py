@@ -14,6 +14,7 @@ import glob
 import os
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 from fhirflat_ray.state import lineage as lin
@@ -93,13 +94,116 @@ def segment_paths(seg_dir: str) -> list[str]:
 
 
 #: predicate ops supported by zone pruning + residual filtering
-_PRED_OPS = {"==", "<", "<=", ">", ">="}
+_PRED_OPS = {"==", "<", "<=", ">", ">=", "is_in"}
+
+
+def read_segment_filtered(
+    path: str,
+    columns: list[str] | None,
+    preds: list[tuple[str, str, object]],
+    dict_store: dict[str, pa.Array] | None,
+    verify_checksums: bool = False,
+) -> pa.Table:
+    """Segment read that evaluates string ``==`` / ``is_in`` conjuncts in
+    the ENCODED domain: for a null-free dict-coded column, the predicate
+    value(s) look up the (tiny) vocabulary, the match becomes an integer
+    compare over the code stream, and the string column itself materializes
+    only the SURVIVING rows (``vocab.take`` on the filtered codes) — the
+    full string payload is never decoded. Per-column, per-segment fallback:
+    a segment where the codec auto-selection chose a non-dict codec simply
+    skips the fast path (the dataset-level residual filter keeps exactness
+    either way). Non-string conjuncts are left to the residual filter."""
+    import pyarrow.compute as pc
+
+    from fhirflat_ray.codecs import decode_column
+    from fhirflat_ray.pipelines.encoded_agg import _dict_codes_and_vocab
+
+    hdr, payload_off = seg.read_segment_header(path)
+    colmap = {c["name"]: c for c in hdr["columns"]}
+    mask: np.ndarray | None = None
+    deferred: dict[str, tuple[np.ndarray, pa.Array]] = {}
+    for cname, op, val in preds:
+        centry = colmap.get(cname)
+        if centry is None or op not in ("==", "is_in"):
+            continue
+        vals = [val] if op == "==" else list(val)
+        if not vals or not all(isinstance(v, str) for v in vals):
+            continue
+        cv = _dict_codes_and_vocab(path, payload_off, centry, dict_store)
+        if cv is None:
+            continue
+        codes, vocab = cv
+        match = pc.is_in(vocab, value_set=pa.array(vals, type=vocab.type))
+        mcodes = np.flatnonzero(np.asarray(match))
+        if len(mcodes) == 0:
+            m = np.zeros(len(codes), dtype=bool)
+        elif len(mcodes) == 1:
+            m = codes == mcodes[0]
+        else:
+            m = np.isin(codes, mcodes)
+        mask = m if mask is None else (mask & m)
+        deferred[cname] = (codes, vocab)
+    sel = None if mask is None else np.flatnonzero(mask)
+    arrays: list[pa.Array] = []
+    fields: list[pa.Field] = []
+    with open(path, "rb") as f:
+        for col in hdr["columns"]:
+            if columns is not None and col["name"] not in columns:
+                continue
+            if col["name"] in deferred:
+                codes, vocab = deferred[col["name"]]
+                take = codes if sel is None else codes[sel]
+                arr = vocab.take(pa.array(take, pa.int64()))
+            else:
+                f.seek(payload_off + col["off"])
+                blob = f.read(col["len"])
+                if verify_checksums and seg.sha256_hex(blob) != col["sha256"]:
+                    raise ValueError(
+                        f"checksum mismatch for column {col['name']!r}"
+                    )
+                arr = decode_column(col["hdr"], blob, dict_store)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if sel is not None:
+                    arr = arr.take(pa.array(sel, pa.int64()))
+            arrays.append(arr)
+            fields.append(
+                pa.field(col["name"], arr.type, nullable=col.get("nullable", True))
+            )
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+
+def _decode_paths_filtered(
+    seg_dir: str,
+    paths: list[str],
+    columns: list[str] | None,
+    preds: list[tuple[str, str, object]],
+    verify_checksums: bool,
+):
+    """Task fan-out over segment paths with the encoded-domain predicate
+    read (see :func:`read_segment_filtered`); ranged I/O per column, one
+    segment per task."""
+    import ray.data as rd
+
+    def task(batch: dict[str, Any]) -> pa.Table:
+        store = _worker_dict_store(seg_dir)
+        tables = [
+            read_segment_filtered(str(p), columns, preds, store, verify_checksums)
+            for p in batch["item"]
+        ]
+        return pa.concat_tables(tables)
+
+    return rd.from_items(paths).map_batches(
+        task, batch_size=1, batch_format="numpy", num_cpus=1
+    )
 
 
 def _zone_may_match(zone: tuple, op: str, val) -> bool:
     lo, hi = zone
     if op == "==":
         return lo <= val <= hi
+    if op == "is_in":
+        return any(lo <= v <= hi for v in val)
     if op == ">=":
         return hi >= val
     if op == ">":
@@ -112,12 +216,19 @@ def _zone_may_match(zone: tuple, op: str, val) -> bool:
 def _norm_pred(predicate) -> list[tuple[str, str, object]]:
     import datetime as _dt
 
+    def norm_val(v):
+        return int(v.timestamp() * 1_000_000) if isinstance(v, _dt.datetime) else v
+
     out = []
     for col, op, val in predicate:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op {op!r}")
-        if isinstance(val, _dt.datetime):
-            val = int(val.timestamp() * 1_000_000)
+        if op == "is_in":
+            if not isinstance(val, (list, tuple, set, frozenset)):
+                raise ValueError("is_in predicate value must be a list/tuple/set")
+            val = sorted(norm_val(v) for v in val)
+        else:
+            val = norm_val(val)
         out.append((col, op, val))
     return out
 
@@ -148,6 +259,12 @@ def prune_segments(seg_dir: str, predicate) -> list[str]:
                 b = blooms.get(col)
                 if b is not None and not seg.bloom_may_contain(b, val):
                     return None
+            if op == "is_in" and val and all(isinstance(v, str) for v in val):
+                b = blooms.get(col)
+                if b is not None and not any(
+                    seg.bloom_may_contain(b, v) for v in val
+                ):
+                    return None
         return path
 
     return lin.map_segment_headers(seg_dir, keep)
@@ -169,9 +286,15 @@ def _residual_filter(preds: list[tuple[str, str, object]]):
         mask = None
         for col, op, val in preds:
             c = batch[col]
-            if pa.types.is_timestamp(c.type) and isinstance(val, int):
+            if pa.types.is_timestamp(c.type) and (
+                isinstance(val, int)
+                or (op == "is_in" and any(isinstance(v, int) for v in val))
+            ):
                 c = c.cast(pa.int64())
-            m = ops[op](c, val)
+            if op == "is_in":
+                m = pc.is_in(c, value_set=pa.array(list(val)))
+            else:
+                m = ops[op](c, val)
             mask = m if mask is None else pc.and_(mask, m)
         return batch.filter(mask) if mask is not None else batch
 
@@ -256,11 +379,22 @@ def decode_dataset(
             if not all_paths:
                 raise FileNotFoundError(f"no segments under {seg_dir!r}")
             kept = all_paths[:1]
-        inner = _evolved(
-            _decode_paths(
-                seg_dir, kept, stored_columns, concurrency, verify_checksums, compute
+        if not evolution:
+            # encoded-domain string predicates: dict-coded ==/is_in
+            # conjuncts evaluate on the code stream inside the segment read
+            # (string payloads materialize only surviving rows); the
+            # residual filter below keeps exactness for segments whose
+            # codec auto-selection went non-dict. Disabled under pending
+            # evolution, where predicates reference the EVOLVED schema.
+            inner = _decode_paths_filtered(
+                seg_dir, kept, stored_columns, preds, verify_checksums
             )
-        )
+        else:
+            inner = _evolved(
+                _decode_paths(
+                    seg_dir, kept, stored_columns, concurrency, verify_checksums, compute
+                )
+            )
         filtered = inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
         if columns is not None and read_cols != columns:
             filtered = filtered.select_columns(list(columns))

@@ -4176,6 +4176,45 @@ FROM events WHERE user_id BETWEEN 2 AND 4
 """
 
 
+def pruned_scan_dict(sf_dir: str):
+    """Encoded-domain STRING predicates: decode the engine's own format
+    with ``event_type is_in ('click','signup')`` + a ``user_id`` range.
+    For dict-coded segments the string conjunct is evaluated on the
+    integer CODE STREAM (vocab lookup → int compare inside
+    ``decode.read_segment_filtered``) and the string column materializes
+    only surviving rows; per-segment blooms prune point lookups at the
+    header level. The no-string-decode contract is pinned by the
+    ``test_pruned_scan_dict_never_decodes_strings`` tripwire."""
+    from fhirflat_ray.pipelines import decode as dec
+    from fhirflat_ray.pipelines import encode as enc
+
+    import ray.data as rd
+
+    work = os.path.join(
+        "/tmp/fhirflat_ray_pd", hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), override_num_blocks=8
+    ).write_parquet(src_dir)
+    seg_dir = os.path.join(work, "enc")
+    enc.encode_files(src_dir, seg_dir, sort_keys=("ts",), target_rows=1024)
+    return dec.decode_dataset(
+        seg_dir,
+        predicate=[
+            ("event_type", "is_in", ["click", "signup"]),
+            ("user_id", ">=", 3),
+        ],
+    ).select_columns(["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+PRUNED_SCAN_DICT_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events WHERE event_type IN ('click', 'signup') AND user_id >= 3
+"""
+
+
 def pruned_scan(sf_dir: str):
     """Zone-map predicate pushdown through the engine's OWN format: encode
     the (ts-sorted) events table into many small segments — row-range
@@ -12308,6 +12347,7 @@ QUERIES = {
     "curriculum_export": curriculum_export,
     "pruned_scan": pruned_scan,
     "pruned_scan_zorder": pruned_scan_zorder,
+    "pruned_scan_dict": pruned_scan_dict,
     "role_counts_encoded": role_counts_encoded,
     "turn_sum_encoded": turn_sum_encoded,
     "schema_evolve": schema_evolve,
@@ -12624,6 +12664,7 @@ ORACLE_SQL = {
     "props_extract": PROPS_EXTRACT_SQL,
     "pruned_scan": PRUNED_SCAN_SQL,
     "pruned_scan_zorder": PRUNED_SCAN_ZORDER_SQL,
+    "pruned_scan_dict": PRUNED_SCAN_DICT_SQL,
     "schema_evolve": SCHEMA_EVOLVE_SQL,
     "time_travel": TIME_TRAVEL_SQL,
     "incremental_counts": INCREMENTAL_COUNTS_SQL,

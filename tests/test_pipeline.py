@@ -449,6 +449,118 @@ def test_bloom_point_lookup_prunes_segments(ray_session, tmp_path):
     )
 
 
+def _string_pred_fixture(tmp_path, shared: bool):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fhirflat_ray.pipelines.encode import encode_files
+
+    src = tmp_path / ("src_sh" if shared else "src")
+    src.mkdir()
+    rng = np.random.default_rng(7)
+    frames = []
+    for f in range(3):
+        n = 800
+        tags = np.array(["alpha", "beta", "gamma", "delta", "epsilon"])[
+            rng.integers(0, 5, n)
+        ]
+        t = pa.table(
+            {
+                "tag": pa.array(tags.tolist(), pa.string()),
+                "k": pa.array(np.arange(n, dtype=np.int64) + f * 10_000),
+            }
+        )
+        pq.write_table(t, str(src / f"frag{f}.parquet"))
+        frames.append(t)
+    seg_dir = str(tmp_path / ("segs_sh" if shared else "segs"))
+    encode_files(
+        str(src),
+        seg_dir,
+        sort_keys=("k",),
+        target_rows=500,
+        shared_dict_columns=["tag"] if shared else None,
+    )
+    full = pa.concat_tables(frames).to_pandas()
+    return seg_dir, full
+
+
+@pytest.mark.parametrize("shared", [False, True])
+def test_encoded_string_predicates_code_stream(ray_session, tmp_path, monkeypatch, shared):
+    """Dict-coded string ==/is_in conjuncts evaluate on the integer code
+    stream: results equal full decode + filter exactly, and on the direct
+    per-segment path the string column is NEVER decoded (tripwire on
+    decode_column for c=="str") — surviving strings come from vocab.take
+    alone. Covers per-segment vocabs AND the shared-dictionary store."""
+    import fhirflat_ray.codecs as codecs_pkg
+    from fhirflat_ray.pipelines.decode import (
+        decode_dataset,
+        read_segment_filtered,
+        segment_paths,
+    )
+    from fhirflat_ray.state.lineage import load_dict_store
+
+    seg_dir, full = _string_pred_fixture(tmp_path, shared)
+
+    # end-to-end through Ray: == and is_in, alone and mixed with a range
+    got = (
+        decode_dataset(seg_dir, predicate=[("tag", "==", "beta")])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = full[full["tag"] == "beta"].sort_values("k").reset_index(drop=True)
+    assert got.equals(want)
+
+    got = (
+        decode_dataset(
+            seg_dir,
+            predicate=[("tag", "is_in", ["alpha", "delta"]), ("k", ">=", 10_000)],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        full[full["tag"].isin(["alpha", "delta"]) & (full["k"] >= 10_000)]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # is_in selecting nothing
+    assert (
+        decode_dataset(seg_dir, predicate=[("tag", "is_in", ["nope"])]).count() == 0
+    )
+
+    # tripwire (driver-side direct read): the string column must go through
+    # the code stream + vocab.take, never through a string-column decode
+    orig = codecs_pkg.decode_column
+
+    def guard(hdr, blob, dict_store=None):
+        if hdr.get("c") == "str":
+            raise AssertionError(
+                "string column decoded on the encoded-predicate fast path"
+            )
+        return orig(hdr, blob, dict_store)
+
+    monkeypatch.setattr(codecs_pkg, "decode_column", guard)
+    store = load_dict_store(seg_dir)
+    preds = [("tag", "is_in", ["beta", "gamma"])]
+    tables = [
+        read_segment_filtered(p, None, preds, store) for p in segment_paths(seg_dir)
+    ]
+    got = (
+        pa.concat_tables(tables).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        full[full["tag"].isin(["beta", "gamma"])]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_adaptive_target_rows_fans_out_small_inputs(ray_session, tmp_path):
     """Default (target_rows=None) must split a small input into enough
     partitions to occupy the cluster — partitions are also the decode
