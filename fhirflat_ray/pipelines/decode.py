@@ -61,27 +61,36 @@ def _decode_task(
     seg_dir: str,
     columns: list[str] | None,
     verify_checksums: bool,
+    post=None,
 ) -> pa.Table:
-    return _decode_blobs(
+    t = _decode_blobs(
         batch["bytes"], _worker_dict_store(seg_dir), columns, verify_checksums
     )
+    # ``post`` (e.g. schema-evolution application) runs PER SEGMENT so every
+    # block leaves the decode stage with one uniform schema — a later map
+    # stage would let Ray coalesce mixed-schema blocks (materialized vs
+    # pending-evolution segments) into one batch, null-padding missing
+    # columns BEFORE the ops run and silently corrupting added defaults
+    return post(t) if post is not None else t
 
 
 class DecodeSegment:
     """Actor-pool stage: one encoded segment blob → decoded Arrow rows."""
 
-    def __init__(self, seg_dir: str, columns: list[str] | None = None, verify_checksums: bool = False):
+    def __init__(self, seg_dir: str, columns: list[str] | None = None, verify_checksums: bool = False, post=None):
         from fhirflat_ray.pipelines.encode import _tune_worker_memory
 
         _tune_worker_memory()
         self.dict_store = lin.load_dict_store(seg_dir)
         self.columns = columns
         self.verify_checksums = verify_checksums
+        self.post = post
 
     def __call__(self, batch: dict[str, Any]) -> pa.Table:
-        return _decode_blobs(
+        t = _decode_blobs(
             batch["bytes"], self.dict_store, self.columns, self.verify_checksums
         )
+        return self.post(t) if self.post is not None else t
 
 
 def segment_paths(seg_dir: str) -> list[str]:
@@ -342,22 +351,24 @@ def decode_dataset(
         )
     stored_columns = read_cols
     if evolution and read_cols is not None:
-        stored_columns = stored_columns_for(evolution, read_cols)
-        if not stored_columns:
-            # request is added-columns-only: still read one stored column so
-            # each decoded batch carries its row count for the synthesizer
-            first = segment_paths(seg_dir)
-            if not first:
-                raise FileNotFoundError(f"no segments under {seg_dir!r}")
-            hdr, _ = seg.read_segment_header(first[0])
-            stored_columns = [hdr["columns"][0]["name"]]
+        from fhirflat_ray.pipelines.evolve import rename_chain
 
-    def _evolved(ds):
-        if not evolution:
-            return ds
-        return ds.map_batches(
-            apply_evolution(evolution, read_cols), batch_format="pyarrow"
-        )
+        stored_columns = stored_columns_for(evolution, read_cols)
+        added = {op["name"] for op in evolution if op["op"] == "add"}
+        if all(rename_chain(evolution, c)[-1] in added for c in read_cols):
+            # request is added-columns-only: no column is guaranteed present
+            # in every segment (merge-materialized ones carry real values,
+            # untouched ones nothing), so decode full segments and let the
+            # synthesizer + final select produce the request — correct for
+            # mixed sets, and this query shape is rare
+            stored_columns = None
+
+    # evolution runs PER SEGMENT inside the decode task (the ``post`` hook)
+    # — a separate map stage would let Ray coalesce mixed-schema blocks
+    # (merge-materialized vs pending segments) into one null-padded batch
+    # BEFORE the ops run, silently replacing added-column defaults with
+    # nulls for the rows of unmaterialized segments
+    post = apply_evolution(evolution, read_cols) if evolution else None
 
     if predicate is not None:
         preds = _norm_pred(predicate)
@@ -390,10 +401,9 @@ def decode_dataset(
                 seg_dir, kept, stored_columns, preds, verify_checksums
             )
         else:
-            inner = _evolved(
-                _decode_paths(
-                    seg_dir, kept, stored_columns, concurrency, verify_checksums, compute
-                )
+            inner = _decode_paths(
+                seg_dir, kept, stored_columns, concurrency, verify_checksums,
+                compute, post=post,
             )
         filtered = inner.map_batches(_residual_filter(preds), batch_format="pyarrow")
         if columns is not None and read_cols != columns:
@@ -403,8 +413,9 @@ def decode_dataset(
     paths = segment_paths(seg_dir)
     if not paths:
         raise FileNotFoundError(f"no segments under {seg_dir!r}")
-    return _evolved(
-        _decode_paths(seg_dir, paths, stored_columns, concurrency, verify_checksums, compute)
+    return _decode_paths(
+        seg_dir, paths, stored_columns, concurrency, verify_checksums, compute,
+        post=post,
     )
 
 
@@ -415,6 +426,7 @@ def _decode_paths(
     concurrency,
     verify_checksums: bool,
     compute: str,
+    post=None,
 ):
     import ray
     import ray.data as rd
@@ -428,7 +440,8 @@ def _decode_paths(
                 seg.read_segment_pruned(str(p), columns, store, verify_checksums)
                 for p in batch["item"]
             ]
-            return pa.concat_tables(tables)
+            t = pa.concat_tables(tables)
+            return post(t) if post is not None else t
 
         return rd.from_items(paths).map_batches(
             pruned, batch_size=1, batch_format="numpy", num_cpus=1
@@ -442,6 +455,7 @@ def _decode_paths(
                 "seg_dir": seg_dir,
                 "columns": columns,
                 "verify_checksums": verify_checksums,
+                "post": post,
             },
             batch_size=1,
             batch_format="numpy",
@@ -456,6 +470,7 @@ def _decode_paths(
             "seg_dir": seg_dir,
             "columns": columns,
             "verify_checksums": verify_checksums,
+            "post": post,
         },
         batch_size=1,
         batch_format="numpy",

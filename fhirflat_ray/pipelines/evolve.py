@@ -18,10 +18,14 @@ Interactions, by design:
 - zone/bloom predicate pruning consults STORED column names; a predicate
   on a renamed or added column simply finds no zone and keeps segments
   (conservative, never wrong).
-- keyed mutations (``merge_upsert`` / ``merge_delete``) refuse to run with
-  pending evolution — compact first to materialize (update rows arrive in
-  the evolved schema; stored segments are not) — so the two mutation
-  families can't silently desync.
+- keyed mutations (``merge_upsert`` / ``merge_delete``) MATERIALIZE the
+  pending ops inside every candidate-segment rewrite (the segment is being
+  re-encoded anyway, so the evolution rides along for free); untouched
+  segments keep the op-log pending. The decode-time application is
+  IDEMPOTENT over such mixed sets: drops/renames no-op when already
+  applied, adds skip when the column (under its current OR final name) is
+  present — so a segment set where some segments materialized the ops and
+  others did not reads back identically either way.
 """
 
 from __future__ import annotations
@@ -110,24 +114,45 @@ def pending_evolution(seg_dir: str) -> list[dict[str, Any]]:
     return list((manifest or {}).get("schema_evolution") or [])
 
 
-def stored_columns_for(
-    evolution: list[dict[str, Any]], requested: list[str]
-) -> list[str]:
-    """Map a user-visible column request back to STORED segment column
-    names (reverse renames, strip added names) for the pruned read path.
-    Raises on dropped columns — they no longer exist for readers."""
-    dropped = {op["name"] for op in evolution if op["op"] == "drop"}
-    added = {op["name"] for op in evolution if op["op"] == "add"}
+def rename_chain(evolution: list[dict[str, Any]], name: str) -> list[str]:
+    """Every name a user-visible column may be STORED under across a mixed
+    segment set: the requested name itself plus all prior names reached by
+    walking renames backwards. A merge-materialized segment stores the
+    final name; an untouched one stores the original — a pruned read must
+    request the whole chain (requesting an absent name is harmless)."""
     rename_back = {
         op["new_name"]: op["name"] for op in evolution if op["op"] == "rename"
     }
-    out = []
+    chain = [name]
+    seen = {name}
+    while chain[-1] in rename_back:
+        prev = rename_back[chain[-1]]
+        if prev in seen:  # defensive: cyclic renames cannot normally occur
+            break
+        chain.append(prev)
+        seen.add(prev)
+    return chain
+
+
+def stored_columns_for(
+    evolution: list[dict[str, Any]], requested: list[str]
+) -> list[str]:
+    """Map a user-visible column request to the STORED segment column
+    names the pruned read must cover. Renamed columns request their whole
+    name chain (mixed materialization: some segments store the old name,
+    merge-rewritten ones the new). ADDED columns stay in the request too —
+    a merge may have materialized real values for them; segments without
+    the column simply don't return it and the decode-time synthesizer
+    fills the default. Raises on dropped columns — they no longer exist
+    for readers."""
+    dropped = {op["name"] for op in evolution if op["op"] == "drop"}
+    out: list[str] = []
     for name in requested:
         if name in dropped:
             raise KeyError(f"column {name!r} was dropped")
-        if name in added:
-            continue  # synthesized after decode, nothing to read
-        out.append(rename_back.get(name, name))
+        for n in rename_chain(evolution, name):
+            if n not in out:
+                out.append(n)
     return out
 
 
@@ -136,14 +161,31 @@ def apply_evolution(evolution: list[dict[str, Any]], requested: list[str] | None
     ``requested`` limits which added columns are synthesized (pruned
     reads)."""
 
+    def _final_name(i: int, name: str) -> str | None:
+        """Name this column ends up under after ops AFTER position ``i``
+        (None if a later op drops it) — the mixed-set idempotency key: a
+        merge-materialized segment stores the FINAL name, so earlier ops
+        must recognize it as already applied."""
+        cur = name
+        for later in evolution[i + 1 :]:
+            if later["op"] == "rename" and later["name"] == cur:
+                cur = later["new_name"]
+            elif later["op"] == "drop" and later["name"] == cur:
+                return None
+        return cur
+
     def f(batch: pa.Table) -> pa.Table:
-        for op in evolution:
+        for i, op in enumerate(evolution):
             kind = op["op"]
             if kind == "drop":
                 if op["name"] in batch.column_names:
                     batch = batch.drop_columns([op["name"]])
             elif kind == "rename":
-                if op["name"] in batch.column_names:
+                # no-op when already materialized (target present)
+                if (
+                    op["name"] in batch.column_names
+                    and op["new_name"] not in batch.column_names
+                ):
                     batch = batch.rename_columns(
                         [
                             op["new_name"] if c == op["name"] else c
@@ -152,9 +194,16 @@ def apply_evolution(evolution: list[dict[str, Any]], requested: list[str] | None
                     )
             elif kind == "add":
                 name = op["name"]
-                if name in batch.column_names:
+                final = _final_name(i, name)
+                if final is None:
+                    continue  # dropped again later: never synthesize
+                if name in batch.column_names or final in batch.column_names:
                     continue  # already materialized (mixed old/new segments)
-                if requested is not None and name not in requested:
+                if (
+                    requested is not None
+                    and name not in requested
+                    and final not in requested
+                ):
                     continue
                 typ = pa.type_for_alias(op["dtype"])
                 default = op.get("default")
@@ -170,8 +219,32 @@ def apply_evolution(evolution: list[dict[str, Any]], requested: list[str] | None
     return f
 
 
+def evolved_sort_keys(
+    evolution: list[dict[str, Any]], sort_keys: tuple[str, ...] | None
+) -> tuple[str, ...] | None:
+    """Map stored-schema sort keys forward through the op-log (renames
+    followed, dropped keys removed) so a materializing rewrite re-sorts by
+    the evolved names."""
+    if not sort_keys:
+        return sort_keys
+    out = []
+    for k in sort_keys:
+        cur: str | None = k
+        for op in evolution:
+            if op["op"] == "rename" and op["name"] == cur:
+                cur = op["new_name"]
+            elif op["op"] == "drop" and op["name"] == cur:
+                cur = None
+                break
+        if cur is not None:
+            out.append(cur)
+    return tuple(out) or None
+
+
 __all__ = [
     "add_column",
+    "rename_chain",
+    "evolved_sort_keys",
     "drop_column",
     "rename_column",
     "pending_evolution",

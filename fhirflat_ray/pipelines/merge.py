@@ -50,21 +50,38 @@ from fhirflat_ray.state import segments as seg
 _APPLIED_KEYS_BUDGET = 20_000_000
 
 
-def _require_no_pending_evolution(manifest, op: str) -> None:
-    """Keyed mutations would desync evolved update rows against stored
-    segment schemas — compact first to materialize pending evolution."""
-    if manifest and manifest.get("schema_evolution"):
-        raise RuntimeError(
-            f"{op}: segment dir has pending schema evolution; run "
-            "compact_segments to materialize it before keyed mutations"
-        )
+def _evolution_plan(manifest):
+    """(evolution ops, evolve_fn) for keyed mutations: update/delete rows
+    arrive in the EVOLVED schema, so every candidate segment's base rows
+    are brought into that schema inside the rewrite (the segment is being
+    re-encoded anyway — the op-log remap rides along for free) and the
+    rewritten segment MATERIALIZES the evolution. Untouched segments keep
+    the op-log pending; decode's application is idempotent over the mixed
+    set (see pipelines/evolve.py)."""
+    from fhirflat_ray.pipelines.evolve import apply_evolution
+
+    evolution = list((manifest or {}).get("schema_evolution") or [])
+    return evolution, (apply_evolution(evolution, None) if evolution else None)
 
 
-def _zone_router(records: list[dict[str, Any]], key: str):
-    """(los, his, part_ids, zoneless_parts) for interval routing."""
+def _zone_key_names(evolution, key: str) -> list[str]:
+    """Zone-map lookup names for the (evolved-schema) merge key: rewritten
+    segments key zones by the evolved name, untouched ones by the stored
+    name — try the whole rename chain."""
+    from fhirflat_ray.pipelines.evolve import rename_chain
+
+    return rename_chain(evolution, key) if evolution else [key]
+
+
+def _zone_router(records: list[dict[str, Any]], key: str | list[str]):
+    """(los, his, part_ids, zoneless_parts) for interval routing.
+    ``key`` may be a list of candidate zone names (evolved + stored names
+    of a renamed merge key — each segment has exactly one of them)."""
+    key_names = [key] if isinstance(key, str) else list(key)
     los, his, pids, zoneless = [], [], [], []
     for r in records:
-        z = (r.get("zones") or {}).get(key)
+        zones = r.get("zones") or {}
+        z = next((zones[k] for k in key_names if k in zones), None)
         if z is None:
             zoneless.append(int(r["part_id"]))
         else:
@@ -156,6 +173,26 @@ def _shared_for_encode(seg_dir: str, manifest: dict[str, Any] | None):
     }
 
 
+def _evolved_shared(evolution, shared):
+    """Walk shared-dict column names forward through the op-log so a
+    materializing rewrite still re-encodes renamed columns against the
+    shared vocabularies (dropped columns fall away)."""
+    if not evolution:
+        return shared
+    out = {}
+    for c, hv in shared.items():
+        cur: str | None = c
+        for op in evolution:
+            if op["op"] == "rename" and op["name"] == cur:
+                cur = op["new_name"]
+            elif op["op"] == "drop" and op["name"] == cur:
+                cur = None
+                break
+        if cur is not None:
+            out[cur] = hv
+    return out
+
+
 def merge_upsert(
     seg_dir: str,
     updates,
@@ -172,8 +209,10 @@ def merge_upsert(
     from fhirflat_ray.functions.util import collect_small_table
     from fhirflat_ray.pipelines.encode import DEFAULT_TARGET_ROWS
 
+    from fhirflat_ray.pipelines.evolve import evolved_sort_keys
+
     manifest = lin.read_manifest(seg_dir)
-    _require_no_pending_evolution(manifest, "merge_upsert")
+    evolution, evolve_fn = _evolution_plan(manifest)
     # routing records and part metadata come from the SAME on-disk header
     # scan, so a re-run after a mid-merge crash sees crash-appended insert
     # segments and routes their keys as updates instead of re-inserting
@@ -183,12 +222,14 @@ def merge_upsert(
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
-    shared = _shared_for_encode(seg_dir, manifest)
+    if evolution:
+        sort_keys = evolved_sort_keys(evolution, sort_keys)
+    shared = _evolved_shared(evolution, _shared_for_encode(seg_dir, manifest))
     # uncommitted while segments rewrite in place / inserts append; the
     # refolded write_manifest below is the new commit point
     lin.uncommit_manifest(seg_dir)
 
-    los, his, pids, zoneless = _zone_router(records, key)
+    los, his, pids, zoneless = _zone_router(records, _zone_key_names(evolution, key))
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})
     meta_ref = ray.put(part_meta)
 
@@ -209,6 +250,10 @@ def merge_upsert(
         path = os.path.join(seg_dir, fname)
         store = lin.load_dict_store(seg_dir)
         base = seg.read_segment(path, store)
+        if evolve_fn is not None:
+            # bring the stored rows into the evolved schema; the rewrite
+            # below then MATERIALIZES the op-log for this segment
+            base = evolve_fn(base)
         base_keys = base.column(key).to_numpy(zero_copy_only=False)
         upd = pa.Table.from_pandas(g, schema=base.schema, preserve_index=False)
         upd_keys = upd.column(key).to_numpy(zero_copy_only=False)
@@ -278,6 +323,9 @@ def merge_upsert(
             "shared_dicts": {c: h for c, (h, _v) in shared.items()},
             "upserted": int(n_applied),
             "inserted": int(n_inserted),
+            # untouched segments still need the op-log; rewritten ones
+            # materialized it and decode's application is idempotent
+            **({"schema_evolution": evolution} if evolution else {}),
         },
     )
     return refolded
@@ -324,19 +372,23 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
 
     from fhirflat_ray.functions.util import collect_small_table
 
+    from fhirflat_ray.pipelines.evolve import evolved_sort_keys
+
     manifest = lin.read_manifest(seg_dir)
-    _require_no_pending_evolution(manifest, "merge_delete")
+    evolution, evolve_fn = _evolution_plan(manifest)
     # disk-scan routing (same crash-consistency rationale as merge_upsert)
     records, part_meta = _scan_segments(seg_dir)
     if not records:
         raise FileNotFoundError(f"no encoded segments under {seg_dir!r}")
     sort_keys = tuple((manifest or {}).get("sort_keys") or ()) or None
-    shared = _shared_for_encode(seg_dir, manifest)
+    if evolution:
+        sort_keys = evolved_sort_keys(evolution, sort_keys)
+    shared = _evolved_shared(evolution, _shared_for_encode(seg_dir, manifest))
     # uncommitted while segments rewrite/drop in place (the stale manifest
     # would point at removed files); refold below is the new commit point
     lin.uncommit_manifest(seg_dir)
 
-    los, his, pids, zoneless = _zone_router(records, key)
+    los, his, pids, zoneless = _zone_router(records, _zone_key_names(evolution, key))
     router_ref = ray.put({"los": los, "his": his, "pids": pids, "zoneless": zoneless})
     meta_ref = ray.put(part_meta)
 
@@ -358,6 +410,9 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
         path = os.path.join(seg_dir, fname)
         store = lin.load_dict_store(seg_dir)
         base = seg.read_segment(path, store)
+        if evolve_fn is not None:
+            # materialize pending evolution in the rewrite (see merge_upsert)
+            base = evolve_fn(base)
         base_keys = base.column(key).to_numpy(zero_copy_only=False)
         hit = np.isin(base_keys, del_keys)
         n_hit = int(hit.sum())
@@ -396,6 +451,7 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
             "sort_keys": list(sort_keys) if sort_keys else None,
             "shared_dicts": {c: h for c, (h, _v) in shared.items()},
             "deleted": int(n_deleted),
+            **({"schema_evolution": evolution} if evolution else {}),
         },
     )
     return refolded

@@ -815,12 +815,35 @@ def test_schema_evolution_catalog_only(ray_session, tmp_path):
     got4 = dec.decode_dataset(segd, predicate=[("k", "<", 10)]).to_pandas()
     assert len(got4) == 10 and "source_tag" in got4.columns
 
-    # keyed mutations refuse pending evolution …
+    # keyed mutations MATERIALIZE pending evolution inside the candidate
+    # segment rewrite — no compact required; untouched segments keep the
+    # op-log pending and the mixed set reads back consistently
+    pending = evo.pending_evolution(segd)
     upd = pd.DataFrame({"k": [1], "label": ["x"], "source_tag": ["b"], "score": [1.0]})
-    with pytest.raises(RuntimeError, match="pending schema evolution"):
-        merge_upsert(segd, rd.from_pandas(upd), "k")
+    m = merge_upsert(segd, rd.from_pandas(upd), "k")
+    assert m["upserted"] == 1 and m["inserted"] == 0
+    assert evo.pending_evolution(segd) == pending
+    exp_m = exp.copy()
+    exp_m.loc[exp_m["k"] == 1, ["label", "source_tag", "score"]] = ["x", "b", 1.0]
+    got_m = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    assert sorted(got_m.columns) == sorted(exp_m.columns)
+    for c in ("k", "label", "source_tag"):
+        assert got_m[c].tolist() == exp_m[c].tolist(), c
+    assert got_m["score"].fillna(-1).tolist() == exp_m["score"].fillna(-1).tolist()
+    # pruned read over the MIXED set: the materialized segment returns the
+    # real upserted score, unmaterialized ones synthesize the null default
+    got_p = (
+        dec.decode_dataset(segd, columns=["k", "score"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got_p.loc[got_p["k"] == 1, "score"].iloc[0] == 1.0
+    assert got_p["score"].fillna(-1).tolist() == exp_m["score"].fillna(-1).tolist()
 
-    # … and compaction materializes it (fresh manifest, no pending ops)
+    # compaction still materializes everything (fresh manifest, no pending
+    # ops) — including the upserted values
+    exp = exp_m
     segd2 = str(tmp_path / "enc2")
     enc.compact_segments(segd, segd2, sort_keys=("k",), target_rows=2000)
     assert evo.pending_evolution(segd2) == []
@@ -1066,17 +1089,26 @@ def test_lakehouse_lifecycle(ray_session, tmp_path):
     view3, info3 = refresh_value_counts(segd, state, "role")
     assert info3["mode"] == "full"
 
-    # 4. evolution gates keyed mutations until compaction materializes it
+    # 4. keyed mutations under pending evolution materialize it in the
+    # touched segments (updates arrive in the EVOLVED schema); compaction
+    # afterwards clears the op-log with the upserts intact
     evo.add_column(segd, "split", "string", "train")
     evo.drop_column(segd, "v")
-    with pytest.raises(RuntimeError, match="pending schema evolution"):
-        merge_upsert(segd, rd.from_pandas(upd), "k")
+    upd_e = pd.DataFrame({"k": [0, 1], "role": ["user", "user"], "split": ["test", "test"]})
+    m4 = merge_upsert(segd, rd.from_pandas(upd_e), "k")
+    assert m4["upserted"] == 2 and m4["inserted"] == 0
+    live0 = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    assert "v" not in live0.columns
+    assert live0.loc[live0["k"] <= 1, "split"].tolist() == ["test", "test"]
+    assert (live0.loc[live0["k"] > 1, "split"] == "train").all()
     segd2 = str(tmp_path / "enc2")
     enc.compact_segments(segd, segd2, sort_keys=("k",), target_rows=4000)
     assert evo.pending_evolution(segd2) == []
-    live = dec.decode_dataset(segd2).to_pandas()
+    live = dec.decode_dataset(segd2).to_pandas().sort_values("k").reset_index(drop=True)
     assert "split" in live.columns and "v" not in live.columns
-    assert len(live) == n + 1200 and (live["split"] == "train").all()
+    assert len(live) == n + 1200
+    assert live.loc[live["k"] <= 1, "split"].tolist() == ["test", "test"]
+    assert (live.loc[live["k"] > 1, "split"] == "train").all()
 
     # 5. snapshot v1 still reads the ORIGINAL table (pre-append, pre-merge,
     # pre-evolution) even though live segments were rewritten since
