@@ -69,6 +69,46 @@ def cmd_encode(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_encode_folder(args: argparse.Namespace) -> int:
+    """Multi-table folder encode: the reference's unit of output is a
+    folder of per-resource tables with ONE metadata/checksum file
+    (/root/reference/fhirflat/ingest.py:397-432,543-560) — here one
+    segment dir per table plus folder_metadata.json / sha256sums.txt."""
+    _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.folder import encode_folder
+
+    inputs: dict[str, str] = {}
+    for spec in args.tables:
+        if "=" not in spec:
+            raise SystemExit(f"table spec {spec!r} must be name=path")
+        name, path = spec.split("=", 1)
+        inputs[name] = path
+    meta = encode_folder(
+        inputs,
+        args.output,
+        primary=args.primary,
+        id_column=args.id_column,
+        resume=args.resume,
+        target_rows=args.target_rows,
+    )
+    print(json.dumps({"N": meta["N"], "checksum": meta["checksum"],
+                      "tables": {k: v["n_rows"] for k, v in meta["tables"].items()}}))
+    return 0
+
+
+def cmd_validate_folder(args: argparse.Namespace) -> int:
+    """Folder integrity check vs the recorded metadata (checksum-of-
+    checksums per table and across tables; --deep re-reads payloads with
+    per-column sha256 verification)."""
+    if args.deep:
+        _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.folder import validate_folder
+
+    report = validate_folder(args.folder, deep=args.deep)
+    print(json.dumps(report))
+    return 0 if report["ok"] else 1
+
+
 def cmd_decode(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     from fhirflat_ray.pipelines.decode import decode_to_parquet, parse_predicate
@@ -311,6 +351,28 @@ def main(argv: list[str] | None = None) -> int:
         "the 100TB path stays directory-of-segments)",
     )
     pe.set_defaults(fn=cmd_encode)
+
+    pef = sub.add_parser(
+        "encode-folder",
+        help="multi-table folder encode: one segment dir per table + one "
+        "folder-level metadata/checksum file (reference ingest folder shape)",
+    )
+    pef.add_argument("output")
+    pef.add_argument("tables", nargs="+", help="name=path pairs")
+    pef.add_argument("--primary", default=None, help="table for the N distinct-id count")
+    pef.add_argument("--id-column", default="conv_id")
+    pef.add_argument("--resume", action="store_true")
+    pef.add_argument("--target-rows", type=int, default=None)
+    pef.set_defaults(fn=cmd_encode_folder)
+
+    pvf = sub.add_parser(
+        "validate-folder",
+        help="verify a folder against its metadata (checksum-of-checksums; "
+        "--deep re-reads payloads with per-column sha256 checks)",
+    )
+    pvf.add_argument("folder")
+    pvf.add_argument("--deep", action="store_true")
+    pvf.set_defaults(fn=cmd_validate_folder)
 
     pd_ = sub.add_parser("decode", help="encoded segments → parquet")
     pd_.add_argument("input")

@@ -394,3 +394,123 @@ def test_fetched_pack_drives_mapping_engine(ray_session, tmp_path):
     assigns = dsl.apply_mapping_long(rd.from_arrow(raw), mapping, "rid", ["sex"])
     wide = dsl.pivot_assignments(assigns, "rid").to_pandas().sort_values("rid")
     assert wide["gender"].tolist() == ["f", "m"]
+
+
+def test_encode_folder_roundtrip_and_validate(ray_session, frag_dir, tmp_path, capsys):
+    """Folder-of-tables contract (reference ingest.py:397-432): one segment
+    dir per table, ONE folder metadata whose checksum is the sha256 of the
+    per-table checksum text; decode_folder roundtrips every table;
+    validate_folder (shallow + deep) passes, and detects both a missing
+    segment and in-body bit rot."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from fhirflat_ray.pipelines.folder import (
+        CHECKSUMS_FILE,
+        FOLDER_META,
+        decode_folder,
+        encode_folder,
+        read_folder_metadata,
+        validate_folder,
+    )
+
+    # second table: events-ish parquet
+    ev_src = tmp_path / "ev_src"
+    ev_src.mkdir()
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(2_000, dtype=np.int64),
+            "user_id": np.arange(2_000, dtype=np.int64) % 37,
+            "value": np.linspace(0, 1, 2_000),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), str(ev_src / "e.parquet"))
+
+    out = str(tmp_path / "folder")
+    meta = encode_folder(
+        {"transcripts": frag_dir, "events": str(ev_src)},
+        out,
+        primary="transcripts",
+        id_column="conv_id",
+        target_rows=1_000,
+    )
+    assert set(meta["tables"]) == {"transcripts", "events"}
+    assert meta["tables"]["events"]["n_rows"] == 2_000
+    assert isinstance(meta["N"], int) and meta["N"] > 0
+    assert os.path.exists(os.path.join(out, FOLDER_META))
+    # folder checksum == sha256 of the reference-layout checksum text
+    text = open(os.path.join(out, CHECKSUMS_FILE)).read()
+    assert meta["checksum"] == hashlib.sha256(text.encode()).hexdigest()
+    lines = dict(
+        (ln.split("  ", 1)[1], ln.split("  ", 1)[0]) for ln in text.splitlines()
+    )
+    assert lines["events"] == meta["tables"]["events"]["checksum"]
+
+    # roundtrip every table
+    tabs = decode_folder(out)
+    got_ev = tabs["events"].to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got_ev.equals(ev)
+    assert tabs["transcripts"].count() == 5_000
+    # N matches a direct distinct count
+    n_direct = tabs["transcripts"].to_pandas()["conv_id"].nunique()
+    assert meta["N"] == n_direct
+
+    # validate: shallow + deep green
+    rep = validate_folder(out)
+    assert rep["ok"] and rep["checksum"] == meta["checksum"]
+    rep = validate_folder(out, deep=True)
+    assert rep["ok"] and all(t["ok"] for t in rep["tables"].values())
+
+    # CLI over the folder
+    assert cli_main(["validate-folder", out]) == 0
+    cli_rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cli_rep["ok"]
+
+    # tamper 1: remove one segment -> shallow validate fails
+    broken = str(tmp_path / "broken")
+    shutil.copytree(out, broken)
+    segs = sorted(glob.glob(os.path.join(broken, "events", "part-*.seg")))
+    os.remove(segs[0])
+    # refold the table manifest (uncommit first so the lineage scan globs
+    # the surviving files) so only the FOLDER metadata can catch it
+    from fhirflat_ray.state import lineage as lin
+
+    bdir = os.path.join(broken, "events")
+    lin.uncommit_manifest(bdir)
+    lin.write_manifest(bdir, lin.collect_lineage(bdir))
+    rep = validate_folder(broken)
+    assert not rep["ok"] and not rep["tables"]["events"]["ok"]
+    assert cli_main(["validate-folder", broken]) == 1
+    capsys.readouterr()
+
+    # tamper 2: flip payload bytes (headers intact) -> deep validate fails
+    broken2 = str(tmp_path / "broken2")
+    shutil.copytree(out, broken2)
+    seg_path = sorted(glob.glob(os.path.join(broken2, "events", "part-*.seg")))[0]
+    data = bytearray(open(seg_path, "rb").read())
+    data[-3] ^= 0xFF  # inside the last column's payload
+    open(seg_path, "wb").write(bytes(data))
+    assert validate_folder(broken2)["ok"]  # shallow trusts headers
+    assert not validate_folder(broken2, deep=True)["ok"]
+
+
+def test_cli_encode_folder(ray_session, frag_dir, tmp_path, capsys):
+    out = str(tmp_path / "cli_folder")
+    rc = cli_main(
+        [
+            "encode-folder",
+            out,
+            f"transcripts={frag_dir}",
+            "--primary",
+            "transcripts",
+            "--target-rows",
+            "2000",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["tables"]["transcripts"] == 5_000 and rep["N"] > 0
+    assert cli_main(["validate-folder", out, "--deep"]) == 0
