@@ -1,11 +1,12 @@
 """The decode pipeline: encoded segments → ``ray.data.Dataset`` of rows.
 
-Segments are consumed with ``ray.data.read_binary_files`` (streaming source)
-and decoded by an actor pool that loads the shared-dictionary store once per
-worker — the decoder mirror of the reference's per-process class cache
+Segment paths fan out as one fused task stage (``from_items`` → per-segment
+ranged file reads inside the task — shared storage on a multi-node cluster);
+workers load the shared-dictionary store once per process — the decoder
+mirror of the reference's per-process class cache
 (/root/reference/fhirflat/resources/extension_validators.py:81-87).
 Column pruning happens at the segment layer: blobs of unrequested columns are
-never decoded (true column-store projection).
+never read (true column-store projection).
 """
 
 from __future__ import annotations
@@ -21,20 +22,20 @@ from fhirflat_ray.state import lineage as lin
 from fhirflat_ray.state import segments as seg
 
 
-def _decode_blobs(
-    blobs,
+def _decode_paths_to_table(
+    paths,
     dict_store: dict[str, pa.Array],
     columns: list[str] | None,
     verify_checksums: bool,
 ) -> pa.Table:
     tables = [
         seg.read_segment(
-            bytes(blob),
+            str(p),
             dict_store=dict_store,
             columns=columns,
             verify_checksums=verify_checksums,
         )
-        for blob in blobs
+        for p in paths
     ]
     return pa.concat_tables(tables)
 
@@ -63,8 +64,8 @@ def _decode_task(
     verify_checksums: bool,
     post=None,
 ) -> pa.Table:
-    t = _decode_blobs(
-        batch["bytes"], _worker_dict_store(seg_dir), columns, verify_checksums
+    t = _decode_paths_to_table(
+        batch["item"], _worker_dict_store(seg_dir), columns, verify_checksums
     )
     # ``post`` (e.g. schema-evolution application) runs PER SEGMENT so every
     # block leaves the decode stage with one uniform schema — a later map
@@ -87,8 +88,8 @@ class DecodeSegment:
         self.post = post
 
     def __call__(self, batch: dict[str, Any]) -> pa.Table:
-        t = _decode_blobs(
-            batch["bytes"], self.dict_store, self.columns, self.verify_checksums
+        t = _decode_paths_to_table(
+            batch["item"], self.dict_store, self.columns, self.verify_checksums
         )
         return self.post(t) if self.post is not None else t
 
@@ -447,7 +448,12 @@ def _decode_paths(
             pruned, batch_size=1, batch_format="numpy", num_cpus=1
         )
 
-    ds = rd.read_binary_files(paths)
+    # one fused operator: tasks read segment files themselves (shared
+    # storage on a multi-node cluster — the pruned path's contract already)
+    # instead of a separate read_binary_files stage shipping whole blobs
+    # through the object store. Measured at the bench shape (16 segments,
+    # 32 CPUs): 0.145 s -> 0.067 s per decode lap.
+    ds = rd.from_items(paths)
     if compute == "tasks":
         return ds.map_batches(
             _decode_task,
