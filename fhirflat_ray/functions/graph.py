@@ -732,6 +732,13 @@ def triangle_count(edges, num_partitions: int | None = None,
     # when the byte-sized join partition count is tiny (n_parts=4 at
     # sf0.1 serialized ~70M wedges onto 4 tasks; 4x measured)
     wedge_buckets = max(n_parts, default_num_buckets())
+    # cost model: this pins the WHOLE edge list in the (spillable) object
+    # store for multi-consumer reuse (degree fold + wedge pass + closing
+    # check would otherwise re-execute the upstream plan 3x). Edge lists
+    # are metadata-scale relative to a corpus (int64 pairs), but the
+    # measured single-node boundary applies: past ~0.5x object store the
+    # pin forces spill; on a cluster the store aggregates. For edge lists
+    # beyond that, drop the materialize and accept the re-execution.
     edges = edges.materialize()
     try:
         un, deg = degree_fold(edges, node_budget)

@@ -12,13 +12,18 @@ Byte decoding is REAL for the formats the standard library can handle:
   features and real nearest-neighbour resizing;
 - BMP (uncompressed 24-bit) parsed by hand → pixel array;
 - PNG (8-bit gray/RGB/palette/RGBA, filters 0-4) via ``zlib`` inflate +
-  spec unfiltering — validated against an externally-encoded fixture.
+  spec unfiltering — validated against an externally-encoded fixture;
+- JPEG (baseline sequential: DHT huffman, 4:4:4/4:2:2/4:2:0, restart
+  intervals) via the full stdlib+numpy decoder in ``functions/jpeg.py`` —
+  validated against externally-encoded files; progressive (SOF2) falls
+  back.
 
-Payloads in any OTHER format fall back to ``_fake_decode_features`` — a
-deterministic hash-seeded vector (``DETERMINISTIC_FAKE`` marks that path;
-PIL/libav are not in this container). A production deployment swaps the
-fallback for PIL/libav calls in the same actor ``__init__``/``__call__``
-shape — nothing else changes.
+Payloads in any OTHER format (video codecs, progressive JPEG, exotic
+variants) fall back to ``_fake_decode_features`` — a deterministic
+hash-seeded vector (``DETERMINISTIC_FAKE`` marks that path; PIL/libav are
+not in this container). A production deployment swaps the fallback for
+PIL/libav calls in the same actor ``__init__``/``__call__`` shape —
+nothing else changes.
 """
 
 from __future__ import annotations
@@ -225,6 +230,15 @@ def _image_pixels(payload: bytes) -> np.ndarray | None:
         try:
             return _decode_gif(payload)
         except (ValueError, IndexError, struct.error):
+            return None
+    if payload[:2] == b"\xff\xd8":
+        # baseline JPEG decodes for real (functions/jpeg.py); progressive
+        # (SOF2) / truncated payloads fall back to the stub path
+        from fhirflat_ray.functions.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except (ValueError, IndexError, KeyError, struct.error):
             return None
     return None
 

@@ -10024,6 +10024,62 @@ FROM px GROUP BY doc_id
 """
 
 
+def media_features_jpeg(sf_dir: str):
+    """The multimodal-oracle trick through the JPEG path — over a LOSSY
+    format. The payload is a REAL baseline JFIF stream (huffman entropy
+    coding, DHT/DQT/SOF0/SOS markers) built so decode is pixel-EXACT:
+    all-ones quantization + one CONSTANT 8x8 block per text byte, so every
+    DCT block is DC-only and reconstructs its byte exactly
+    (functions/jpeg.py). The driver gate therefore exercises the full
+    huffman+IDCT decode while the SQL oracle still recomputes the decoded
+    gray mean via ord()."""
+    from fhirflat_ray.functions.jpeg import encode_jpeg_gray_blocks
+    from fhirflat_ray.functions.multimodal import ImageFeatureExtractor
+    from fhirflat_ray.functions.util import worker_cached_stage
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    BW, BH = 6, 4  # 24 constant blocks -> 48x32 pixels
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for s in b["text"].to_pylist():
+            raw = (s or "").encode("utf-8") or b"\x00"
+            need = BW * BH
+            buf = (raw * (need // len(raw) + 1))[:need]
+            payloads.append(
+                encode_jpeg_gray_blocks(np.frombuffer(buf, dtype=np.uint8), BW)
+            )
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    feats = docs.map_batches(to_media, batch_format="pyarrow").map_batches(
+        worker_cached_stage(ImageFeatureExtractor, dim=8),
+        batch_format="pyarrow",
+        batch_size=128,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f0 = pa.array(
+            [round(float(v[0]), 4) for v in b["features"].to_pylist()],
+            pa.float64(),
+        )
+        return pa.table({"doc_id": b["doc_id"], "f0": f0})
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
+MEDIA_FEATURES_JPEG_SQL = """
+WITH px AS (
+  SELECT doc_id, ord(substr(text, (s.p % length(text)) + 1, 1)) AS red
+  FROM documents, generate_series(0, 23, 1) s(p)
+)
+SELECT doc_id,
+       round(CAST(CAST(CAST(avg(red) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0
+FROM px GROUP BY doc_id
+"""
+
+
 def audio_features_wav(sf_dir: str):
     """The multimodal-oracle trick for AUDIO: each document's bytes become
     8-bit PCM samples in a REAL RIFF/WAVE payload (stdlib ``wave``
@@ -12450,6 +12506,7 @@ QUERIES = {
     "media_features": media_features,
     "media_features_png": media_features_png,
     "media_features_gif": media_features_gif,
+    "media_features_jpeg": media_features_jpeg,
     "audio_features_wav": audio_features_wav,
     "video_frame_features": video_frame_features,
     "nearest_eval_vec": nearest_eval_vec,
@@ -12797,6 +12854,7 @@ ORACLE_SQL = {
     # feature quantization, absorbing float64 sum-order noise on both sides
     "media_features_png": MEDIA_FEATURES_PNG_SQL,
     "media_features_gif": MEDIA_FEATURES_GIF_SQL,
+    "media_features_jpeg": MEDIA_FEATURES_JPEG_SQL,
     "audio_features_wav": AUDIO_FEATURES_WAV_SQL,
     "video_frame_features": VIDEO_FRAME_FEATURES_SQL,
     "media_features": """
