@@ -4176,6 +4176,73 @@ FROM events WHERE user_id BETWEEN 2 AND 4
 """
 
 
+def cross_validate_errors(sf_dir: str):
+    """Cross-field + per-group-cardinality validation (the reference's
+    pydantic root_validator family, SURVEY §1.3's documented parity gap):
+    deterministic null planting over events, then the one_of-required /
+    requires row rules (``validate_cross_fields``) and the
+    at-most-N-per-key rule (``validate_max_per_key``, one bucket shuffle),
+    first-error-wins across all of them — mirrored by a CASE cascade +
+    COUNT() OVER window in the oracle."""
+    from fhirflat_ray.pipelines.verify import (
+        validate_cross_fields,
+        validate_max_per_key,
+    )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value", "props"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        def masked(col, mod):
+            keep = (eid % mod) != 0
+            arr = b[col].combine_chunks()
+            return pc.if_else(pa.array(keep), arr, pa.nulls(len(eid), arr.type))
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "a": masked("props", 3),
+                "b": masked("event_type", 5),
+                "c": masked("value", 7),
+            }
+        )
+
+    marked = validate_cross_fields(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        [
+            {"rule": "one_of", "columns": ["a", "c"], "required": True},
+            {"rule": "requires", "column": "b", "needs": "a"},
+        ],
+    )
+    marked = validate_max_per_key(marked, ["user_id"], "event_type", 2)
+    return marked.map_batches(
+        lambda b: b.select(["event_id", "_error"]), batch_format="pyarrow"
+    )
+
+
+CROSS_VALIDATE_ERRORS_SQL = """
+WITH t AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 3 != 0 THEN props END AS a,
+         CASE WHEN event_id % 5 != 0 THEN event_type END AS b,
+         CASE WHEN event_id % 7 != 0 THEN value END AS c
+  FROM events
+), k AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id, event_type) AS cnt FROM t
+)
+SELECT event_id,
+  CASE
+    WHEN a IS NOT NULL AND c IS NOT NULL THEN 'multiple of [''a'', ''c''] present'
+    WHEN a IS NULL AND c IS NULL THEN 'one of [''a'', ''c''] required'
+    WHEN b IS NOT NULL AND a IS NULL THEN 'b requires a'
+    WHEN cnt > 2 THEN 'event_type appears more than 2x per [''user_id'']'
+    ELSE ''
+  END AS _error
+FROM k
+"""
+
+
 def pruned_scan_dict(sf_dir: str):
     """Encoded-domain STRING predicates: decode the engine's own format
     with ``event_type is_in ('click','signup')`` + a ``user_id`` range.
@@ -12473,6 +12540,7 @@ QUERIES = {
     "mmr_select": mmr_diverse_select,
     "embed_quantize": embed_quantize,
     "validate_errors": validate_errors,
+    "cross_validate_errors": cross_validate_errors,
     "schema_check": schema_check,
     "flatten_props": flatten_props,
     "sample_split": sample_split,
@@ -12682,6 +12750,7 @@ ORACLE_SQL = {
     "flatten_props": FLATTEN_PROPS_SQL,
     "schema_check": SCHEMA_CHECK_SQL,
     "validate_errors": VALIDATE_ERRORS_SQL,
+    "cross_validate_errors": CROSS_VALIDATE_ERRORS_SQL,
     "sample_split": _sample_split_sql(),
     "top_docs_per_lang": TOP_DOCS_PER_LANG_SQL,
     "range_join_agg": RANGE_JOIN_AGG_SQL,

@@ -296,6 +296,110 @@ def validate_schema(ds, spec: dict[str, dict[str, Any]]):
     return ds.map_batches(check, batch_format="pyarrow")
 
 
+def validate_cross_fields(ds, rules: list[dict[str, Any]]):
+    """Row-local CROSS-FIELD rules — the engine's analogue of the
+    reference's pydantic ``root_validator`` family
+    (/root/reference/fhirflat/resources/extensions.py:163-201
+    ``validate_one_of_many``: a choice-of-type element may hold at most —
+    required: exactly — one of its variant fields; the FHIR ext-1
+    invariant: extensions and value are mutually exclusive), vectorized
+    per batch instead of Python per row. Rule shapes:
+
+    - ``{"rule": "one_of", "columns": [...], "required": bool}`` — at
+      most one of the columns non-null; ``required`` → exactly one
+      (value[x] choice-of-type cardinality).
+    - ``{"rule": "exclusive", "columns": [...]}`` — the columns may not
+      ALL be non-null together (ext-1 shape for two columns).
+    - ``{"rule": "requires", "column": c, "needs": d}`` — a non-null
+      ``c`` needs a non-null ``d`` (coding-implies-system shape).
+
+    First-error-wins per row, in rule order; composes with
+    :func:`validate_schema` / :func:`validate_transcripts` (an existing
+    ``_error`` column takes precedence). Stateless map — no shuffle."""
+    import pyarrow.compute as pc
+
+    for r in rules:  # fail fast on the driver, not inside a Ray task
+        if r.get("rule") not in ("one_of", "exclusive", "requires"):
+            raise ValueError(f"unknown cross-field rule {r.get('rule')!r}")
+
+    def nn(batch: pa.Table, col: str) -> np.ndarray:
+        if col not in batch.column_names:
+            return np.zeros(batch.num_rows, dtype=bool)
+        return np.asarray(pc.is_valid(batch[col]))
+
+    def check(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        err = np.full(n, "", dtype=object)
+
+        def mark(m: np.ndarray, msg: str) -> None:
+            err[m & (err == "")] = msg
+
+        for r in rules:
+            kind = r["rule"]
+            if kind == "one_of":
+                cols = r["columns"]
+                count = np.zeros(n, dtype=np.int64)
+                for c in cols:
+                    count += nn(batch, c)
+                mark(count > 1, f"multiple of {cols} present")
+                if r.get("required"):
+                    mark(count == 0, f"one of {cols} required")
+            elif kind == "exclusive":
+                cols = r["columns"]
+                both = np.ones(n, dtype=bool)
+                for c in cols:
+                    both &= nn(batch, c)
+                mark(both, f"{cols} are mutually exclusive")
+            elif kind == "requires":
+                c, d = r["column"], r["needs"]
+                mark(nn(batch, c) & ~nn(batch, d), f"{c} requires {d}")
+            else:
+                raise ValueError(f"unknown cross-field rule {kind!r}")
+
+        if "_error" in batch.column_names:
+            prev = np.asarray(
+                batch["_error"].to_numpy(zero_copy_only=False), dtype=object
+            )
+            err = np.where(prev != "", prev, err)
+            batch = batch.drop_columns(["_error"])
+        return batch.append_column("_error", pa.array(err, pa.string()))
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+def validate_max_per_key(
+    ds, key_cols: list[str], column: str, max_n: int, num_buckets: int | None = None
+):
+    """Per-GROUP cardinality rule — the reference's
+    ``validate_extension_contents`` shape
+    (/root/reference/fhirflat/resources/extensions.py:230-238: a category
+    may appear at most once inside one extension list): within each
+    ``key_cols`` group, every distinct ``column`` value may appear at most
+    ``max_n`` times; all rows of a violating (key, value) combination are
+    marked. Needs co-location, so it runs as ONE coarse hash-bucket
+    shuffle (``bucketed_map_groups``: Python per bucket, vectorized pandas
+    transform inside); first-error-wins against an existing ``_error``."""
+    from fhirflat_ray.functions.util import bucketed_map_groups
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(key_cols + [column], sort=False, dropna=False)[
+            column
+        ].transform("size")
+        bad = (counts > max_n).to_numpy()
+        msg = f"{column} appears more than {max_n}x per {key_cols}"
+        if "_error" in g.columns:
+            prev = g["_error"].to_numpy()
+            g = g.drop(columns="_error")
+            new = np.where((prev == "") & bad, msg, prev)
+        else:
+            new = np.where(bad, msg, "")
+        out = g.copy()
+        out["_error"] = new
+        return out
+
+    return bucketed_map_groups(ds, key_cols, per_bucket, num_buckets=num_buckets)
+
+
 #: The transcript contract as a schema spec (used by the CLI and tests).
 TRANSCRIPT_SCHEMA_SPEC: dict[str, dict[str, Any]] = {
     "conv_id": {"type": "string", "nullable": False},

@@ -1746,3 +1746,85 @@ def test_wave_dedup_killed_midrun_resumes_exact(ray_session, tmp_path):
     )
     assert got["doc_id"].tolist() == list(range(half))
     assert killed in (True, False)  # both paths verified either way
+
+
+def test_validate_cross_fields_rules(ray_session):
+    """Row-local cross-field rules (the reference's root_validator family):
+    one_of (choice-of-type cardinality, required variant), exclusive
+    (ext-1), requires — first-error-wins in rule order, and an existing
+    _error (e.g. from validate_schema) takes precedence."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import validate_cross_fields, validate_schema
+
+    df = pd.DataFrame(
+        {
+            "id": [0, 1, 2, 3, 4],
+            "v_str": ["a", None, "c", None, "e"],
+            "v_num": [1.0, 2.0, None, None, 5.0],
+            "unit": [None, "kg", None, None, "kg"],
+        }
+    )
+    rules = [
+        {"rule": "one_of", "columns": ["v_str", "v_num"], "required": True},
+        {"rule": "requires", "column": "unit", "needs": "v_num"},
+    ]
+    got = (
+        validate_cross_fields(rd.from_pandas(df).repartition(2), rules)
+        .to_pandas()
+        .sort_values("id")["_error"]
+        .tolist()
+    )
+    assert got == [
+        "multiple of ['v_str', 'v_num'] present",
+        "",
+        "",
+        "one of ['v_str', 'v_num'] required",
+        "multiple of ['v_str', 'v_num'] present",  # one_of fires before requires
+    ]
+
+    # exclusive + schema-error precedence
+    marked = validate_schema(
+        rd.from_pandas(df), {"id": {"type": "int64", "min": 1}}
+    )
+    got2 = (
+        validate_cross_fields(marked, [{"rule": "exclusive", "columns": ["v_str", "unit"]}])
+        .to_pandas()
+        .sort_values("id")["_error"]
+        .tolist()
+    )
+    assert got2[0] == "id below min 1"  # schema error wins over cross rule
+    assert got2[4] == "['v_str', 'unit'] are mutually exclusive"
+    assert got2[1] == got2[2] == got2[3] == ""
+
+    with pytest.raises(ValueError, match="unknown cross-field rule"):
+        validate_cross_fields(rd.from_pandas(df), [{"rule": "nope"}]).to_pandas()
+
+
+def test_validate_max_per_key(ray_session):
+    """Per-group cardinality (validate_extension_contents shape): every row
+    of a (key, value) combination past max_n is marked, across blocks; an
+    existing _error wins."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines.verify import validate_max_per_key
+
+    df = pd.DataFrame(
+        {
+            "rid": list(range(10)),
+            "key": ["k1"] * 5 + ["k2"] * 5,
+            "cat": ["t", "t", "t", "d", "d", "t", "d", "d", "x", "y"],
+        }
+    )
+    got = (
+        validate_max_per_key(
+            rd.from_pandas(df).repartition(4), ["key"], "cat", 2, num_buckets=3
+        )
+        .to_pandas()
+        .sort_values("rid")
+    )
+    msg = "cat appears more than 2x per ['key']"
+    # k1 has three 't' rows -> all three marked; everything else fine
+    assert got["_error"].tolist() == [msg, msg, msg, "", "", "", "", "", "", ""]
