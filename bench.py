@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "triangles_coorder",
     "dup_span_flags",
     "semantic_dedup",
+    # round-5 machinery: wave-sharded exchanges + encoded-domain predicates
+    "dedup_exact_wave",
+    "hash_join_wave",
+    "pruned_scan_dict",
 ]
 
 
