@@ -208,3 +208,70 @@ def test_hash_join_unsupported_how(ray_session, tmp_path):
             rd.from_pandas(left), rd.from_pandas(right),
             str(tmp_path / "x"), on="custkey", right_on="c_custkey", how="full",
         )
+
+
+def test_hash_join_wave_salted_hot_key(ray_session, tmp_path):
+    """The docstring's skew mitigation, composed and verified: a 40%-hot
+    key is salted (fact rows spread over n_salts deterministic sub-keys,
+    dim rows replicated per salt), then the WAVE join runs on the salted
+    key — row-for-row identical to the unsalted pandas join, with no
+    single bucket owning the hot key."""
+    import json
+
+    n, hot, n_salts = 20_000, 7, 8
+    rng = np.random.default_rng(23)
+    ck = rng.integers(0, 100, n).astype(np.int64)
+    ck[: int(n * 0.4)] = hot  # 40% of the fact on one key
+    fact = pd.DataFrame(
+        {
+            "okey": np.arange(n, dtype=np.int64),
+            "custkey": ck,
+            "total": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    dim = pd.DataFrame(
+        {
+            "custkey": np.arange(100, dtype=np.int64),
+            "nation": np.arange(100, dtype=np.int64) % 25,
+        }
+    )
+
+    # salt: hot fact rows spread by okey; dim replicates hot key n_salts ways
+    fsalt = np.where(fact["custkey"] == hot, fact["okey"] % n_salts, 0)
+    fact2 = fact.assign(k2=fact["custkey"] * n_salts + fsalt)
+    reps = np.where(dim["custkey"] == hot, n_salts, 1)
+    dim2 = dim.loc[dim.index.repeat(reps)].reset_index(drop=True)
+    salt = dim2.groupby("custkey").cumcount()
+    dim2 = dim2.assign(k2=dim2["custkey"] * n_salts + salt).drop(columns=["custkey"])
+
+    out = str(tmp_path / "salted")
+    hash_join_to_parquet(
+        rd.from_pandas(fact2).repartition(6),
+        rd.from_pandas(dim2).repartition(2),
+        out,
+        on="k2",
+        how="inner",
+        num_buckets=16,
+        n_waves=2,
+    )
+    got = (
+        _read_all(out)
+        .drop(columns=["k2"])
+        .sort_values(["okey"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        fact.merge(dim, on="custkey")
+        .sort_values(["okey"])
+        .reset_index(drop=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+    # the hot key's rows actually spread: its salted sub-keys land in >1 bucket
+    plan = json.load(open(os.path.join(out, "_exchange_plan.json")))
+    assert plan["num_buckets"] == 16
+    import pandas.util as pdu
+
+    k2_hot = (np.arange(n_salts, dtype=np.int64) + hot * n_salts)
+    h = pdu.hash_array(k2_hot).view(np.int64) & np.int64(2**63 - 1)
+    assert len(set((h % 16).tolist())) > 1
