@@ -381,7 +381,8 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument(
         "--where",
         default=None,
-        help="zone-map pruned scan: conjuncts like 'ts>=2024-01-22,v<10'",
+        help="zone-map pruned scan: conjuncts like 'ts>=2024-01-22,v<10,"
+        "tag in a|b' (string ==/in evaluate on dict code streams)",
     )
     pd_.set_defaults(fn=cmd_decode)
 

@@ -486,31 +486,39 @@ def _decode_paths(
 
 
 def parse_predicate(spec: str) -> list[tuple[str, str, object]]:
-    """Parse a CLI predicate string ``"col>=123,col2==abc"`` into the
-    conjunct list :func:`decode_dataset` takes. Numeric literals become
-    int/float; ISO timestamps (``2024-01-22`` / ``2024-01-22T06:00:00``)
-    become int64 microseconds; everything else stays a string."""
+    """Parse a CLI predicate string ``"col>=123,col2==abc,tag in a|b"``
+    into the conjunct list :func:`decode_dataset` takes. Numeric literals
+    become int/float; ISO timestamps (``2024-01-22`` /
+    ``2024-01-22T06:00:00``) become int64 microseconds; everything else
+    stays a string. ``col in v1|v2|...`` maps to the ``is_in`` op
+    (dict-coded string columns evaluate it on the encoded code stream)."""
     import datetime as _dt
     import re
 
+    def coerce(raw: str) -> object:
+        try:
+            return int(raw)
+        except ValueError:
+            try:
+                return float(raw)
+            except ValueError:
+                try:
+                    return _dt.datetime.fromisoformat(raw)
+                except ValueError:
+                    return raw
+
     out: list[tuple[str, str, object]] = []
     for part in spec.split(","):
+        m_in = re.match(r"^\s*(\w+)\s+in\s+(.+?)\s*$", part)
+        if m_in:
+            col, raw = m_in.groups()
+            out.append((col, "is_in", [coerce(v.strip()) for v in raw.split("|")]))
+            continue
         m = re.match(r"^\s*(\w+)\s*(==|<=|>=|<|>)\s*(.+?)\s*$", part)
         if not m:
             raise ValueError(f"bad predicate conjunct {part!r}")
         col, op, raw = m.groups()
-        val: object
-        try:
-            val = int(raw)
-        except ValueError:
-            try:
-                val = float(raw)
-            except ValueError:
-                try:
-                    val = _dt.datetime.fromisoformat(raw)
-                except ValueError:
-                    val = raw
-        out.append((col, op, val))
+        out.append((col, op, coerce(raw)))
     return out
 
 

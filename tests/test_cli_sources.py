@@ -514,3 +514,19 @@ def test_cli_encode_folder(ray_session, frag_dir, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["tables"]["transcripts"] == 5_000 and rep["N"] > 0
     assert cli_main(["validate-folder", out, "--deep"]) == 0
+
+
+def test_parse_predicate_in_syntax(tmp_path):
+    """CLI predicate grammar: 'col in v1|v2' → is_in conjunct with coerced
+    values; mixes with range ops; bad conjuncts still raise."""
+    import datetime as dt
+
+    from fhirflat_ray.pipelines.decode import parse_predicate
+
+    got = parse_predicate("ts>=2024-01-22,tag in click|signup,v<10")
+    assert got[0] == ("ts", ">=", dt.datetime(2024, 1, 22))
+    assert got[1] == ("tag", "is_in", ["click", "signup"])
+    assert got[2] == ("v", "<", 10)
+    assert parse_predicate("k in 1|2|3") == [("k", "is_in", [1, 2, 3])]
+    with pytest.raises(ValueError, match="bad predicate"):
+        parse_predicate("k ~~ 3")
