@@ -188,6 +188,27 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact_small(args: argparse.Namespace) -> int:
+    """Size-tiered in-place compaction: rewrite only undersized segments;
+    the manifest swap is the commit (readers stay consistent throughout)."""
+    _init_ray(args.num_cpus)
+    from fhirflat_ray.pipelines.encode import compact_small_segments
+
+    m = compact_small_segments(
+        args.segments, min_rows=args.min_rows, target_rows=args.target_rows
+    )
+    print(
+        json.dumps(
+            {
+                "partitions": m["n_partitions"],
+                "rows": m["n_rows"],
+                "compacted_small": m.get("compacted_small", 0),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_merge(args: argparse.Namespace) -> int:
     """Zone-routed upsert of a parquet update set into an encoded dir."""
     _init_ray(args.num_cpus)
@@ -400,6 +421,16 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("output")
     pc_.add_argument("--target-rows", type=int, default=512 * 1024)
     pc_.set_defaults(fn=cmd_compact)
+
+    pcs = sub.add_parser(
+        "compact-small",
+        help="size-tiered in-place compaction: rewrite only undersized "
+        "segments (manifest swap = commit; healthy segments untouched)",
+    )
+    pcs.add_argument("segments")
+    pcs.add_argument("--min-rows", type=int, default=None)
+    pcs.add_argument("--target-rows", type=int, default=None)
+    pcs.set_defaults(fn=cmd_compact_small)
 
     pm = sub.add_parser("merge", help="upsert parquet rows into encoded segments by key")
     pm.add_argument("segments", help="encoded segment dir")

@@ -515,6 +515,78 @@ def compact_segments(
     )
 
 
+def compact_small_segments(
+    seg_dir: str,
+    *,
+    min_rows: int | None = None,
+    target_rows: int | None = None,
+) -> dict[str, Any]:
+    """Size-tiered IN-PLACE compaction — the lakehouse small-file pass:
+    rewrite ONLY the undersized segments (``n_rows < min_rows``; default
+    half the target) into target-sized content-addressed ones, leaving
+    every healthy segment untouched. A long-running ingest's appends
+    accumulate small segments; ``compact_segments`` rewrites the whole
+    table, this pays only for the fragmentation.
+
+    Commit model — unlike the other mutations this NEVER uncommits: new
+    segments land first (content-addressed names, invisible to committed
+    readers — the manifest is the truth), ONE atomic manifest write swaps
+    small partitions out and new ones in, then the old files are GC'd
+    (:func:`~fhirflat_ray.state.lineage.gc_orphan_segments`). A crash at
+    any point leaves a committed, consistent table plus unreferenced
+    files; the entry sweep of the next run removes them. Readers stay
+    consistent for the entire compaction.
+
+    Rows re-encode in their STORED form — pending schema evolution is
+    neither applied nor disturbed (the op-log carries forward; the new
+    segments are as unmaterialized as the ones they replace)."""
+    from fhirflat_ray.pipelines.decode import _decode_paths
+    from fhirflat_ray.pipelines.merge import _append_segments, _shared_for_encode
+    from fhirflat_ray.state.lineage import gc_orphan_segments
+
+    manifest = lin.read_manifest(seg_dir)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {seg_dir!r} — compact_small_segments "
+            "requires a committed table (the manifest is its commit model)"
+        )
+    gc_orphan_segments(seg_dir)  # finish a crashed prior run's GC first
+    target = target_rows or DEFAULT_TARGET_ROWS
+    if min_rows is None:
+        min_rows = target // 2
+
+    parts = manifest["partitions"]
+    small = [r for r in parts if r["n_rows"] < min_rows]
+    if len(small) < 2:
+        return manifest  # nothing to merge — zero bytes moved
+
+    def path_of(r: dict[str, Any]) -> str:
+        return (
+            os.path.join(seg_dir, r["file"])
+            if "file" in r
+            else lin.segment_path(seg_dir, r["part_id"])
+        )
+
+    keep = [r for r in parts if r["n_rows"] >= min_rows]
+    sort_keys = tuple(manifest.get("sort_keys") or ()) or None
+    shared = _shared_for_encode(seg_dir, manifest)
+    # decode ONLY the small segments, raw stored rows (post=None: pending
+    # evolution stays pending), re-encode as target-sized blocks
+    ds = _decode_paths(seg_dir, [path_of(r) for r in small], None, None, False, "tasks")
+    new_records = _append_segments(
+        ds, seg_dir, sort_keys, shared, target_rows=target, tag="compact-small"
+    )
+    carried = {
+        k: manifest[k]
+        for k in ("source", "sort_keys", "shared_dicts", "schema_evolution")
+        if k in manifest
+    }
+    carried["compacted_small"] = len(small)
+    refolded = lin.write_manifest(seg_dir, keep + new_records, extra=carried)
+    gc_orphan_segments(seg_dir)  # the swapped-out small files
+    return refolded
+
+
 def encode_files(
     input_paths: list[str] | str,
     out_dir: str,

@@ -309,9 +309,12 @@ def merge_upsert(
 
         inserts = hash_anti_join(updates, rd.from_arrow(applied_tbl), key, key)
 
-    n_inserted = _append_segments(
-        inserts, seg_dir, sort_keys, shared,
-        target_rows=insert_target_rows or DEFAULT_TARGET_ROWS,
+    n_inserted = sum(
+        r["n_rows"]
+        for r in _append_segments(
+            inserts, seg_dir, sort_keys, shared,
+            target_rows=insert_target_rows or DEFAULT_TARGET_ROWS,
+        )
     )
 
     refolded = lin.write_manifest(
@@ -348,8 +351,12 @@ def append_dataset(
     shared = _shared_for_encode(seg_dir, manifest)
     # uncommitted while the append is in flight; refold below re-commits
     lin.uncommit_manifest(seg_dir)
-    n = _append_segments(
-        ds, seg_dir, sort_keys, shared, target_rows=target_rows or DEFAULT_TARGET_ROWS
+    n = sum(
+        r["n_rows"]
+        for r in _append_segments(
+            ds, seg_dir, sort_keys, shared,
+            target_rows=target_rows or DEFAULT_TARGET_ROWS,
+        )
     )
     carried = {
         k: manifest[k]
@@ -457,10 +464,16 @@ def merge_delete(seg_dir: str, keys_ds, key: str) -> dict[str, Any]:
     return refolded
 
 
-def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> int:
+def _append_segments(
+    ds, seg_dir: str, sort_keys, shared, target_rows: int, tag: str = "upsert-insert"
+) -> list[dict[str, Any]]:
     """Write ``ds`` as NEW content-addressed segments next to the existing
     ones (``encode_dataset``'s block writer without the clear-and-own-the-
-    directory semantics). Returns rows written."""
+    directory semantics). Returns the new segments' FULL lineage records
+    (incl. the file stamp), so callers can either refold the whole dir or
+    splice the records into a manifest they are about to commit."""
+    import json as _json
+
     import ray
 
     from fhirflat_ray.functions.util import collect_small_table
@@ -471,7 +484,7 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
     )
 
     shared_ref = ray.put(shared) if shared else None
-    _summary = pa.schema([("n_rows", pa.int64())])
+    _summary = pa.schema([("record", pa.string())])
 
     def write_block(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -488,7 +501,7 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
         uniq = seg.sha256_hex(payload + salt)
         record = lin.lineage_record(
             part_id=int(uniq[:15], 16),
-            input_fragment=f"upsert-insert:{uniq}",
+            input_fragment=f"{tag}:{uniq}",
             row_range=(0, table.num_rows),
             n_rows=table.num_rows,
             raw_bytes=table.nbytes,
@@ -496,15 +509,21 @@ def _append_segments(ds, seg_dir: str, sort_keys, shared, target_rows: int) -> i
             columns=header["columns"],
             payload_sha256=seg.sha256_hex(payload),
         )
-        seg.write_segment(os.path.join(seg_dir, f"part-{uniq}.seg"), header, payload, record)
-        return pa.table({"n_rows": pa.array([table.num_rows], pa.int64())})
+        final_hdr = seg.write_segment(
+            os.path.join(seg_dir, f"part-{uniq}.seg"), header, payload, record
+        )
+        return pa.table(
+            {"record": pa.array([_json.dumps(final_hdr["lineage"])], pa.string())}
+        )
 
     out = collect_small_table(
         ds.map_batches(write_block, batch_size=target_rows, batch_format="pyarrow", num_cpus=1)
     )
-    import pyarrow.compute as pc
+    import json as _json2
 
-    return int(pc.sum(out.column("n_rows")).as_py() or 0) if out.num_rows else 0
+    if not out.num_rows:
+        return []
+    return [_json2.loads(s) for s in out.column("record").to_pylist()]
 
 
 __all__ = ["merge_upsert", "merge_delete", "append_dataset"]

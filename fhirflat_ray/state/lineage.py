@@ -232,6 +232,26 @@ def uncommit_manifest(out_dir: str) -> None:
         pass
 
 
+def gc_orphan_segments(seg_dir: str) -> list[str]:
+    """Remove ``part-*.seg`` files NOT referenced by the COMMITTED
+    manifest. Safe under the single-writer contract: the committed
+    manifest is the table's truth and no reader ever resolves an
+    unreferenced file; a no-op on uncommitted dirs (there the glob IS the
+    truth, so nothing may be deleted). Used by ``compact_small_segments``
+    — post-commit GC of the swapped-out small segments, and entry cleanup
+    after a run that crashed between its manifest commit and its GC."""
+    m = read_manifest(seg_dir)
+    if m is None:
+        return []
+    live = set(committed_segment_paths(seg_dir))
+    removed = []
+    for p in sorted(glob.glob(os.path.join(seg_dir, "part-*.seg"))):
+        if p not in live:
+            os.remove(p)
+            removed.append(p)
+    return removed
+
+
 def collect_lineage(out_dir: str, part_ids=None) -> list[dict[str, Any]]:
     """Re-fold lineage records from the segment files themselves.
 

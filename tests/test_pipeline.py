@@ -1828,3 +1828,99 @@ def test_validate_max_per_key(ray_session):
     msg = "cat appears more than 2x per ['key']"
     # k1 has three 't' rows -> all three marked; everything else fine
     assert got["_error"].tolist() == [msg, msg, msg, "", "", "", "", "", "", ""]
+
+
+def test_compact_small_segments_size_tiered(ray_session, tmp_path):
+    """Size-tiered compaction touches ONLY undersized segments: healthy
+    ones keep their bytes (mtime + content), small ones merge into
+    target-sized content-addressed segments, the manifest stays COMMITTED
+    throughout (never uncommitted), decode is unchanged, and the
+    swapped-out files are GC'd. Pending schema evolution is carried, not
+    materialized. gc_orphan_segments removes planted strays on entry."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fhirflat_ray.pipelines import evolve as evo
+    from fhirflat_ray.pipelines.encode import compact_small_segments
+    from fhirflat_ray.pipelines.merge import append_dataset
+    from fhirflat_ray.state.lineage import gc_orphan_segments, read_manifest
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "role": ["u", "a"] * (n // 2),
+            "v": np.arange(n, dtype=np.float64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(src / "t.parquet"))
+    segd = str(tmp_path / "enc")
+    enc.encode_files(str(src), segd, sort_keys=("k",), shared_dict_columns=["role"],
+                     target_rows=1000)
+    # fragmentation: 6 tiny appends of 100 rows each
+    extras = []
+    for i in range(6):
+        e = pd.DataFrame(
+            {
+                "k": np.arange(n + i * 100, n + (i + 1) * 100, dtype=np.int64),
+                "role": ["u"] * 100,
+                "v": 0.0,
+            }
+        )
+        extras.append(e)
+        append_dataset(segd, rd.from_pandas(e), target_rows=100)
+    full = pd.concat([df] + extras, ignore_index=True)
+    evo.add_column(segd, "split", "string", "train")  # pending op-log rides along
+
+    from fhirflat_ray.state.lineage import segment_path
+
+    def p_of(r):
+        return (
+            os.path.join(segd, r["file"])
+            if "file" in r
+            else segment_path(segd, r["part_id"])
+        )
+
+    man0 = read_manifest(segd)
+    healthy = {
+        p_of(r): os.path.getmtime(p_of(r))
+        for r in man0["partitions"]
+        if r["n_rows"] >= 500
+    }
+    n_small = sum(1 for r in man0["partitions"] if r["n_rows"] < 500)
+    assert n_small == 6 and len(healthy) >= 1
+
+    # a planted stray (unreferenced copy) must be swept on entry
+    some_seg = sorted(glob.glob(os.path.join(segd, "part-*.seg")))[0]
+    stray = os.path.join(segd, "part-" + "f" * 16 + ".seg")
+    shutil.copy(some_seg, stray)
+    removed = gc_orphan_segments(segd)
+    assert removed == [stray]
+
+    man1 = compact_small_segments(segd, min_rows=500, target_rows=1000)
+    assert man1["compacted_small"] == 6
+    assert man1["n_rows"] == len(full)
+    # healthy segments untouched byte-for-byte
+    for p, mt in healthy.items():
+        assert os.path.getmtime(p) == mt, p
+    # small files gone; fewer partitions; dir committed; op-log intact
+    assert len(glob.glob(os.path.join(segd, "part-*.seg"))) == man1["n_partitions"]
+    assert man1["n_partitions"] == len(healthy) + 1  # 600 small rows -> one block
+    assert read_manifest(segd) is not None
+    assert evo.pending_evolution(segd) == [
+        {"op": "add", "name": "split", "dtype": "string", "default": "train"}
+    ]
+    got = dec.decode_dataset(segd).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = full.sort_values("k").reset_index(drop=True)
+    exp["split"] = "train"
+    assert got[["k", "role", "v"]].equals(exp[["k", "role", "v"]])
+    assert (got["split"] == "train").all()
+
+    # idempotent: nothing small remains -> zero bytes moved
+    man2 = compact_small_segments(segd, min_rows=500, target_rows=1000)
+    assert "compacted_small" not in man2 or man2 is man1 or man2["n_partitions"] == man1["n_partitions"]
