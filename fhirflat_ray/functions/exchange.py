@@ -101,6 +101,9 @@ def _wave_mask(bucket: np.ndarray, lo: int, hi: int, done: np.ndarray) -> np.nda
     return m
 
 
+DONE_MARKER = "_exchange_done.json"
+
+
 def _run_waves(
     make_bucketed_ds,
     per_bucket_write,
@@ -114,11 +117,30 @@ def _run_waves(
     ``per_bucket_write(group)`` is the map_groups callback that writes one
     bucket file and returns its record row. ``collect_small_table`` is the
     wave BARRIER: one tiny record per bucket returns, and the next wave's
-    shuffle starts only after this one's files are durable."""
+    shuffle starts only after this one's files are durable.
+
+    The exchange's COMMIT POINT is ``_exchange_done.json``, written
+    atomically after the last wave (bucket files alone cannot distinguish
+    a finished exchange from a crashed one — empty buckets write no
+    file). Consumers gate on it via
+    :func:`read_exchange_output` ``require_complete=True``; a resumed run
+    that finds it (with a matching plan) returns immediately."""
     from fhirflat_ray.functions.util import collect_small_table
 
     if n_waves < 1:
         raise ValueError("n_waves must be >= 1")
+    done_path = os.path.join(out_dir, DONE_MARKER)
+    if resume and os.path.exists(done_path):
+        with open(done_path) as fh:
+            prior = json.load(fh)  # plan already verified against the manifest
+        if all(
+            os.path.exists(p)
+            for p in prior["files_written"] + prior["files_skipped"]
+        ):
+            return prior
+        # a recorded bucket file is missing (damage/partial restore): drop
+        # the marker and repair through the normal wave loop
+        os.remove(done_path)
     written: list[str] = []
     skipped: list[str] = []
     per_wave = (num_buckets + n_waves - 1) // n_waves
@@ -139,12 +161,18 @@ def _run_waves(
             (skipped if row["skipped"] else written).append(
                 _part_path(out_dir, row["bucket"])
             )
-    return {
+    manifest = {
         "num_buckets": num_buckets,
         "n_waves": n_waves,
         "files_written": sorted(written),
         "files_skipped": sorted(skipped),
+        "complete": True,
     }
+    tmp = f"{done_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, done_path)
+    return manifest
 
 
 def _bucket_record(bucket: int, rows: int, was_skipped: bool) -> pa.Table:
@@ -157,12 +185,20 @@ def _bucket_record(bucket: int, rows: int, was_skipped: bool) -> pa.Table:
     )
 
 
-def read_exchange_output(out_dir: str):
+def read_exchange_output(out_dir: str, require_complete: bool = False):
     """The exchange output as a Dataset: only the ``part-*.parquet`` bucket
     files (the plan manifest and any stray tmp files are excluded by
-    explicit listing, not reader convention)."""
+    explicit listing, not reader convention). ``require_complete=True``
+    additionally gates on the atomic ``_exchange_done.json`` commit marker
+    — a consumer must not read a crashed half-finished exchange as if it
+    were the full result."""
     import ray.data as rd
 
+    if require_complete and not os.path.exists(os.path.join(out_dir, DONE_MARKER)):
+        raise FileNotFoundError(
+            f"exchange at {out_dir!r} has no completion marker "
+            f"({DONE_MARKER}) — it never finished; re-run with resume=True"
+        )
     files = sorted(
         os.path.join(out_dir, f)
         for f in os.listdir(out_dir)

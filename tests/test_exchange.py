@@ -275,3 +275,42 @@ def test_hash_join_wave_salted_hot_key(ray_session, tmp_path):
     k2_hot = (np.arange(n_salts, dtype=np.int64) + hot * n_salts)
     h = pdu.hash_array(k2_hot).view(np.int64) & np.int64(2**63 - 1)
     assert len(set((h % 16).tolist())) > 1
+
+
+def test_exchange_completion_marker(ray_session, tmp_path):
+    """_exchange_done.json is the exchange's commit point: written after
+    the last wave; require_complete gates consumers on it; a resume of a
+    COMPLETED run is a no-op fast path, while a resume after file damage
+    drops the marker and repairs."""
+    df = pd.DataFrame({"k": list(range(300)) * 3, "v": np.arange(900, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(3)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False)["v"].sum().reset_index(name="s")
+
+    out = str(tmp_path / "c")
+    man = bucketed_map_groups_to_parquet(ds, ["k"], agg, out, num_buckets=8, n_waves=2)
+    assert man["complete"] and os.path.exists(os.path.join(out, "_exchange_done.json"))
+    assert read_exchange_output(out, require_complete=True).count() == 300
+
+    # completed resume: instant no-op, nothing rewritten
+    before = {p: os.path.getmtime(p) for p in glob.glob(out + "/part-*.parquet")}
+    man2 = bucketed_map_groups_to_parquet(
+        ds, ["k"], agg, out, num_buckets=8, n_waves=2, resume=True
+    )
+    assert man2 == man
+    assert {p: os.path.getmtime(p) for p in glob.glob(out + "/part-*.parquet")} == before
+
+    # damage -> marker dropped -> repair rewrites only the missing bucket
+    victim = sorted(before)[1]
+    os.remove(victim)
+    man3 = bucketed_map_groups_to_parquet(
+        ds, ["k"], agg, out, num_buckets=8, n_waves=2, resume=True
+    )
+    assert man3["files_written"] == [victim] and man3["complete"]
+    assert read_exchange_output(out, require_complete=True).count() == 300
+
+    # an unfinished exchange (no marker) must refuse require_complete
+    os.remove(os.path.join(out, "_exchange_done.json"))
+    with pytest.raises(FileNotFoundError, match="completion marker"):
+        read_exchange_output(out, require_complete=True)
