@@ -530,3 +530,19 @@ def test_parse_predicate_in_syntax(tmp_path):
     assert parse_predicate("k in 1|2|3") == [("k", "is_in", [1, 2, 3])]
     with pytest.raises(ValueError, match="bad predicate"):
         parse_predicate("k ~~ 3")
+
+
+def test_encode_folder_resume_skips_done_tables(ray_session, frag_dir, tmp_path):
+    """encode_folder(resume=True) re-runs without re-encoding durable
+    partitions (encode_files' resume contract per table) and reproduces
+    identical folder metadata."""
+    from fhirflat_ray.pipelines.folder import encode_folder
+
+    out = str(tmp_path / "rf")
+    meta1 = encode_folder({"transcripts": frag_dir}, out, target_rows=2_000)
+    segs = sorted(glob.glob(os.path.join(out, "transcripts", "part-*.seg")))
+    mtimes = {p: os.path.getmtime(p) for p in segs}
+    meta2 = encode_folder({"transcripts": frag_dir}, out, resume=True, target_rows=2_000)
+    assert meta2["checksum"] == meta1["checksum"]
+    for p, mt in mtimes.items():
+        assert os.path.getmtime(p) == mt, f"segment re-encoded: {p}"
