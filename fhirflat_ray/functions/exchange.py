@@ -63,6 +63,8 @@ def _load_or_record_plan(out_dir: str, params: dict, resume: bool) -> dict:
     ``resume=True`` loads and VERIFIES them — resuming under a changed
     bucket count or operator parameters would silently mis-route keys, so
     mismatch is an error, not a re-plan."""
+    import glob as _glob
+
     os.makedirs(out_dir, exist_ok=True)
     plan_path = os.path.join(out_dir, "_exchange_plan.json")
     if resume and os.path.exists(plan_path):
@@ -76,6 +78,17 @@ def _load_or_record_plan(out_dir: str, params: dict, resume: bool) -> dict:
                 f"got {params} — use a fresh out_dir or matching parameters"
             )
         return recorded
+    # FRESH run: own the directory — stale bucket files from a previous
+    # (possibly different-plan) run must not pollute read_exchange_output,
+    # and per_bucket_write would only overwrite buckets that receive rows
+    # this time (the encode_dataset clear-before-write discipline)
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        os.unlink(stale)
+    for marker in (os.path.join(out_dir, DONE_MARKER), plan_path):
+        try:
+            os.unlink(marker)
+        except FileNotFoundError:
+            pass
     tmp = f"{plan_path}.tmp-{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump(params, fh)

@@ -314,3 +314,27 @@ def test_exchange_completion_marker(ray_session, tmp_path):
     os.remove(os.path.join(out, "_exchange_done.json"))
     with pytest.raises(FileNotFoundError, match="completion marker"):
         read_exchange_output(out, require_complete=True)
+
+
+def test_fresh_run_owns_dirty_out_dir(ray_session, tmp_path):
+    """A NON-resume run into a dir holding a previous (different-plan)
+    run's bucket files must clear them: stale buckets would otherwise
+    pollute read_exchange_output with rows this plan never routed."""
+    df = pd.DataFrame({"k": list(range(100)) * 2, "v": np.arange(200, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(2)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("k", sort=False)["v"].sum().reset_index(name="s")
+
+    out = str(tmp_path / "dirty")
+    bucketed_map_groups_to_parquet(ds, ["k"], agg, out, num_buckets=32)
+    n_before = len(glob.glob(out + "/part-*.parquet"))
+    assert n_before > 4
+    # fresh run with FEWER buckets: every stale wide-plan file must go
+    man = bucketed_map_groups_to_parquet(ds, ["k"], agg, out, num_buckets=4)
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) <= 4 and files == man["files_written"]
+    got = _read_all(out).sort_values("k").reset_index(drop=True)
+    want = df.groupby("k", sort=True)["v"].sum().reset_index(name="s")
+    pd.testing.assert_frame_equal(got, want)
+    assert read_exchange_output(out, require_complete=True).count() == 100
