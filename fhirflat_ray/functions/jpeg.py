@@ -151,6 +151,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xFF:  # optional fill bytes before a marker (B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
