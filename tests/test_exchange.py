@@ -338,3 +338,52 @@ def test_fresh_run_owns_dirty_out_dir(ray_session, tmp_path):
     want = df.groupby("k", sort=True)["v"].sum().reset_index(name="s")
     pd.testing.assert_frame_equal(got, want)
     assert read_exchange_output(out, require_complete=True).count() == 100
+
+
+def test_exchange_property_random_frames(ray_session, tmp_path):
+    """Property check over adversarial shapes (hypothesis): for random
+    frames — unicode/empty-string keys, all-one-key skew, singleton rows —
+    the wave groupby equals pandas groupby and the wave join equals pandas
+    merge, for random bucket counts and wave counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.lists(
+        st.sampled_from(["a", "b", "", "κλειδί", "k-0", "K"]), min_size=1, max_size=60
+    )
+
+    counter = {"i": 0}
+
+    @settings(max_examples=8, deadline=None)
+    @given(keys, st.integers(1, 9), st.integers(1, 4), st.randoms())
+    def check(ks, nb, waves, rnd):
+        counter["i"] += 1
+        df = pd.DataFrame(
+            {"k": ks, "v": np.arange(len(ks), dtype=np.int64)}
+        )
+        ds = rd.from_pandas(df).repartition(min(3, len(ks)))
+
+        def agg(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("k", sort=False)["v"].sum().reset_index(name="s")
+
+        out = str(tmp_path / f"p{counter['i']}")
+        bucketed_map_groups_to_parquet(ds, ["k"], agg, out, num_buckets=nb, n_waves=waves)
+        got = _read_all(out).sort_values("k").reset_index(drop=True)
+        want = df.groupby("k", sort=True)["v"].sum().reset_index(name="s")
+        pd.testing.assert_frame_equal(got, want)
+
+        # join the frame against a key->tag dim through the wave join
+        dim = pd.DataFrame({"kk": sorted(set(ks))})
+        dim["tag"] = ["t%d" % i for i in range(len(dim))]
+        outj = str(tmp_path / f"j{counter['i']}")
+        hash_join_to_parquet(
+            ds, rd.from_pandas(dim), outj, on="k", right_on="kk",
+            how="inner", num_buckets=nb, n_waves=waves,
+        )
+        gotj = _read_all(outj).sort_values(["k", "v"]).reset_index(drop=True)
+        wantj = df.merge(dim.rename(columns={"kk": "k"}), on="k").sort_values(
+            ["k", "v"]
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gotj, wantj)
+
+    check()
