@@ -283,10 +283,14 @@ def cmd_fetch_mappings(args: argparse.Namespace) -> int:
 
 
 def cmd_vacuum(args: argparse.Namespace) -> int:
-    """Garbage-collect unreferenced shared-dictionary files."""
+    """Garbage-collect unreferenced shared-dictionary files and (on
+    committed dirs) segment files the manifest does not reference —
+    leftovers of a compaction that crashed between its manifest commit
+    and its GC, or of an orphaned worker's late write."""
     from fhirflat_ray.state import lineage as lin
 
     out = lin.vacuum_dict_store(args.segments)
+    out["orphan_segments_removed"] = lin.gc_orphan_segments(args.segments)
     print(json.dumps(out))
     return 0
 

@@ -136,6 +136,18 @@ def test_cli_snapshot_and_vacuum(ray_session, tmp_path, capsys):
     assert cli_main(["vacuum", seg]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["removed"] == []  # nothing orphaned on a fresh encode
+    assert out["orphan_segments_removed"] == []
+
+    # a stray unreferenced segment file is swept by vacuum
+    import shutil as _sh
+
+    seg0 = sorted(glob.glob(os.path.join(seg, "part-*.seg")))[0]
+    stray = os.path.join(seg, "part-" + "e" * 16 + ".seg")
+    _sh.copy(seg0, stray)
+    assert cli_main(["vacuum", seg]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["orphan_segments_removed"] == [stray]
+    assert not os.path.exists(stray)
 
     assert cli_main(["snapshot", seg, "--drop", "1"]) == 0
     capsys.readouterr()
