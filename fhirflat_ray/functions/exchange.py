@@ -24,7 +24,11 @@ hash joins — with the same discipline:
 
 Cost model: each wave re-executes the INPUT plan (map-side pass over
 everything, exchange over 1/n_waves) — the classic multi-pass external
-algorithm trade. Inputs must therefore be deterministic, re-executable
+algorithm trade. Measured at 128M docs / ~22.6 GB raw (BASELINE.md):
+one-shot 63.9 s (heavy spill), 2 waves 40.4 s (in-flight fits the
+store, no spill), 4 waves 70.8 s, 8 waves 130.3 s — so pick the
+SMALLEST ``n_waves`` whose slice fits the aggregate object store;
+more waves only add read passes. Inputs must therefore be deterministic, re-executable
 plans (storage-backed reads; the ``pin_input=False`` contract of
 functions/sort.py), and ``out_dir`` must be shared storage on a multi-node
 cluster (bucket tasks write from workers, the driver checks existence —
